@@ -1,0 +1,189 @@
+"""Hashing & sketch primitives: shingles, MinHash, SimHash, band-LSH.
+
+Design notes (100 TB scale):
+  - Everything except SimHash is a pure Column expression over
+    ``xxhash64`` — JVM-side, codegen'd, no Python in the hot path.
+  - MinHash permutations are affine maps ``(a*h + b) mod p`` over the
+    64-bit shingle hash, the standard construction (Broder 1997).
+  - Band-LSH turns near-dup detection into an equi-join on
+    (band_id, band_hash): shuffle-friendly, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: with a,b,h < p the affine map a*h+b stays under
+# 2^62, inside signed-64 range (ANSI mode rejects overflow).
+MERSENNE_P = (1 << 31) - 1
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """array<string> of character n-grams; whole string when len < n."""
+    start = F.sequence(F.lit(1), F.length(col) - (n - 1))
+    return F.when(
+        F.length(col) >= n,
+        F.transform(start, lambda i: col.substr(i, F.lit(n))),
+    ).otherwise(F.array(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of word n-grams joined by single spaces."""
+    from dataflow_spark.functions.text import words
+
+    w = words(col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def shingle_hashes(col: Column, n: int = 5, distinct: bool = True) -> Column:
+    """array<bigint>: xxhash64 of each distinct char n-gram."""
+    sh = char_shingles(col, n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return F.transform(sh, lambda s: F.xxhash64(s))
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+            for _ in range(num_perm)]
+
+
+def minhash_signature(hashes: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """array<bigint> MinHash signature from an array of shingle hashes.
+
+    min over shingles of (a_i * |h| + b_i) mod p for each permutation i.
+    Pure expression: num_perm array traversals, all JVM-side.
+    """
+    def perm_fn(a: int, b: int):
+        def apply(h):
+            hr = F.pmod(h, F.lit(MERSENNE_P))
+            return F.pmod(F.lit(a) * hr + F.lit(b), F.lit(MERSENNE_P))
+
+        return apply
+
+    sig = [
+        F.array_min(F.transform(hashes, perm_fn(a, b)))
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, h:bigint>> — one LSH key per band.
+
+    Docs sharing any (band, h) pair are near-dup candidates. With
+    b bands of r rows the collision threshold is ~(1/b)^(1/r).
+    """
+    out = []
+    for band in range(num_bands):
+        chunk = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+        out.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))).alias("h"),
+            )
+        )
+    return F.array(*out)
+
+
+def simhash64(col: Column, n: int = 4) -> Column:
+    """64-bit SimHash over char n-grams — pure Column expressions.
+
+    For each bit k: sum over shingles of +1 if bit k of xxhash64(s) set
+    else -1; bit k of the result is 1 when the sum is positive. Built as
+    64 aggregate expressions over the (distinct) shingle-hash array;
+    stays JVM-side (no Python UDF).
+    """
+    hashes = shingle_hashes(col, n=n, distinct=True)
+
+    def bit_merge(k: int):
+        def apply(s, h):
+            return s + F.when(
+                F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return apply
+
+    acc = F.lit(0).cast("long")
+    for k in range(64):
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_merge(k))
+        # bit 63 as signed two's complement (1<<63 overflows long)
+        bit_val = (1 << k) if k < 63 else -(1 << 63)
+        acc = acc + F.when(bit_sum > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash64_udf(n: int = 4):
+    """Vectorized SimHash pandas_udf — the production path.
+
+    The pure-expression ``simhash64`` is correct but builds a
+    64-aggregate expression tree (~60s planning+eval for 500 docs);
+    this Arrow-batched numpy version computes rolling-polynomial
+    shingle hashes and the 64-bit sign-sum entirely vectorized:
+    ~1000x faster per batch, scales linearly with partition count.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(1099511628211)  # FNV-ish odd multiplier, wraps mod 2^64
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < n:
+            cp = np.pad(cp, (0, n - len(cp)), constant_values=32)
+        # rolling polynomial hash over n-char windows (uint64 wraparound)
+        h = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            h = h * B + cp[j:j + len(h)]
+        h = np.unique(h)  # distinct shingles
+        # avalanche (splitmix64 finalizer) so low bits are well-mixed
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        sums = (bits * 2 - 1).sum(axis=0)
+        out = np.uint64(0)
+        for k in np.nonzero(sums > 0)[0]:
+            out |= np.uint64(1) << np.uint64(k)
+        return int(out.astype(np.int64))
+
+    @pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:  # noqa: F821 (resolved at module scope)
+        return s.fillna("").map(one)
+
+    return _simhash
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_bands(sim: Column, num_bands: int = 4) -> Column:
+    """Split a 64-bit simhash into ``num_bands`` 16-bit band keys.
+
+    Two docs within Hamming distance (num_bands - 1) share at least one
+    band (pigeonhole) — the classic simhash blocking scheme.
+    """
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sim, i * width).bitwiseAND(F.lit(mask)).alias("h"),
+            )
+            for i in range(num_bands)
+        ]
+    )

@@ -1,0 +1,8 @@
+"""Operator packs. Importing this package registers every operator."""
+
+from dataflow_spark.operators.filters import rule_based, general, dedup  # noqa: F401
+from dataflow_spark.operators.refiners import text as refiners_text  # noqa: F401
+from dataflow_spark.operators import text_analysis, similarity, relational  # noqa: F401
+from dataflow_spark.operators.eval import text_stats, dataset  # noqa: F401
+from dataflow_spark.operators.generate import llm_map, embedding  # noqa: F401
+from dataflow_spark.operators import multimodal  # noqa: F401

@@ -1,0 +1,378 @@
+"""Deduplication family — exact, normalized, n-gram, MinHash-LSH,
+SimHash, and semantic (embedding) near-dup.
+
+Reference semantics (SURVEY.md §2.4): every dedup filter keeps the
+FIRST occurrence in file order (hash_deduplicate_filter.py:80-89).
+Under distribution "first" is defined by a stable order column (primary
+key or ingest ``_row_id``), never partition order.
+
+Scale design:
+  - exact dedup: hash + row_number window — one shuffle on the hash key,
+    map-side combinable, skew-safe (hash keys are uniform).
+  - near-dup: signature -> band explode -> self-join on (band, hash) ->
+    candidate edges -> connected components (distributed min-label
+    propagation, the large/small-star style loop) -> keep min order-id
+    per component. No driver-side O(n^2) anywhere, unlike the
+    reference's greedy loops (simhash_deduplicate_filter.py:56-91).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator, ROW_ID, with_row_id
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions import hashing as H
+from dataflow_spark.functions import vector as V
+
+
+def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
+    """row_number over (partition by key order by order_col) == 1."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_rn")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distributed connected components by min-label propagation.
+
+    ``edges``: DataFrame[src: long, dst: long] (undirected). Returns
+    DataFrame[id: long, component: long] where component = min node id
+    reachable. Converges in O(diameter) joins; near-dup clusters are
+    shallow so this terminates in a handful of iterations. Each
+    iteration is one shuffle; AQE coalesces the small tail iterations.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .withColumnRenamed("src", "id")
+    )
+    labels = labels.withColumn("component", F.least(F.col("id"), F.col("component")))
+    for i in range(max_iter):
+        # propagate: my new label = min(my label, labels of my neighbors)
+        prop = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .withColumn(
+                "new_component",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")),
+            )
+            .select("id", F.col("new_component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+class _BaseDedup(Operator):
+    def __init__(self, input_key: str = "text", order_key: str | None = None):
+        self.input_key = input_key
+        self.order_key = order_key  # stable "first occurrence" order column
+        self.input_keys = (input_key,)
+        self.output_keys = ()
+
+    def _ordered(self, df: DataFrame) -> tuple[DataFrame, str]:
+        if self.order_key and self.order_key in df.columns:
+            return df, self.order_key
+        return with_row_id(df), ROW_ID
+
+
+@OPERATOR_REGISTRY.register()
+class HashDeduplicateFilter(_BaseDedup):
+    """Exact dedup on md5/sha2/xxhash of one or more concatenated columns.
+
+    Reference: general_text/filter/hash_deduplicate_filter.py:62-92.
+    """
+
+    def __init__(self, input_keys: list[str] | str = "text", method: str = "md5",
+                 order_key: str | None = None):
+        keys = [input_keys] if isinstance(input_keys, str) else list(input_keys)
+        super().__init__(keys[0], order_key)
+        self.keys = keys
+        self.method = method
+        self.input_keys = tuple(keys)
+
+    def _hash(self) -> Column:
+        joined = F.concat_ws("", *[F.col(k) for k in self.keys])
+        if self.method == "md5":
+            return F.md5(joined)
+        if self.method == "sha256":
+            return F.sha2(joined, 256)
+        if self.method == "xxh":
+            return F.xxhash64(joined).cast("string")
+        raise ValueError(f"unknown hash method {self.method!r}")
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        return _keep_first(df, self._hash(), order_col)
+
+
+@OPERATOR_REGISTRY.register()
+class CCNetDeduplicateFilter(_BaseDedup):
+    """CCNet-style dedup: normalize (lowercase, strip digits/punct/space
+    runs) then exact-hash. Reference: text_pt/filter/ccnet_deduplicate_filter.py:78.
+    """
+
+    @staticmethod
+    def normalize(c: Column) -> Column:
+        c = F.lower(c)
+        c = F.regexp_replace(c, r"[0-9]+", "")
+        c = F.regexp_replace(c, r"[^\p{L}\s]", "")
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return c
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        return _keep_first(df, F.md5(self.normalize(F.col(self.input_key))), order_col)
+
+
+@OPERATOR_REGISTRY.register()
+class NgramHashDeduplicateFilter(_BaseDedup):
+    """Dedup on the md5 of the sorted distinct char n-gram set — catches
+    reordered/weakly-edited duplicates with identical shingle sets.
+    Reference: general_text/filter/ngramhash_deduplicate_filter.py.
+    """
+
+    def __init__(self, input_key: str = "text", n: int = 5,
+                 order_key: str | None = None):
+        super().__init__(input_key, order_key)
+        self.n = n
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        sh = F.array_sort(F.array_distinct(H.char_shingles(F.col(self.input_key), self.n)))
+        return _keep_first(df, F.md5(F.concat_ws("", sh)), order_col)
+
+
+class _NearDupBase(_BaseDedup):
+    """Shared band-join -> components -> keep-first machinery."""
+
+    def _dedup_by_bands(self, df: DataFrame, banded: DataFrame,
+                        order_col: str, verify=None) -> DataFrame:
+        """``banded``: DataFrame[_nd_id, band struct col 'bands' exploded].
+
+        verify: optional callable (cand_df with a_id/b_id) -> filtered
+        cand_df, applied to candidate pairs before components.
+        """
+        pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col("a._nd_id") < F.col("b._nd_id")),
+            )
+            .select(F.col("a._nd_id").alias("src"), F.col("b._nd_id").alias("dst"))
+            .distinct()
+        )
+        if verify is not None:
+            pairs = verify(pairs)
+        comp = connected_components(pairs)
+        out = (
+            df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+            .withColumn("component", F.coalesce("component", F.col("_nd_id")))
+        )
+        return _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
+
+
+@OPERATOR_REGISTRY.register()
+class MinHashDeduplicateFilter(_NearDupBase):
+    """MinHash + banded LSH near-dup removal, keep-earliest semantics.
+
+    Reference: general_text/filter/minhash_deduplicate_filter.py:55-89
+    (datasketch MinHash(128) + LSH(0.9), greedy insert). Ours: 64-perm
+    MinHash over char-5-gram shingles, 4 bands x 16 rows (collision
+    threshold ~(1/4)^(1/16) = 0.92), candidate pairs verified by
+    signature-estimated Jaccard >= threshold, connected components, keep
+    min order-id per component. All signature math is JVM-side Column
+    expressions (functions/hashing.py); no Python in the hot path.
+    """
+
+    def __init__(self, input_key: str = "text", threshold: float = 0.9,
+                 num_perm: int = 64, num_bands: int = 4, shingle_n: int = 5,
+                 order_key: str | None = None, verify_jaccard: bool = True):
+        super().__init__(input_key, order_key)
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+        self.shingle_n = shingle_n
+        self.verify_jaccard = verify_jaccard
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        sig = H.minhash_signature(
+            H.shingle_hashes(F.col(self.input_key), self.shingle_n),
+            self.num_perm,
+        )
+        with_sig = df.withColumn("_sig", sig)
+        banded = with_sig.select(
+            "_nd_id",
+            F.explode(H.band_hashes(F.col("_sig"), self.num_bands, self.rows_per_band)).alias("bh"),
+        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+        verify = None
+        if self.verify_jaccard:
+            sigs = with_sig.select("_nd_id", "_sig")
+
+            def verify(pairs: DataFrame) -> DataFrame:
+                est = (
+                    pairs.join(sigs.withColumnRenamed("_nd_id", "src").withColumnRenamed("_sig", "_sig_a"), "src")
+                    .join(sigs.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_sig", "_sig_b"), "dst")
+                    .withColumn(
+                        "est_jaccard",
+                        F.size(
+                            F.filter(
+                                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+                                lambda eq: eq,
+                            )
+                        ).cast("double")
+                        / F.lit(self.num_perm),
+                    )
+                )
+                return est.filter(F.col("est_jaccard") >= self.threshold).select("src", "dst")
+
+        return self._dedup_by_bands(with_sig.drop("_sig"), banded, order_col, verify)
+
+
+@OPERATOR_REGISTRY.register()
+class SimHashDeduplicateFilter(_NearDupBase):
+    """SimHash near-dup removal via band blocking + Hamming verify.
+
+    Reference: general_text/filter/simhash_deduplicate_filter.py:56-91
+    (O(n^2) greedy). Ours: 64-bit simhash (Column expr), 4x16-bit bands
+    (pigeonhole guarantees recall for Hamming <= 3), xor/bit_count
+    verify, components, keep earliest.
+    """
+
+    def __init__(self, input_key: str = "text", max_hamming: int = 3,
+                 shingle_n: int = 4, order_key: str | None = None):
+        super().__init__(input_key, order_key)
+        self.max_hamming = max_hamming
+        self.shingle_n = shingle_n
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        # vectorized pandas_udf: the pure-expression simhash64 is ~1000x
+        # slower (64-aggregate tree); see functions/hashing.py
+        with_sim = df.withColumn(
+            "_simhash", H.simhash64_udf(self.shingle_n)(F.col(self.input_key))
+        )
+        banded = with_sim.select(
+            "_nd_id", F.explode(H.simhash_bands(F.col("_simhash"))).alias("bh")
+        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+        sims = with_sim.select("_nd_id", "_simhash")
+
+        def verify(pairs: DataFrame) -> DataFrame:
+            return (
+                pairs.join(sims.withColumnRenamed("_nd_id", "src").withColumnRenamed("_simhash", "_ha"), "src")
+                .join(sims.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_simhash", "_hb"), "dst")
+                .filter(H.hamming64(F.col("_ha"), F.col("_hb")) <= self.max_hamming)
+                .select("src", "dst")
+            )
+
+        return self._dedup_by_bands(with_sim.drop("_simhash"), banded, order_col, verify)
+
+
+@OPERATOR_REGISTRY.register()
+class SemDeduplicateFilter(_NearDupBase):
+    """Semantic near-dup removal over an embedding column.
+
+    Reference: general_text/filter/sem_deduplicate_filter.py:115-161
+    (full N x N cosine matrix). Ours: random-hyperplane LSH (sign bits of
+    seeded projections -> band keys), exact cosine verify on candidates,
+    components, keep earliest. Hyperplanes are literal arrays broadcast
+    into the plan; dot products are zip_with/aggregate — JVM-side.
+    """
+
+    def __init__(self, embedding_key: str = "embedding", eps: float = 0.05,
+                 num_planes: int = 16, num_bands: int = 4, dim: int | None = None,
+                 order_key: str | None = None, seed: int = 42):
+        super().__init__(embedding_key, order_key)
+        self.eps = eps
+        self.num_planes = num_planes
+        self.num_bands = num_bands
+        self.seed = seed
+        self.dim = dim
+
+    def _planes(self, dim: int):
+        import numpy as np
+
+        rng = np.random.RandomState(self.seed)
+        return rng.standard_normal((self.num_planes, dim))
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        df, order_col = self._ordered(df)
+        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        dim = self.dim or len(
+            df.select(self.input_key).filter(F.col(self.input_key).isNotNull()).first()[0]
+        )
+        planes = self._planes(dim)
+        emb = F.col(self.input_key)
+
+        # sign bit per hyperplane -> packed int key per band
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(float(v)) for v in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+            for plane in planes
+        ]
+        width = self.num_planes // self.num_bands
+        band_structs = []
+        for b in range(self.num_bands):
+            key = F.lit(0)
+            for j in range(width):
+                key = key * 2 + bits[b * width + j]
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), key.cast("long").alias("h"))
+            )
+        banded = df.select(
+            "_nd_id", F.explode(F.array(*band_structs)).alias("bh")
+        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+        vecs = df.select("_nd_id", F.col(self.input_key).alias("_v"))
+        thr = 1.0 - self.eps
+
+        def verify(pairs: DataFrame) -> DataFrame:
+            return (
+                pairs.join(vecs.withColumnRenamed("_nd_id", "src").withColumnRenamed("_v", "_va"), "src")
+                .join(vecs.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_v", "_vb"), "dst")
+                .filter(V.cosine(F.col("_va"), F.col("_vb")) >= thr)
+                .select("src", "dst")
+            )
+
+        return self._dedup_by_bands(df, banded, order_col, verify)

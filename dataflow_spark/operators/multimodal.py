@@ -1,0 +1,186 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (per the build brief): the DECODE step is stubbed (no
+imaging/audio libs in this container) behind clearly-marked seams, but
+the Spark-side plumbing is real and tested — binaryFile ingest schema,
+partition-sized Arrow batches, mapInPandas UDF signatures, and the
+metadata struct contract. Swapping the stub for PIL/librosa is a
+one-function change that does not touch any plan.
+
+Reference surface: Speech2TextGenerator (core_speech/generate/
+speech2text_generator.py:59-81), PromptedVQAGenerator
+(core_vision/generate/prompted_vqa_generator.py), PDF page images
+(pdf2vqa/*).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
+)
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+MEDIA_META = StructType([
+    StructField("media_type", StringType()),   # image|audio|video
+    StructField("format", StringType()),       # png|jpg|wav|mp4|...
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("sha256", StringType()),
+])
+
+
+def read_media_dir(spark: SparkSession, path: str, pattern: str = "*") -> DataFrame:
+    """Ingest a directory of media files as [path, length, content:binary].
+
+    Uses the binaryFile source: distributed read, no driver bottleneck;
+    partition sizing follows spark.sql.files.maxPartitionBytes.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select("path", "length", "content")
+    )
+
+
+def _decode_image_stub(content: bytes) -> tuple[int, int]:
+    """STUB: real impl would use PIL. NotImplementedError by contract —
+    the deterministic-fake variant below is what tests exercise."""
+    raise NotImplementedError("image decoding requires an imaging library")
+
+
+def _fake_decode_dims(content: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: derive (width, height) from the bytes'
+    sha256 so plumbing tests have stable, content-dependent values."""
+    h = hashlib.sha256(content or b"").digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+@OPERATOR_REGISTRY.register()
+class MediaMetadataExtractor(Operator):
+    """Add a MEDIA_META struct per binary row (mapInPandas, Arrow batches).
+
+    ``use_fake_decode=True`` (default: the container has no codecs) uses
+    the deterministic fake; False raises NotImplementedError at task
+    time, marking the integration seam.
+    """
+
+    def __init__(self, content_key: str = "content", output_key: str = "media_meta",
+                 media_type: str = "image", fmt: str = "png",
+                 use_fake_decode: bool = True):
+        self.content_key, self.output_key = content_key, output_key
+        self.media_type, self.fmt = media_type, fmt
+        self.use_fake_decode = use_fake_decode
+        self.input_keys = (content_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        schema = StructType(df.schema.fields + [StructField(self.output_key, MEDIA_META)])
+        ck, ok = self.content_key, self.output_key
+        mt, fmt, fake = self.media_type, self.fmt, self.use_fake_decode
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                metas = []
+                for content in pdf[ck]:
+                    raw = bytes(content) if content is not None else b""
+                    if fake:
+                        w, h = _fake_decode_dims(raw)
+                    else:
+                        w, h = _decode_image_stub(raw)
+                    metas.append({
+                        "media_type": mt, "format": fmt, "width": w, "height": h,
+                        "duration_ms": 0,
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                    })
+                pdf = pdf.copy()
+                pdf[ok] = metas
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+@OPERATOR_REGISTRY.register()
+class MediaFeatureExtractor(Operator):
+    """Extract a fixed-dim float feature vector per binary row.
+
+    Real impl = a vision/audio model over decoded frames; the
+    deterministic fake hashes bytes into a unit vector (same contract as
+    HashEmbeddingServing) so downstream ANN/dedup plumbing is testable.
+    """
+
+    def __init__(self, content_key: str = "content", output_key: str = "features",
+                 dim: int = 8):
+        self.content_key, self.output_key, self.dim = content_key, output_key, dim
+        self.input_keys = (content_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.serving.mock import HashEmbeddingServing
+
+        schema = StructType(
+            df.schema.fields + [StructField(self.output_key, ArrayType(FloatType()))]
+        )
+        ck, ok, dim = self.content_key, self.output_key, self.dim
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            emb = HashEmbeddingServing(dim=dim)
+            for pdf in batches:
+                pdf = pdf.copy()
+                texts = [
+                    hashlib.sha256(bytes(c) if c is not None else b"").hexdigest()
+                    for c in pdf[ck]
+                ]
+                pdf[ok] = emb.embed_batch(texts)
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+@OPERATOR_REGISTRY.register()
+class FrameSampler(Operator):
+    """Sample N pseudo-frames per video row -> one row per frame.
+
+    Plumbing-real: explode with positional ids, binary passthrough; the
+    frame bytes are a stub slice (real impl: ffmpeg keyframe extraction).
+    """
+
+    def __init__(self, content_key: str = "content", n_frames: int = 4,
+                 frame_key: str = "frame"):
+        self.content_key, self.n_frames, self.frame_key = content_key, n_frames, frame_key
+        self.input_keys = (content_key,)
+        self.output_keys = (frame_key, f"{frame_key}_idx")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        schema = StructType(
+            df.schema.fields
+            + [StructField(f"{self.frame_key}_idx", IntegerType()),
+               StructField(self.frame_key, BinaryType())]
+        )
+        ck, fk, n = self.content_key, self.frame_key, self.n_frames
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    raw = bytes(row[ck]) if row[ck] is not None else b""
+                    step = max(len(raw) // n, 1)
+                    for i in range(n):
+                        r = dict(row)
+                        r[f"{fk}_idx"] = i
+                        r[fk] = raw[i * step:(i + 1) * step]  # stub frame bytes
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=list(pdf.columns) + [f"{fk}_idx", fk])
+
+        return df.mapInPandas(gen, schema=schema)

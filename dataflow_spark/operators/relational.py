@@ -1,0 +1,124 @@
+"""Relational verbs as first-class engine operators.
+
+The reference has no two-table operators (SURVEY.md §2.5) — pipelines
+are linear — but its escape hatches (PandasOperator/GeneralFilter)
+express projections/sorts/top-k, and the 100 TB north star requires real
+joins/set-ops/aggregations. These thin wrappers make the verbs part of
+the operator registry (introspectable, pipeline-composable) while
+delegating 100% of execution strategy to Catalyst/AQE: broadcast vs
+sort-merge join choice, partial aggregation, partition pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+
+@OPERATOR_REGISTRY.register()
+class SelectOperator(Operator):
+    def __init__(self, columns: Sequence[str | Column]):
+        self.columns = list(columns)
+        self.input_keys = tuple(c for c in self.columns if isinstance(c, str))
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        return df.select(*self.columns)
+
+
+@OPERATOR_REGISTRY.register()
+class JoinOperator(Operator):
+    """Join against ``other``; ``broadcast_other=True`` hints the small
+    side (dims under spark.sql.autoBroadcastJoinThreshold are broadcast
+    automatically; the hint covers mis-estimated cases)."""
+
+    def __init__(self, on: Sequence[str] | Column, how: str = "inner",
+                 broadcast_other: bool = False):
+        self.on, self.how, self.broadcast_other = on, how, broadcast_other
+        self.input_keys = ()
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, other: DataFrame | None = None, **kw: Any) -> DataFrame:
+        if other is None:
+            raise ValueError("JoinOperator requires other=DataFrame")
+        rhs = F.broadcast(other) if self.broadcast_other else other
+        return df.join(rhs, self.on, self.how)
+
+
+@OPERATOR_REGISTRY.register()
+class UnionOperator(Operator):
+    def __init__(self, by_name: bool = True, allow_missing: bool = True):
+        self.by_name, self.allow_missing = by_name, allow_missing
+        self.input_keys = ()
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, other: DataFrame | None = None, **kw: Any) -> DataFrame:
+        if other is None:
+            raise ValueError("UnionOperator requires other=DataFrame")
+        if self.by_name:
+            return df.unionByName(other, allowMissingColumns=self.allow_missing)
+        return df.union(other)
+
+
+@OPERATOR_REGISTRY.register()
+class ExplodeOperator(Operator):
+    """Explode an array column into rows (reference: qa_merger.py:64)."""
+
+    def __init__(self, input_key: str, output_key: str | None = None,
+                 keep_position: bool = False):
+        self.input_key = input_key
+        self.output_key = output_key or input_key
+        self.keep_position = keep_position
+        self.input_keys = (input_key,)
+        self.output_keys = (self.output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        if self.keep_position:
+            return df.select(
+                *[c for c in df.columns if c != self.input_key],
+                F.posexplode(self.input_key).alias(f"{self.output_key}_pos", self.output_key),
+            )
+        return df.select(
+            *[c for c in df.columns if c != self.input_key],
+            F.explode(self.input_key).alias(self.output_key),
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class SortLimitOperator(Operator):
+    """Global top-k. Spark implements orderBy+limit as TakeOrderedAndProject
+    (per-partition top-k then merge on driver) — no full sort at scale."""
+
+    def __init__(self, order_by: Sequence[Column | str], limit: int | None = None):
+        self.order_by, self.limit = list(order_by), limit
+        self.input_keys = ()
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = df.orderBy(*self.order_by)
+        return out.limit(self.limit) if self.limit else out
+
+
+@OPERATOR_REGISTRY.register()
+class AggregateOperator(Operator):
+    """groupBy().agg() with optional rollup/cube grouping mode."""
+
+    def __init__(self, group_by: Sequence[str], aggs: Sequence[Column],
+                 mode: str = "groupby"):
+        self.group_by, self.aggs, self.mode = list(group_by), list(aggs), mode
+        self.input_keys = tuple(self.group_by)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        if self.mode == "rollup":
+            g = df.rollup(*self.group_by)
+        elif self.mode == "cube":
+            g = df.cube(*self.group_by)
+        else:
+            g = df.groupBy(*self.group_by)
+        return g.agg(*self.aggs)

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+and LSH-bucketed ANN.
+
+Scale design: the query set is assumed small (it is broadcast); the
+corpus is the big side and is never collected. Brute force is one
+broadcast-nested-loop + per-query top-k (a single shuffle on query_id);
+the LSH variant prunes the corpus to colliding buckets first, turning
+the cross product into an equi-join — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions import vector as V
+
+
+@OPERATOR_REGISTRY.register()
+class BruteForceKNN(Operator):
+    """Exact cosine top-k: broadcast query rows against the corpus.
+
+    run(corpus_df, queries=queries_df) -> [query_id, neighbor_id,
+    cosine_sim] with exactly k rows per query (deterministic tie-break
+    on neighbor id).
+    """
+
+    def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
+                 k: int = 10, include_self: bool = False):
+        self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
+        self.include_self = include_self
+        self.input_keys = (id_key, embedding_key)
+        self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
+
+    def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
+        q = (queries if queries is not None else df).select(
+            F.col(self.id_key).alias("query_id"),
+            F.col(self.embedding_key).alias("_q_emb"),
+        )
+        c = df.select(
+            F.col(self.id_key).alias("neighbor_id"),
+            F.col(self.embedding_key).alias("_c_emb"),
+        )
+        joined = c.crossJoin(F.broadcast(q))
+        if not self.include_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        sim = joined.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sim.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= self.k)
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class LSHKNN(Operator):
+    """Approximate top-k: random-hyperplane bucket join, then exact
+    cosine within candidates. Multi-probe via multiple bands keeps
+    recall high; falls back to fewer-than-k rows when a query's buckets
+    are sparse (standard ANN contract).
+    """
+
+    def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
+                 k: int = 10, num_planes: int = 16, num_bands: int = 4,
+                 seed: int = 42, dim: int | None = None):
+        self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
+        self.num_planes, self.num_bands, self.seed = num_planes, num_bands, seed
+        self.dim = dim
+        self.input_keys = (id_key, embedding_key)
+        self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
+
+    def _band_keys(self, emb_col, dim: int):
+        import numpy as np
+
+        rng = np.random.RandomState(self.seed)
+        planes = rng.standard_normal((self.num_planes, dim))
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        emb_col,
+                        F.array(*[F.lit(float(v)) for v in p]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+            for p in planes
+        ]
+        width = self.num_planes // self.num_bands
+        bands = []
+        for b in range(self.num_bands):
+            key = F.lit(0)
+            for j in range(width):
+                key = key * 2 + bits[b * width + j]
+            bands.append(F.struct(F.lit(b).alias("band"), key.cast("long").alias("h")))
+        return F.array(*bands)
+
+    def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
+        qsrc = queries if queries is not None else df
+        dim = self.dim or len(
+            df.select(self.embedding_key).filter(F.col(self.embedding_key).isNotNull()).first()[0]
+        )
+        c = df.select(
+            F.col(self.id_key).alias("neighbor_id"),
+            F.col(self.embedding_key).alias("_c_emb"),
+            F.explode(self._band_keys(F.col(self.embedding_key), dim)).alias("bh"),
+        ).select("neighbor_id", "_c_emb", "bh.band", "bh.h")
+        q = qsrc.select(
+            F.col(self.id_key).alias("query_id"),
+            F.col(self.embedding_key).alias("_q_emb"),
+            F.explode(self._band_keys(F.col(self.embedding_key), dim)).alias("bh"),
+        ).select("query_id", "_q_emb", "bh.band", "bh.h")
+        cand = (
+            c.join(F.broadcast(q), ["band", "h"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_q_emb", "_c_emb")
+            .distinct()
+        )
+        sim = cand.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sim.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= self.k)
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions — deterministic, SQL-mirrorable, JVM-side.
+These are the "add a score column" Evaluator archetype (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions import hashing as H
+from dataflow_spark.functions import text as T
+from dataflow_spark.operators.filters.rule_based import EN_STOPWORDS
+
+# Marker (stopword-like) vocabularies for the n-gram/marker-word language
+# heuristic. Deterministic and tiny on purpose: langid here is a
+# SQL-expressible heuristic, not a model (fasttext stays a pluggable
+# extra, reference: general_text/filter/language_filter.py).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "como", "para"],
+}
+
+
+def lang_hit_counts(col: Column) -> dict[str, Column]:
+    w = F.transform(T.words(col), lambda x: F.lower(x))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def langid_expr(col: Column) -> Column:
+    """argmax over marker-hit counts; 'und' (undetermined) when all zero.
+
+    Ties break by language-key order en > de > fr > es (deterministic).
+    """
+    hits = lang_hit_counts(col)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in ["es", "fr", "de", "en"]:  # reverse priority; later wins ties via >=
+        n = hits[lang]
+        cond = n >= best_n
+        # evaluate in reverse order so that 'en' (checked last) wins ties
+        best_lang = F.when(cond & (n > 0), F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best_lang
+
+
+@OPERATOR_REGISTRY.register()
+class LanguageIdEvaluator(Operator):
+    """Add a predicted-language column via the marker-word heuristic."""
+
+    def __init__(self, input_key: str = "text", output_key: str = "pred_lang"):
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        return df.withColumn(self.output_key, langid_expr(F.col(self.input_key)))
+
+
+@OPERATOR_REGISTRY.register()
+class QualityScoreEvaluator(Operator):
+    """Add a [0,1] composite quality score (functions/text.py:quality_score)."""
+
+    def __init__(self, input_key: str = "text", output_key: str = "quality_score",
+                 stopwords: list[str] | None = None):
+        self.input_key, self.output_key = input_key, output_key
+        self.stopwords = stopwords or EN_STOPWORDS
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        return df.withColumn(
+            self.output_key, T.quality_score(F.col(self.input_key), self.stopwords)
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class TokenCountEvaluator(Operator):
+    """Add whitespace-word and BPE-ish token counts."""
+
+    def __init__(self, input_key: str = "text", word_key: str = "n_words",
+                 token_key: str = "n_tokens"):
+        self.input_key = input_key
+        self.word_key, self.token_key = word_key, token_key
+        self.input_keys = (input_key,)
+        self.output_keys = (word_key, token_key)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        c = F.col(self.input_key)
+        return df.withColumn(self.word_key, T.word_count(c)).withColumn(
+            self.token_key, T.token_count_bpe_ish(c)
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class FingerprintEvaluator(Operator):
+    """Add a content fingerprint: lexicographic min of md5(char-shingle).
+
+    A 1-permutation MinHash — stable under whitespace-preserving edits
+    elsewhere in the doc; used for cheap near-dup candidate blocking and
+    provenance tracking. Deterministic and oracle-mirrorable (md5 exists
+    in DuckDB).
+    """
+
+    def __init__(self, input_key: str = "text", output_key: str = "fingerprint",
+                 n: int = 8):
+        self.input_key, self.output_key, self.n = input_key, output_key, n
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        sh = F.array_distinct(H.char_shingles(F.col(self.input_key), self.n))
+        fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+        return df.withColumn(self.output_key, fp)
+
+
+@OPERATOR_REGISTRY.register()
+class NgramRepetitionEvaluator(Operator):
+    """Add n-gram uniqueness ratio: |distinct word n-grams| / |n-grams|.
+
+    Reference: NgramSampleEvaluator
+    (general_text/eval/ngram_sample_evaluator.py:48-80) — low ratio means
+    repetitive text.
+    """
+
+    def __init__(self, input_key: str = "text", output_key: str = "ngram_ratio",
+                 n: int = 3):
+        self.input_key, self.output_key, self.n = input_key, output_key, n
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        grams = H.word_shingles(F.lower(F.col(self.input_key)), self.n)
+        ratio = F.when(
+            F.size(grams) > 0,
+            F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+        )
+        return df.withColumn(self.output_key, ratio)

@@ -1,0 +1,40 @@
+"""Sinks — extension-dispatched distributed writes.
+
+Reference: FileStorage write dispatch (storage.py:683-696). Parquet is
+the default (columnar, splittable, predicate-pushdown-friendly);
+'json array with indent' exports are driver-side and only for small
+results, mirroring the reference's debug exports.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_any(df: DataFrame, path: str, fmt: str | None = None,
+              mode: str = "overwrite", partition_by: list[str] | None = None,
+              **options) -> None:
+    ext = fmt or os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if ext == "parquet":
+        writer.options(**options).parquet(path)
+    elif ext in ("jsonl", "json"):
+        writer.options(**options).json(path)
+    elif ext == "csv":
+        writer.options(header=True, **options).csv(path)
+    else:
+        raise ValueError(f"unsupported sink format {ext!r}")
+
+
+def write_json_pretty(df: DataFrame, path: str, limit: int = 100000) -> None:
+    """Small-result indented-JSON export (driver collect — debug only)."""
+    rows = [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=2, default=str)
+    os.replace(tmp, path)

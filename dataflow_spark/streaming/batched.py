@@ -1,0 +1,102 @@
+"""Batched & streaming execution.
+
+The reference's 'streaming' is chunked batch with (step, batch) resume
+(StreamBatchedFileStorage.iter_chunks, storage.py:1169-1184;
+Pipeline.py:624-713). Two Spark-native equivalents:
+
+  1. ``BatchedRunner`` — partitioned batch: the pipeline runs once over
+     the whole (lazy) DataFrame; 'batch_size' becomes partition sizing.
+     This is the default and the honest mapping: Spark already streams
+     partitions through the operator chain.
+  2. ``stream_pipeline`` — Structured Streaming foreachBatch with a
+     checkpointLocation for exactly-once resume across restarts, for
+     genuinely unbounded sources (file drops, Kafka).
+
+Event-time helpers (watermark + tumbling window) are provided for the
+training-data-pipeline surface even though the reference has none
+(SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.pipeline import Pipeline
+
+
+class BatchedRunner:
+    """Run a pipeline with partition-count control (reference batch_size
+    semantics -> repartition)."""
+
+    def __init__(self, pipeline: Pipeline, rows_per_batch: int = 100_000):
+        self.pipeline = pipeline
+        self.rows_per_batch = rows_per_batch
+
+    def run(self, df: DataFrame, approx_rows: int | None = None) -> DataFrame:
+        if approx_rows:
+            n_parts = max(1, approx_rows // self.rows_per_batch)
+            df = df.repartition(n_parts)
+        return self.pipeline.forward(df)
+
+
+def stream_pipeline(stream_df: DataFrame, pipeline: Pipeline, output_path: str,
+                    checkpoint_path: str, trigger_once: bool = True,
+                    fmt: str = "parquet"):
+    """readStream source -> pipeline per micro-batch -> sink with
+    checkpointed resume. trigger_once processes available data and
+    stops (the reference's batch-resume semantics)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = pipeline.forward(batch_df)
+        out.write.mode("append").format(fmt).save(output_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tumbling_counts(events: DataFrame, ts_key: str = "ts", window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    group_keys: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window counts — works on both batch and
+    streaming DataFrames (same code path, Spark's unified model)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_key, watermark)
+    keys = [F.window(F.col(ts_key), window).alias("win")] + [
+        F.col(k) for k in (group_keys or [])
+    ]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): session starts when the gap
+    from the previous event of the same user exceeds ``gap_minutes``.
+    Returns events + session_id = '<user>-<n>'.
+    One shuffle on user_id; window functions run within partitions.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_key).orderBy(F.col(ts_key).asc())
+    prev_ts = F.lag(F.col(ts_key)).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_key).cast("long") - prev_ts.cast("long") > gap_minutes * 60)
+    ).cast("int")
+    sess_n = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn(
+        "session_id", F.concat_ws("-", F.col(user_key).cast("string"), sess_n.cast("string"))
+    )
+
+
+StreamTransform = Callable[[DataFrame], DataFrame]
