@@ -1,38 +1,790 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the dataflow_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship text-pipeline chain on sf0.001.
+``queries()`` exposes one callable per implemented operator/query from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (near-dup sketches, LSH ANN, and multimodal stubs
+are rows-only by nature — the sketch algorithms are engine-defined).
+
+Implementation note: every query goes through the engine's operator
+registry / function library (dataflow_spark.*) — these are operator
+parity checks, not hand-inlined SQL translations.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from dataflow_spark.core.registry import get_operator
+from dataflow_spark.functions import text as T
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "if", "then", "of", "to", "in",
+    "on", "at", "by", "for", "with", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "as", "from", "not", "no",
+]
+SW_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# whitespace words, empties removed — mirror of functions/text.py:words
+def W(c: str) -> str:
+    return rf"list_filter(regexp_split_to_array({c}, '\s+'), x -> x != '')"
+
+
+def LW(c: str) -> str:  # lowercase words
+    return rf"list_transform({W(c)}, x -> lower(x))"
+
+
+MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "como", "para"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "[" + ",".join(f"'{m}'" for m in MARKERS[lang]) + "]"
+    return f"len(list_filter({LW('text')}, x -> list_contains({lst}, x)))"
+
+
+LANGID_SQL = f"""
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN {_marker_sql('en')} > 0 AND {_marker_sql('en')} >= {_marker_sql('de')}
+              AND {_marker_sql('en')} >= {_marker_sql('fr')} AND {_marker_sql('en')} >= {_marker_sql('es')} THEN 'en'
+         WHEN {_marker_sql('de')} > 0 AND {_marker_sql('de')} >= {_marker_sql('fr')}
+              AND {_marker_sql('de')} >= {_marker_sql('es')} THEN 'de'
+         WHEN {_marker_sql('fr')} > 0 AND {_marker_sql('fr')} >= {_marker_sql('es')} THEN 'fr'
+         WHEN {_marker_sql('es')} > 0 THEN 'es'
+         ELSE 'und' END
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long nanos (nanosAsLong): convert to
+        # micros with integer division (ns ~1.7e18 exceeds double's 53-bit
+        # mantissa, so float division would corrupt low digits)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline (SURVEY §7.2 minimum slice, on sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from dataflow_spark import Pipeline
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pipe = Pipeline([
+        get_operator("RemoveExtraSpacesRefiner", {"input_key": "text"}),
+        get_operator("ContentNullFilter", {"input_key": "text"}),
+        get_operator("WordNumberFilter", {"input_key": "text", "min_words": 5,
+                                          "max_words": 100000}),
+        get_operator("HashDeduplicateFilter", {"input_keys": "text",
+                                               "order_key": "doc_id"}),
+        get_operator("LanguageIdEvaluator", {"input_key": "text"}),
+        get_operator("QualityScoreEvaluator", {"input_key": "text"}),
+        get_operator("TokenCountEvaluator", {"input_key": "text"}),
+    ])
+    out = pipe.forward(docs)
+    return out.select("doc_id", "lang", "pred_lang",
+                      F.round("quality_score", 4).alias("quality_score"),
+                      "n_words", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish) — Catalyst-native verbs
+# ---------------------------------------------------------------------------
+
+@q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = get_operator("AggregateOperator", {
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "aggs": [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    })
+    return agg.run(li.filter(F.col("l_shipdate") <= "1998-09-02"))
+
+
+@q("q3_shipping_priority", """
+SELECT o_orderkey, revenue, orderdate FROM (
+  SELECT l_orderkey AS o_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         strftime(any_value(o_orderdate), '%Y-%m-%d')      AS orderdate
+  FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l_orderkey)
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+@q("q5_regional_revenue", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_regional_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+@q("q_top_customers", """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey LIMIT 10
+""")
+def q_top_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    top = get_operator("SortLimitOperator", {
+        "order_by": [F.col("total_spent").desc(), F.col("c_custkey")], "limit": 10})
+    return top.run(agg)
+
+
+@q("q_part_brand_agg", """
+SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""")
+def q_part_brand_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@q("q_distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def q_distinct_segments(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@q("q_union_nation_keys", """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+""")
+def q_union_nation_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    u = get_operator("UnionOperator", {})
+    return u.run(c, other=s).distinct()
+
+
+@q("q_semi_join_orders", """
+SELECT o_orderkey FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+""")
+def q_semi_join_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.06)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@q("q_anti_join_customers", """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def q_anti_join_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
+@q("q_window_rank", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+""")
+def q_window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q("q_rollup_lineitem", """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = get_operator("AggregateOperator", {
+        "group_by": ["l_returnflag", "l_linestatus"],
+        "aggs": [F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+        "mode": "rollup",
+    })
+    return agg.run(li)
+
+
+@q("q_cube_orders", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    agg = get_operator("AggregateOperator", {
+        "group_by": ["o_orderstatus", "o_orderpriority"],
+        "aggs": [F.count(F.lit(1)).alias("n_rows")],
+        "mode": "cube",
+    })
+    return agg.run(orders)
+
+
+# ---------------------------------------------------------------------------
+# events: time windows, sessionization, distinct users
+# ---------------------------------------------------------------------------
+
+@q("q_events_hourly", """
+SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "event_type", "n_events", "avg_value")
+    )
+
+
+@q("q_sessionize", """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL
+                 OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+""")
+def q_sessionize(spark, sf_dir):
+    from dataflow_spark.streaming.batched import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_minutes=30, tie_breaker="event_id")
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"))
+
+
+@q("q_count_distinct_users", """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+""")
+def q_count_distinct_users(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q("q_top_events", """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 20
+""")
+def q_top_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    top = get_operator("SortLimitOperator", {
+        "order_by": [F.col("value").desc(), F.col("event_id")], "limit": 20})
+    return top.run(ev).select("event_id", "event_type", "value")
+
+
+@q("q_explode_words", f"""
+WITH w AS (SELECT unnest({LW('text')}) AS word FROM documents)
+SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 50
+""")
+def q_explode_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.transform(T.words(F.col("text")), lambda x: F.lower(x))).alias("word"))
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word")).limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule-based filters over documents (operator parity, SURVEY §2.3)
+# each returns the kept doc_ids
+# ---------------------------------------------------------------------------
+
+def _filter_query(op_name: str, params: dict):
+    def fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return get_operator(op_name, {"input_key": "text", **params}).run(docs).select("doc_id")
+
+    return fn
+
+
+_FILTERS: list[tuple[str, str, dict, str]] = [
+    ("f_word_number", "WordNumberFilter", {"min_words": 50, "max_words": 300},
+     f"len({W('text')}) BETWEEN 50 AND 300"),
+    ("f_char_number", "CharNumberFilter", {"min_chars": 200}, "len(text) >= 200"),
+    ("f_colon_end", "ColonEndFilter", {}, "NOT regexp_matches(trim(text), ':$')"),
+    ("f_content_null", "ContentNullFilter", {}, "text IS NOT NULL AND trim(text) != ''"),
+    ("f_sentence_number", "SentenceNumberFilter", {"min_sentences": 2, "max_sentences": 100},
+     r"len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> trim(x) != '')) BETWEEN 2 AND 100"),
+    ("f_mean_word_length", "MeanWordLengthFilter", {"min_len": 3.0, "max_len": 10.0},
+     f"len({W('text')}) > 0 AND "
+     f"(list_sum(list_transform({W('text')}, x -> len(x)))::DOUBLE / len({W('text')})) BETWEEN 3.0 AND 10.0"),
+    ("f_html_entity", "HtmlEntityFilter", {},
+     "NOT regexp_matches(text, '&(amp|lt|gt|quot|apos|nbsp|#[0-9]{1,6});')"),
+    ("f_lorem_ipsum", "LoremIpsumFilter", {}, "NOT contains(lower(text), 'lorem ipsum')"),
+    ("f_watermark", "WatermarkFilter", {},
+     "NOT regexp_matches(text, '(Copyright|Watermark|Confidential)')"),
+    ("f_unique_words", "UniqueWordsFilter", {"threshold": 0.5},
+     f"len({LW('text')}) > 0 AND len(list_distinct({LW('text')}))::DOUBLE / len({LW('text')}) >= 0.5"),
+    ("f_capital_words", "CapitalWordsFilter", {"threshold": 0.2},
+     f"len({W('text')}) = 0 OR "
+     f"len(list_filter({W('text')}, x -> x = upper(x) AND regexp_matches(x, '[A-Za-z]')))::DOUBLE"
+     f" / len({W('text')}) <= 0.2"),
+    ("f_stop_word", "StopWordFilter", {"threshold": 0.06},
+     f"len({LW('text')}) > 0 AND "
+     f"len(list_filter({LW('text')}, x -> list_contains({SW_SQL}, x)))::DOUBLE / len({LW('text')}) >= 0.06"),
+    ("f_alpha_words", "AlphaWordsFilter", {"threshold": 0.6},
+     f"len({W('text')}) > 0 AND "
+     f"len(list_filter({W('text')}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len({W('text')}) >= 0.6"),
+    ("f_curly_bracket", "CurlyBracketFilter", {"threshold": 0.025},
+     "CASE WHEN len(text) > 0 THEN (len(text) - len(translate(text, '{}', '')))::DOUBLE / len(text)"
+     " ELSE 0.0 END <= 0.025"),
+    ("f_symbol_ratio", "SymbolWordRatioFilter", {"threshold": 0.4},
+     f"len({W('text')}) = 0 OR "
+     f"(len(text) - len(translate(text, '#|…', '')))::DOUBLE / len({W('text')}) <= 0.4"),
+    ("f_blocklist", "BlocklistFilter", {},
+     f"len(list_filter({LW('text')}, x -> list_contains(['spam','viagra','casino'], x))) <= 0"),
+    ("f_no_punc", "NoPuncFilter", {"max_run": 112},
+     r"list_max(list_transform(regexp_split_to_array(text, '[.!?;:,]'),"
+     r" s -> len(list_filter(regexp_split_to_array(s, '\s+'), x -> x != '')))) <= 112"),
+    ("f_line_ellipsis", "LineEndWithEllipsisFilter", {"threshold": 0.3},
+     r"len(string_split(text, chr(10))) = 0 OR "
+     r"len(list_filter(string_split(text, chr(10)), ln -> regexp_matches(trim(ln), '(\.\.\.|…)$')))::DOUBLE"
+     r" / len(string_split(text, chr(10))) <= 0.3"),
+    ("f_line_bullet", "LineStartWithBulletpointFilter", {"threshold": 0.9},
+     r"len(string_split(text, chr(10))) = 0 OR "
+     r"len(list_filter(string_split(text, chr(10)), ln -> regexp_matches(ln, '^\s*([-*•‣⁃]|[0-9]+[.)])')))::DOUBLE"
+     r" / len(string_split(text, chr(10))) <= 0.9"),
+    ("f_line_javascript", "LineWithJavascriptFilter", {"max_lines": 3},
+     "len(list_filter(string_split(text, chr(10)), ln -> contains(lower(ln), 'javascript'))) <= 3"),
+    ("f_id_card", "IDCardFilter", {},
+     "NOT regexp_matches(text, '([0-9]{3}-[0-9]{2}-[0-9]{4}|[0-9]{17}[0-9Xx])')"),
+    ("f_special_char", "SpecialCharacterFilter", {},
+     r"NOT regexp_matches(text, '[\x{FFFD}\x{0}-\x{8}\x{B}\x{C}\x{E}-\x{1F}]')"),
+]
+
+for _name, _op, _params, _pred in _FILTERS:
+    q(_name, f"SELECT doc_id FROM documents WHERE {_pred}")(_filter_query(_op, _params))
+
+
+# ---------------------------------------------------------------------------
+# refiners over documents (operator parity, SURVEY §2.8)
+# each returns (doc_id, refined text)
+# ---------------------------------------------------------------------------
+
+def _refiner_query(op_name: str, params: dict | None = None):
+    def fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        out = get_operator(op_name, {"input_key": "text", **(params or {})}).run(docs)
+        return out.select("doc_id", "text")
+
+    return fn
+
+
+_HTML_ENTITY_SQL = ("replace(replace(replace(replace(replace(replace(text,"
+                    "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',$$'$$),"
+                    "'&nbsp;',' '),'&amp;','&')")
+
+_REFINERS: list[tuple[str, str, dict | None, str]] = [
+    ("r_lowercase", "LowercaseRefiner", None, "lower(text)"),
+    ("r_remove_extra_spaces", "RemoveExtraSpacesRefiner", None,
+     r"trim(regexp_replace(text, '\s+', ' ', 'g'))"),
+    ("r_remove_number", "RemoveNumberRefiner", None,
+     "regexp_replace(text, '[0-9]+', '', 'g')"),
+    ("r_remove_punctuation", "RemovePunctuationRefiner", None,
+     r"regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')"),
+    ("r_remove_url", "HtmlUrlRemoverRefiner", None,
+     r"regexp_replace(text, 'https?://[^\s]+', '', 'g')"),
+    ("r_html_entity", "HtmlEntityRefiner", None, _HTML_ENTITY_SQL),
+    ("r_remove_image_refs", "RemoveImageRefsRefiner", None,
+     r"regexp_replace(text, '!\[[^\]]*\]\([^)]*\)', '', 'g')"),
+    ("r_reference_remover", "ReferenceRemoverRefiner", None,
+     r"regexp_replace(text, '\[[0-9]+(,\s*[0-9]+)*\]', '', 'g')"),
+    ("r_remove_contractions", "RemoveContractionsRefiner", None,
+     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+     "regexp_replace(regexp_replace(text,"
+     "$$can't$$, 'cannot', 'g'), $$won't$$, 'will not', 'g'), $$n't$$, ' not', 'g'),"
+     "$$'re$$, ' are', 'g'), $$'ve$$, ' have', 'g'), $$'ll$$, ' will', 'g'),"
+     "$$'m$$, ' am', 'g')"),
+    ("r_text_normalization", "TextNormalizationRefiner", None,
+     r"trim(regexp_replace(translate(text, '‘’“”–—', $$''""--$$), '\s+', ' ', 'g'))"),
+    ("r_remove_stopwords", "RemoveStopwordsRefiner", None,
+     f"array_to_string(list_filter({W('text')}, x -> NOT list_contains({SW_SQL}, lower(x))), ' ')"),
+]
+
+for _name, _op, _params, _expr in _REFINERS:
+    q(_name, f"SELECT doc_id, {_expr} AS text FROM documents")(_refiner_query(_op, _params))
+
+# RE2 has no backreferences -> rows-only check for the repetition refiner
+q("r_remove_repetition_punct")(_refiner_query("RemoveRepetitionsPunctuationRefiner"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family (SURVEY §2.4) — keep-first semantics on doc_id
+# ---------------------------------------------------------------------------
+
+@q("d_exact_hash", """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""")
+def d_exact_hash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("HashDeduplicateFilter", {"input_keys": "text", "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+@q("d_ccnet_norm", r"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                 '[0-9]+', '', 'g'), '[^\p{L}\s]', '', 'g'), '\s+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""")
+def d_ccnet_norm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("CCNetDeduplicateFilter", {"input_key": "text", "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+@q("d_ngram_hash", """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn FROM (
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+      CASE WHEN len(text) >= 5
+           THEN list_transform(generate_series(1, len(text) - 4), i -> substr(text, i, 5))
+           ELSE [text] END)), '')) AS sig
+    FROM documents)) WHERE rn = 1
+""")
+def d_ngram_hash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("NgramHashDeduplicateFilter", {"input_key": "text", "n": 5,
+                                                     "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+# near-dup sketches: engine-defined algorithms -> rows-only driver check
+q("d_minhash_lsh")(lambda spark, sf_dir: get_operator(
+    "MinHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id"}
+).run(_t(spark, sf_dir, "documents")).select("doc_id"))
+
+q("d_simhash")(lambda spark, sf_dir: get_operator(
+    "SimHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id"}
+).run(_t(spark, sf_dir, "documents")).select("doc_id"))
+
+q("d_semantic")(lambda spark, sf_dir: get_operator(
+    "SemDeduplicateFilter", {"embedding_key": "embedding", "order_key": "vec_id",
+                             "eps": 0.05}
+).run(_t(spark, sf_dir, "embeddings")).select("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (langid, tokens, quality, fingerprint, ngram ratio, lexical)
+# ---------------------------------------------------------------------------
+
+@q("t_langid", f"SELECT doc_id, {LANGID_SQL} AS pred_lang FROM documents")
+def t_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("LanguageIdEvaluator", {"input_key": "text"}).run(docs) \
+        .select("doc_id", "pred_lang")
+
+
+@q("q_langid_accuracy", f"""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN pred = lang THEN 1 ELSE 0 END), 4) AS accuracy
+FROM (SELECT lang, {LANGID_SQL} AS pred FROM documents)
+""")
+def q_langid_accuracy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pred = get_operator("LanguageIdEvaluator", {"input_key": "text"}).run(docs)
+    match = (F.col("pred_lang") == F.col("lang")).cast("int")
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(match).alias("n_correct"),
+        F.round(F.avg(match), 4).alias("accuracy"),
+    )
+
+
+@q("t_token_count", rf"""
+SELECT doc_id, len({W('text')}) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents
+""")
+def t_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("TokenCountEvaluator", {"input_key": "text"}).run(docs)
+    return out.select("doc_id", F.col("n_words").cast("long"), F.col("n_tokens").cast("long"))
+
+
+@q("t_quality_score", f"""
+SELECT doc_id, round(
+  0.25 * least(len({W('text')})::DOUBLE / 100.0, 1.0)
++ 0.25 * least(coalesce(CASE WHEN len({LW('text')}) > 0 THEN
+      len(list_filter({LW('text')}, x -> list_contains({SW_SQL}, x)))::DOUBLE / len({LW('text')})
+    END, 0.0) / 0.3, 1.0)
++ 0.25 * (CASE WHEN regexp_matches(trim(text), '[.!?]$') THEN 1.0 ELSE 0.0 END)
++ 0.25 * coalesce(CASE WHEN len({W('text')}) > 0 THEN
+      len(list_filter({W('text')}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len({W('text')})
+    END, 0.0), 4) AS quality_score
+FROM documents
+""")
+def t_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("QualityScoreEvaluator", {"input_key": "text"}).run(docs)
+    return out.select("doc_id", F.round("quality_score", 4).alias("quality_score"))
+
+
+@q("t_fingerprint", """
+SELECT doc_id, list_min(list_transform(list_distinct(
+  CASE WHEN len(text) >= 8
+       THEN list_transform(generate_series(1, len(text) - 7), i -> substr(text, i, 8))
+       ELSE [text] END), s -> md5(s))) AS fingerprint
+FROM documents
+""")
+def t_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("FingerprintEvaluator", {"input_key": "text", "n": 8}).run(docs)
+    return out.select("doc_id", "fingerprint")
+
+
+@q("t_ngram_ratio", f"""
+WITH w AS (SELECT doc_id, {LW('text')} AS ws FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        THEN list_transform(generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [array_to_string(ws, ' ')] END AS gs FROM w)
+SELECT doc_id, round(CASE WHEN len(gs) > 0
+       THEN len(list_distinct(gs))::DOUBLE / len(gs) END, 4) AS ngram_ratio
+FROM g
+""")
+def t_ngram_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("NgramRepetitionEvaluator", {"input_key": "text", "n": 3}).run(docs)
+    return out.select("doc_id", F.round("ngram_ratio", 4).alias("ngram_ratio"))
+
+
+@q("t_lexical_diversity", f"""
+SELECT doc_id,
+       round(CASE WHEN len({LW('text')}) > 0
+             THEN len(list_distinct({LW('text')}))::DOUBLE / len({LW('text')}) END, 4) AS ttr,
+       round(CASE WHEN len({LW('text')}) > 0
+             THEN len(list_distinct({LW('text')})) / sqrt(len({LW('text')})::DOUBLE) END, 4) AS rttr
+FROM documents
+""")
+def t_lexical_diversity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("LexicalDiversityEvaluator", {"input_key": "text"}).run(docs)
+    return out.select("doc_id", F.round("ttr", 4).alias("ttr"), F.round("rttr", 4).alias("rttr"))
+
+
+@q("t_code_composition", """
+SELECT doc_id,
+       round(CASE WHEN len(text) > 0 THEN
+         len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / len(text) END, 4) AS alnum_ratio,
+       round(CASE WHEN len(text) > 0 THEN
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text) END, 4) AS symbol_ratio,
+       list_max(list_transform(string_split(text, chr(10)), x -> len(x))) AS max_line_len
+FROM documents
+""")
+def t_code_composition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("CodeTextCompositionEvaluator", {"input_key": "text"}).run(docs)
+    return out.select("doc_id",
+                      F.round("alnum_ratio", 4).alias("alnum_ratio"),
+                      F.round("symbol_ratio", 4).alias("symbol_ratio"),
+                      "max_line_len")
+
+
+@q("q_doc_distribution", f"""
+SELECT lang, count(*) AS n_rows,
+       round(avg(len(text)), 4) AS avg_chars,
+       round(avg(len({W('text')})), 4) AS avg_words
+FROM documents GROUP BY lang
+""")
+def q_doc_distribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("DistributionDatasetEvaluator", {"group_key": "lang",
+                                                        "text_key": "text"}).run(docs)
+    return out.select("lang", "n_rows",
+                      F.round("avg_chars", 4).alias("avg_chars"),
+                      F.round("avg_words", 4).alias("avg_words"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@q("s_knn_brute", """
+WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(list_dot_product(qe::DOUBLE[], ce::DOUBLE[])
+               / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+                  * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))), 4) AS cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_dot_product(qe::DOUBLE[], ce::DOUBLE[])
+           / (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+              * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) DESC, nid) AS rn
+  FROM qv, cv WHERE nid != qid) WHERE rn <= 10
+""")
+def s_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    op = get_operator("BruteForceKNN", {"id_key": "vec_id", "embedding_key": "embedding",
+                                        "k": 10})
+    out = op.run(emb, queries=queries)
+    return out.select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+# approximate ANN: engine-defined bucketing -> rows-only check
+q("s_knn_lsh")(lambda spark, sf_dir: get_operator(
+    "LSHKNN", {"id_key": "vec_id", "embedding_key": "embedding", "k": 10}
+).run(_t(spark, sf_dir, "embeddings"),
+      queries=_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5))
+  .select("query_id", "neighbor_id"))
+
+
+# multimodal plumbing (deterministic fake decode) -> rows-only check
+def _m_media_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    out = get_operator("MediaMetadataExtractor", {"content_key": "content"}).run(docs)
+    return out.select("doc_id", "media_meta.width", "media_meta.height", "media_meta.sha256")
+
+
+q("m_media_meta")(_m_media_meta)
+
+
+# embedding generation plumbing (deterministic hash backend) -> rows-only
+def _g_embed(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    out = get_operator("EmbeddingGenerator", {"input_key": "text"}).run(docs)
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
+q("g_embedding")(_g_embed)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with the noop sink (full computation, no driver
+collect overhead) so timings reflect engine work, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q_top_customers", "q_window_rank", "q_rollup_lineitem",
+    "q_semi_join_orders", "q_anti_join_customers",
+    # events / time
+    "q_events_hourly", "q_sessionize", "q_count_distinct_users",
+    # text pipeline
+    "q_explode_words", "t_quality_score", "t_langid", "t_token_count",
+    "t_ngram_ratio",
+    # dedup
+    "d_exact_hash", "d_ccnet_norm", "d_minhash_lsh", "d_simhash",
+    # similarity
+    "s_knn_brute", "s_knn_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from dataflow_spark import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/session with a trivial action (not counted)
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,11 @@ class Pipeline:
         if resume_step > 0:
             if self.store is None:
                 raise ValueError("resume requires a StepStore")
-            df = self.store.read(spark or df.sparkSession)
+            # checkpoint k holds the output of step k: resume at step k
+            # means reading checkpoint k-1 (reading the *last* checkpoint
+            # would re-run its op onto itself and overwrite the files
+            # mid-scan)
+            df = self.store.read(spark or df.sparkSession, resume_step - 1)
         for idx, st in enumerate(self.steps):
             if idx < resume_step:
                 continue

@@ -78,6 +78,50 @@ def minhash_signature(hashes: Column, num_perm: int = 64, seed: int = 42) -> Col
     return F.array(*sig)
 
 
+def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
+    """Vectorized MinHash pandas_udf: text -> array<long> signature.
+
+    Production path (the pure-expression ``minhash_signature`` keeps a
+    SQL-only variant available, but its num_perm array traversals per
+    row are ~100x slower). Per Arrow batch: rolling-polynomial char
+    shingle hashes (numpy, uint64 wraparound), splitmix64 avalanche,
+    then all permutations applied as one (num_perm x n_shingles) matrix
+    min-reduce. Permutation params match ``_perm_params`` (same seed ->
+    same family).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.uint64(MERSENNE_P)
+    params = _perm_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
+    Bv = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    MULT = np.uint64(1099511628211)
+
+    def one(text: str):
+        if not text:
+            return [0] * num_perm
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < n:
+            cp = np.pad(cp, (0, n - len(cp)), constant_values=32)
+        h = np.zeros(len(cp) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            h = h * MULT + cp[j:j + len(h)]
+        h = np.unique(h)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        hr = h % P  # < 2^31, so A*hr + B < 2^62: exact in uint64
+        sig = ((A * hr[None, :] + Bv) % P).min(axis=1)
+        return sig.astype(np.int64).tolist()
+
+    @pandas_udf("array<long>")
+    def _minhash(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(one)
+
+    return _minhash
+
+
 def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, h:bigint>> — one LSH key per band.
 

@@ -223,11 +223,12 @@ class MinHashDeduplicateFilter(_NearDupBase):
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
-        sig = H.minhash_signature(
-            H.shingle_hashes(F.col(self.input_key), self.shingle_n),
-            self.num_perm,
-        )
-        with_sig = df.withColumn("_sig", sig)
+        # vectorized numpy signature (see hashing.minhash64_udf); persist
+        # because the signature feeds both the band explode and the
+        # candidate-verify join — without caching the whole signature
+        # computation would re-run per consumer
+        sig = H.minhash64_udf(self.num_perm, self.shingle_n)(F.col(self.input_key))
+        with_sig = df.withColumn("_sig", sig).persist()
         banded = with_sig.select(
             "_nd_id",
             F.explode(H.band_hashes(F.col("_sig"), self.num_bands, self.rows_per_band)).alias("bh"),
@@ -280,7 +281,7 @@ class SimHashDeduplicateFilter(_NearDupBase):
         # slower (64-aggregate tree); see functions/hashing.py
         with_sim = df.withColumn(
             "_simhash", H.simhash64_udf(self.shingle_n)(F.col(self.input_key))
-        )
+        ).persist()  # feeds banding + Hamming verify; avoid recompute
         banded = with_sim.select(
             "_nd_id", F.explode(H.simhash_bands(F.col("_simhash"))).alias("bh")
         ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))

@@ -39,10 +39,15 @@ def lang_hit_counts(col: Column) -> dict[str, Column]:
     return out
 
 
-def langid_expr(col: Column) -> Column:
-    """argmax over marker-hit counts; 'und' (undetermined) when all zero.
+CJK_RE = "[一-鿿]"
 
-    Ties break by language-key order en > de > fr > es (deterministic).
+
+def langid_expr(col: Column) -> Column:
+    """CJK chars -> 'zh'; else argmax over marker-hit counts; 'und'
+    (undetermined) when all zero.
+
+    Ties break by priority en > de > fr > es (deterministic). CJK rule
+    first because Chinese text is not whitespace-tokenized.
     """
     hits = lang_hit_counts(col)
     best_lang = F.lit("und")
@@ -53,7 +58,7 @@ def langid_expr(col: Column) -> Column:
         # evaluate in reverse order so that 'en' (checked last) wins ties
         best_lang = F.when(cond & (n > 0), F.lit(lang)).otherwise(best_lang)
         best_n = F.when(cond, n).otherwise(best_n)
-    return best_lang
+    return F.when(col.rlike(CJK_RE), F.lit("zh")).otherwise(best_lang)
 
 
 @OPERATOR_REGISTRY.register()

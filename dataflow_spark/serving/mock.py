@@ -26,16 +26,16 @@ class MockLLMServing(LLMServing):
     """
 
     def __init__(self, mode: str = "hash", template: str = "OK: {prompt}",
-                 fail_every: int = 0, wrap_answer: bool = False):
+                 fail_first: int = 0, wrap_answer: bool = False):
         self.mode = mode
         self.template = template
-        self.fail_every = fail_every  # raise on every k-th batch (retry tests)
+        self.fail_first = fail_first  # first N batch calls raise (retry tests)
         self.wrap_answer = wrap_answer
         self._calls = 0
 
     def generate_batch(self, prompts: list[str]) -> list[str]:
         self._calls += 1
-        if self.fail_every and self._calls % self.fail_every == 0:
+        if self._calls <= self.fail_first:
             raise ConnectionError("mock transient failure")
         out = []
         for p in prompts:

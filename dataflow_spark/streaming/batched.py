@@ -77,15 +77,18 @@ def tumbling_counts(events: DataFrame, ts_key: str = "ts", window: str = "1 hour
 
 
 def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
-               gap_minutes: int = 30) -> DataFrame:
+               gap_minutes: int = 30, tie_breaker: str | None = None) -> DataFrame:
     """Gap-based sessionization (batch): session starts when the gap
     from the previous event of the same user exceeds ``gap_minutes``.
     Returns events + session_id = '<user>-<n>'.
     One shuffle on user_id; window functions run within partitions.
+    ``tie_breaker``: extra order column for deterministic results when
+    timestamps collide (recommended: the event primary key).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_key).orderBy(F.col(ts_key).asc())
+    order = [F.col(ts_key).asc()] + ([F.col(tie_breaker).asc()] if tie_breaker else [])
+    w = Window.partitionBy(user_key).orderBy(*order)
     prev_ts = F.lag(F.col(ts_key)).over(w)
     new_session = (
         prev_ts.isNull()

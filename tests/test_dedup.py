@@ -1,0 +1,82 @@
+"""Dedup semantics: first-occurrence-wins, near-dup clustering."""
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.registry import get_operator
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (5, "same text"), (7, "other")], ["id", "text"])
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": "text", "order_key": "id"}).run(df)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [5, 7]  # min id of each duplicate group survives
+
+
+def test_exact_dedup_multi_column(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y")], ["id", "t1", "t2"])
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": ["t1", "t2"], "order_key": "id"}).run(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_ccnet_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World 123!"), (2, "hello world"), (3, "different")],
+        ["id", "text"])
+    out = get_operator("CCNetDeduplicateFilter",
+                       {"input_key": "text", "order_key": "id"}).run(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_removes_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some food for its cubs " * 3)
+    near = base.replace("green", "blue")
+    rows = [(1, base), (2, near), (3, "a completely different text about "
+            "spark engines and distributed computation at large scale " * 4)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = get_operator("MinHashDeduplicateFilter",
+                       {"input_key": "text", "order_key": "id",
+                        "threshold": 0.7}).run(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_simhash_removes_near_dups(spark):
+    # long, varied text: a one-token edit flips only a few of the 64
+    # simhash bits (simhash is coarse on short texts by construction)
+    base = " ".join(f"alpha{i} beta{i*7%97} gamma{i*13%83}" for i in range(120))
+    near = base.replace("alpha57", "alphaXX")
+    other = " ".join(f"delta{i*3%71} epsilon{i*11%89}" for i in range(120))
+    rows = [(1, base), (2, near), (3, other)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = get_operator("SimHashDeduplicateFilter",
+                       {"input_key": "text", "order_key": "id"}).run(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_sem_dedup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-identical direction
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = get_operator("SemDeduplicateFilter",
+                       {"embedding_key": "embedding", "order_key": "id",
+                        "eps": 0.01, "num_planes": 8, "num_bands": 4}).run(df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_connected_components(spark):
+    from dataflow_spark.operators.filters.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], ["src", "dst"])
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[8] == comp[9] == comp[10] == comp[11] == 8

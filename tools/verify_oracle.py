@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` twin in
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values (floats to 1e-9). Queries without an
+oracle get a rows-only check (runs, returns >= 0 rows, stable schema).
+
+Usage:
+    python tools/verify_oracle.py [--sf /root/testdata/sf0.001] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def to_rows(cols, records):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in records]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from dataflow_spark import get_spark
+
+    spark = get_spark("verify-oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srec = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srec)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drec = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sc, srows = to_rows(scols, srec)
+        dc, drows = to_rows(dcols, drec)
+        ok = True
+        msgs = []
+        if sc != dc:
+            ok = False
+            msgs.append(f"schema {sc} != {dc}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount {len(srows)} != {len(drows)}")
+        if ok and srows != drows:
+            ok = False
+            diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)[:400]}")
+            n_fail += 1
+            failures.append(name)
+
+    print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail ==")
+    if failures:
+        print("failures:", ",".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
