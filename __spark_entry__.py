@@ -779,6 +779,195 @@ q("g_embedding")(_g_embed)
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact, PPJoin prefix filtering) — oracled via a
+# recursive-CTE transitive closure in DuckDB
+# ---------------------------------------------------------------------------
+
+@q("d_ngram_jaccard", """
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(
+    CASE WHEN len(text) >= 5
+         THEN list_transform(generate_series(1, len(text) - 4), i -> substr(text, i, 5))
+         ELSE [text] END)) AS s
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+SELECT d.doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.a
+WHERE comp.a IS NULL OR comp.mb >= d.doc_id
+""")
+def d_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("NgramJaccardDeduplicateFilter",
+                      {"input_key": "text", "threshold": 0.8, "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunking (knowledge-cleaning surface)
+# ---------------------------------------------------------------------------
+
+@q("g_char_chunks", """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN len(text) > 0
+              THEN list_transform(generate_series(0,
+                     greatest(CAST(ceil((len(text) - 100)::DOUBLE / 400) AS INT), 1) - 1),
+                   i -> substr(text, i * 400 + 1, 500))
+              ELSE [text] END AS chunks
+  FROM documents)
+SELECT doc_id, i - 1 AS chunk_idx, chunks[i] AS chunk
+FROM c, UNNEST(generate_series(1, len(chunks))) AS t(i)
+""")
+def g_char_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("ChunkGenerator", {"input_key": "text", "mode": "char",
+                                         "chunk_size": 500, "overlap": 100})
+    return op.run(docs).select("doc_id", "chunk_idx", "chunk")
+
+
+@q("g_sentence_chunks", """
+WITH c AS (
+  SELECT doc_id, list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]+'), s -> trim(s)), s -> s != '') AS chunks
+  FROM documents)
+SELECT doc_id, i - 1 AS chunk_idx, chunks[i] AS chunk
+FROM c, UNNEST(generate_series(1, len(chunks))) AS t(i)
+""")
+def g_sentence_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("ChunkGenerator", {"input_key": "text", "mode": "sentence"})
+    return op.run(docs).select("doc_id", "chunk_idx", "chunk")
+
+
+# ---------------------------------------------------------------------------
+# text2sql suite — fixture SQL built inline (no text2sql table in the
+# testdata); execution gate is engine-defined -> rows-only, but the
+# component classifier is a deterministic expression and could be
+# oracled if a SQL fixture table existed
+# ---------------------------------------------------------------------------
+
+_SQL_FIXTURE = [
+    (0, "db0", "SELECT 1"),
+    (1, "db0", "SELECT l FROM t GROUP BY l ORDER BY l"),
+    (2, "db0", "-- lead comment\nSELECT 2"),
+    (3, "db0", "WITH x AS (SELECT 3) SELECT * FROM x"),
+    (4, "db0", "INSERT INTO t VALUES (1)"),
+    (5, "db0", "SELEC broken"),
+    (6, "db0", "SELECT a FROM t1 JOIN t2 ON t1.id = t2.id WHERE a IN (SELECT b FROM t3)"),
+    (7, "db0", "/* c */ SELECT count(*) FROM (SELECT 1) s"),
+]
+
+
+def _sql_fixture_df(spark):
+    return spark.createDataFrame(_SQL_FIXTURE, ["sql_id", "db_id", "SQL"])
+
+
+def _sql_exec_filter(spark, sf_dir):
+    df = _sql_fixture_df(spark)
+    op = get_operator("SQLExecutionFilter", {"timeout_ms": 1000})
+    return op.run(df).select("sql_id")
+
+
+def _sql_hardness(spark, sf_dir):
+    df = _sql_fixture_df(spark)
+    op = get_operator("SQLComponentClassifier", {})
+    return op.run(df).select("sql_id", "sql_hardness")
+
+
+def _sql_generator(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    dbs = spark.createDataFrame(
+        [("db0", "CREATE TABLE t(a INT, b TEXT)"),
+         ("db1", "CREATE TABLE u(x REAL)")], ["db_id", "schema_ddl"])
+    op = get_operator("SQLGenerator", {"serving": MockLLMServing(mode="hash"),
+                                       "generate_num": 2})
+    return op.run(dbs).select("db_id", "sql_complexity_type", "SQL")
+
+
+q("x_sql_execution_filter")(_sql_exec_filter)
+q("x_sql_hardness")(_sql_hardness)
+q("x_sql_generator")(_sql_generator)
+
+
+# ---------------------------------------------------------------------------
+# reference metrics / sandbox / coreset / conversations / generators —
+# deterministic engine-defined ops, rows-only driver checks (their unit
+# semantics are pinned in tests/)
+# ---------------------------------------------------------------------------
+
+def _bleu_f1(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("reference"),
+        F.lower(F.col("text")).alias("generated"))
+    out = get_operator("BleuSampleEvaluator", {}).run(docs)
+    out = get_operator("TokenF1SampleEvaluator", {}).run(out)
+    return out.select("doc_id", F.round("bleu", 4).alias("bleu"),
+                      F.round("token_f1", 4).alias("token_f1"))
+
+
+def _coreset(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("KCenterGreedyFilter", {"embedding_key": "embedding",
+                                              "num_samples": 50, "id_key": "vec_id"})
+    return op.run(emb).select("vec_id")
+
+
+def _ivf_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("IVFKNN", {"k": 10, "n_cells": 8, "n_probe": 8})
+    out = op.run(emb, queries=emb.filter(F.col("vec_id") < 5))
+    return out.select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _conversation_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    turns = ev.select(F.col("user_id").alias("conv_id"),
+                      F.col("event_id").alias("turn_idx"),
+                      F.col("event_type").alias("role"),
+                      F.col("props").alias("content"))
+    asm = get_operator("ConversationAssembler", {}).run(turns)
+    back = get_operator("ConversationExploder", {}).run(asm)
+    return back.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+
+
+def _text2qa(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    serving = MockLLMServing(mode="template",
+                             template="Q: what? A: because. Q: why {prompt:.0s}too? A: yes.")
+    op = get_operator("Text2QAGenerator", {"serving": serving, "input_key": "text"})
+    return op.run(docs).select("doc_id", "q_index", "question", "answer")
+
+
+def _sandbox(spark, sf_dir):
+    rows = [(0, "print(1+1)"), (1, "import sys; sys.exit(3)"),
+            (2, "raise ValueError('x')"), (3, "x = [i*i for i in range(10)]")]
+    df = spark.createDataFrame(rows, ["code_id", "code"])
+    out = get_operator("CodeSandboxSampleEvaluator", {"timeout_s": 10.0}).run(df)
+    return out.select("code_id", "exec_ok")
+
+
+q("e_bleu_token_f1")(_bleu_f1)
+q("x_kcenter_coreset")(_coreset)
+q("s_knn_ivf")(_ivf_knn)
+q("x_conversation_roundtrip")(_conversation_roundtrip)
+q("g_text2qa")(_text2qa)
+q("x_code_sandbox")(_sandbox)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 

@@ -1,8 +1,12 @@
 """Operator packs. Importing this package registers every operator."""
 
 from dataflow_spark.operators.filters import rule_based, general, dedup  # noqa: F401
+from dataflow_spark.operators.filters import jaccard, coreset  # noqa: F401
 from dataflow_spark.operators.refiners import text as refiners_text  # noqa: F401
 from dataflow_spark.operators import text_analysis, similarity, relational  # noqa: F401
+from dataflow_spark.operators import text2sql, conversations  # noqa: F401
 from dataflow_spark.operators.eval import text_stats, dataset  # noqa: F401
+from dataflow_spark.operators.eval import reference_metrics, code_sandbox  # noqa: F401
 from dataflow_spark.operators.generate import llm_map, embedding  # noqa: F401
+from dataflow_spark.operators.generate import text_gen, chunking  # noqa: F401
 from dataflow_spark.operators import multimodal  # noqa: F401

@@ -60,6 +60,91 @@ class BruteForceKNN(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class IVFKNN(Operator):
+    """IVF (inverted-file) ANN: KMeans-partition the corpus, search only
+    the ``n_probe`` nearest cells per query.
+
+    The classic IVF design (as in FAISS): centroids are trained on a
+    sample (driver-side, tiny), cell assignment is a broadcast
+    nearest-centroid argmin, and the probe join prunes the corpus to
+    n_probe/n_cells of its rows — the 100 TB path where brute force is
+    linear in corpus size per query.
+    """
+
+    def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
+                 k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                 train_sample: int = 10_000, seed: int = 42):
+        self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
+        self.n_cells, self.n_probe = n_cells, n_probe
+        self.train_sample = train_sample
+        self.seed = seed
+        self.input_keys = (id_key, embedding_key)
+        self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
+
+    def _centroids(self, df: DataFrame):
+        import numpy as np
+
+        rows = (
+            df.select(self.embedding_key)
+            .filter(F.col(self.embedding_key).isNotNull())
+            .limit(self.train_sample)
+            .collect()
+        )
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.RandomState(self.seed)
+        k = min(self.n_cells, len(X))
+        cents = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(10):  # Lloyd iterations on the sample
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                m = X[assign == c]
+                if len(m):
+                    cents[c] = m.mean(0)
+        return cents
+
+    def _cell_ranks(self, emb_col, cents):
+        """array of cell ids ordered by ascending L2 distance."""
+        dists = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(emb_col,
+                               F.array(*[F.lit(float(v)) for v in c]),
+                               lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                    F.lit(0.0), lambda a, x: a + x).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        return F.transform(F.array_sort(dists), lambda s: s["cell"])
+
+    def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
+        qsrc = queries if queries is not None else df
+        cents = self._centroids(df)
+        ranks = self._cell_ranks(F.col(self.embedding_key), cents)
+        corpus = df.select(
+            F.col(self.id_key).alias("neighbor_id"),
+            F.col(self.embedding_key).alias("_c_emb"),
+            F.element_at(ranks, 1).alias("cell"),  # assign to nearest cell
+        )
+        probes = qsrc.select(
+            F.col(self.id_key).alias("query_id"),
+            F.col(self.embedding_key).alias("_q_emb"),
+            F.explode(F.slice(ranks, 1, self.n_probe)).alias("cell"),
+        )
+        cand = corpus.join(F.broadcast(probes), "cell").filter(
+            F.col("neighbor_id") != F.col("query_id"))
+        sim = cand.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+        return (
+            sim.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= self.k)
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
+
+
+@OPERATOR_REGISTRY.register()
 class LSHKNN(Operator):
     """Approximate top-k: random-hyperplane bucket join, then exact
     cosine within candidates. Multi-probe via multiple bands keeps

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,9 +149,29 @@ class NgramRepetitionEvaluator(Operator):
         self.output_keys = (output_key,)
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
-        grams = H.word_shingles(F.lower(F.col(self.input_key)), self.n)
-        ratio = F.when(
-            F.size(grams) > 0,
-            F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
-        )
-        return df.withColumn(self.output_key, ratio)
+        # pandas_udf rather than the word_shingles Column expression: the
+        # higher-order-function lambda tree is CodegenFallback in Spark
+        # (no codegen CSE), so the gram array would be evaluated three
+        # times per row (~6x slower measured at sf0.1)
+        import re
+
+        from pyspark.sql.functions import pandas_udf
+
+        n = self.n
+        ws_re = re.compile(r"\s+", re.ASCII)  # mirror Java/RE2 ASCII \s
+
+        def one(text: str):
+            if text is None:
+                return None
+            w = [x for x in ws_re.split(text.lower()) if x]
+            if len(w) >= n:
+                grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            else:
+                grams = [" ".join(w)]
+            return len(set(grams)) / len(grams) if grams else None
+
+        @pandas_udf("double")
+        def ratio(s: pd.Series) -> pd.Series:
+            return s.map(one)
+
+        return df.withColumn(self.output_key, ratio(F.col(self.input_key)))
