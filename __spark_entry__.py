@@ -895,8 +895,31 @@ def _sql_generator(spark, sf_dir):
     return op.run(dbs).select("db_id", "sql_complexity_type", "SQL")
 
 
+_HARDNESS_ORACLE = """
+WITH s(sql_id, up) AS (VALUES
+  (0, upper('SELECT 1')),
+  (1, upper('SELECT l FROM t GROUP BY l ORDER BY l')),
+  (2, upper(concat('-- lead comment', chr(10), 'SELECT 2'))),
+  (3, upper('WITH x AS (SELECT 3) SELECT * FROM x')),
+  (4, upper('INSERT INTO t VALUES (1)')),
+  (5, upper('SELEC broken')),
+  (6, upper('SELECT a FROM t1 JOIN t2 ON t1.id = t2.id WHERE a IN (SELECT b FROM t3)')),
+  (7, upper('/* c */ SELECT count(*) FROM (SELECT 1) s'))),
+c AS (
+  SELECT sql_id,
+         len(regexp_extract_all(up, '\\bJOIN\\b')) + len(regexp_extract_all(up, '\\bGROUP BY\\b'))
+       + len(regexp_extract_all(up, '\\bORDER BY\\b')) + len(regexp_extract_all(up, '\\bHAVING\\b'))
+       + len(regexp_extract_all(up, '\\b(UNION|INTERSECT|EXCEPT)\\b'))
+       + len(regexp_extract_all(up, '\\b(SUM|AVG|MIN|MAX|COUNT)\\s*\\('))
+       + 2 * len(regexp_extract_all(up, '\\(\\s*SELECT\\b')) AS score
+  FROM s)
+SELECT sql_id, CASE WHEN score <= 1 THEN 'easy' WHEN score <= 3 THEN 'medium'
+                    WHEN score <= 6 THEN 'hard' ELSE 'extra' END AS sql_hardness
+FROM c
+"""
+
 q("x_sql_execution_filter")(_sql_exec_filter)
-q("x_sql_hardness")(_sql_hardness)
+q("x_sql_hardness", _HARDNESS_ORACLE)(_sql_hardness)
 q("x_sql_generator")(_sql_generator)
 
 
@@ -965,6 +988,231 @@ q("s_knn_ivf")(_ivf_knn)
 q("x_conversation_roundtrip")(_conversation_roundtrip)
 q("g_text2qa")(_text2qa)
 q("x_code_sandbox")(_sandbox)
+
+
+# ---------------------------------------------------------------------------
+# reasoning pack — answer extraction, token/category stats (oracled)
+# ---------------------------------------------------------------------------
+
+@q("r_answer_extraction", r"""
+WITH s AS (SELECT doc_id, coalesce(text, '') AS src FROM documents)
+SELECT doc_id,
+  CASE WHEN regexp_extract(src, '\\boxed\{([^{}]*)\}', 1) != ''
+         THEN trim(regexp_extract(src, '\\boxed\{([^{}]*)\}', 1))
+       WHEN regexp_extract(src, '(?i)answer is[:\s]*([^
+.]+)', 1) != ''
+         THEN trim(regexp_extract(src, '(?i)answer is[:\s]*([^
+.]+)', 1))
+       WHEN len(regexp_extract_all(src, '(-?[0-9]+\.?[0-9]*)', 1)) > 0
+         THEN regexp_extract_all(src, '(-?[0-9]+\.?[0-9]*)', 1)[-1]
+       ELSE NULL END AS final_answer
+FROM s
+""")
+def r_answer_extraction(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("solution"))
+    op = get_operator("ReasoningAnswerExtractionGenerator", {})
+    return op.run(docs).select("doc_id", "final_answer")
+
+
+@q("r_token_stats", r"""
+WITH t AS (
+  SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM documents)
+SELECT count(*) AS n, sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(n_tok), 6) AS avg_tokens,
+       min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+FROM t
+""")
+def r_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("ReasoningTokenDatasetEvaluator", {}).run(docs)
+
+
+@q("r_category_dist", """
+SELECT lang, count(*) AS count,
+       round(count(*) / (SELECT count(*) FROM documents), 6) AS ratio
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def r_category_dist(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("ReasoningCategoryDatasetEvaluator", {"input_key": "lang"}).run(docs)
+
+
+@q("e_bench_accuracy", """
+WITH s AS (
+  SELECT CAST(n_chars AS VARCHAR) AS answer,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR) ELSE 'x' END AS gold
+  FROM documents),
+n AS (
+  SELECT regexp_replace(regexp_replace(lower(trim(answer)), '[^\\w\\s.-]', '', 'g'), '\\s+', ' ', 'g') AS a,
+         regexp_replace(regexp_replace(lower(trim(gold)), '[^\\w\\s.-]', '', 'g'), '\\s+', ' ', 'g') AS g
+  FROM s),
+m AS (
+  SELECT CASE WHEN (try_cast(a AS DOUBLE) IS NOT NULL AND try_cast(g AS DOUBLE) IS NOT NULL
+                    AND try_cast(a AS DOUBLE) = try_cast(g AS DOUBLE)) OR a = g
+              THEN 1 ELSE 0 END AS match FROM n)
+SELECT count(*) AS n, round(avg(match), 6) AS accuracy FROM m
+""")
+def e_bench_accuracy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("string").alias("answer"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars").cast("string"))
+        .otherwise(F.lit("x")).alias("gold"))
+    return get_operator("BenchDatasetEvaluator", {}).run(docs)
+
+
+# ---------------------------------------------------------------------------
+# PII / knowledge-cleaning refiners (oracled regex chains)
+# ---------------------------------------------------------------------------
+
+_PII_SRC = ("concat('contact ', source, '@example.com or 555-123-4567 ip 10.0.0.1 :: ',"
+            " substr(text, 1, 80))")
+
+
+@q("x_pii_anonymize", f"""
+WITH s AS (SELECT doc_id, {_PII_SRC} AS t FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+    '\\b(?:\\d[ -]?){{13,16}}\\b', '[CARD]', 'g'),
+    '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+    '\\b(?:\\+?\\d{{1,3}}[ -]?)?(?:\\(\\d{{3}}\\)[ -]?|\\d{{3}}[ -])\\d{{3}}[ -]\\d{{4}}\\b', '[PHONE]', 'g'),
+    '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g') AS text
+FROM s
+""")
+def x_pii_anonymize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat('contact ', source, '@example.com or 555-123-4567 ip 10.0.0.1 :: ',"
+               " substr(text, 1, 80))").alias("text"))
+    return get_operator("PIIAnonymizeRefiner", {}).run(docs).select("doc_id", "text")
+
+
+@q("x_pii_count", f"""
+WITH s AS (SELECT doc_id, {_PII_SRC} AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+  + len(regexp_extract_all(t, '\\b(?:\\d[ -]?){{13,16}}\\b'))
+  + len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+  + len(regexp_extract_all(t, '\\b(?:\\+?\\d{{1,3}}[ -]?)?(?:\\(\\d{{3}}\\)[ -]?|\\d{{3}}[ -])\\d{{3}}[ -]\\d{{4}}\\b'))
+  + len(regexp_extract_all(t, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS pii_count
+FROM s
+""")
+def x_pii_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("concat('contact ', source, '@example.com or 555-123-4567 ip 10.0.0.1 :: ',"
+               " substr(text, 1, 80))").alias("text"))
+    return get_operator("PIICountEvaluator", {}).run(docs).select("doc_id", "pii_count")
+
+
+@q("x_kbc_clean", r"""
+WITH s AS (SELECT doc_id,
+  concat('<b>T</b> [anchor](http://x.y) ', text, '  ', chr(10), chr(10), chr(10), '-----') AS t
+  FROM documents)
+SELECT doc_id, trim(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(t,
+    '<[^>
+]{1,200}>', '', 'g'),
+    '!\[[^\]]*\]\([^)]*\)', '', 'g'),
+    '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+    chr(0), '', 'g'),
+    '-{4,}', '---', 'g'),
+    '={4,}', '===', 'g'),
+    concat('[ 	]+', chr(10)), chr(10), 'g'),
+    concat(chr(10), '{3,}'), concat(chr(10), chr(10)), 'g')) AS text
+FROM s
+""")
+def x_kbc_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("<b>T</b> [anchor](http://x.y) "), F.col("text"),
+                 F.lit("  \n\n\n-----")).alias("text"))
+    return get_operator("KBCTextCleaner", {}).run(docs).select("doc_id", "text")
+
+
+@q("g_qa_extract", r"""
+WITH s AS (SELECT doc_id, concat('Q: what is ', source, '? A: ', lang) AS text
+           FROM documents),
+e AS (SELECT doc_id,
+             regexp_extract_all(text, 'Q:\s*([^
+?]*\??)\s*A:\s*([^
+]*)', 1) AS qs,
+             regexp_extract_all(text, 'Q:\s*([^
+?]*\??)\s*A:\s*([^
+]*)', 2) AS as_
+      FROM s)
+SELECT doc_id, i - 1 AS q_index, trim(qs[i]) AS question, trim(as_[i]) AS answer
+FROM e, UNNEST(generate_series(1, len(qs))) t(i)
+""")
+def g_qa_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Q: what is "), F.col("source"), F.lit("? A: "),
+                 F.col("lang")).alias("text"))
+    return get_operator("QAExtractor", {}).run(docs).select(
+        "doc_id", "q_index", "question", "answer")
+
+
+# ---------------------------------------------------------------------------
+# code heuristics (oracled)
+# ---------------------------------------------------------------------------
+
+@q("e_code_metrics", r"""
+WITH s AS (SELECT doc_id, text AS code FROM documents),
+l AS (SELECT doc_id, code, str_split(code, chr(10)) AS lines FROM s)
+SELECT doc_id,
+  len(lines) AS code_num_lines,
+  round(list_aggregate(list_transform(lines, x -> len(x)), 'sum')::DOUBLE / len(lines), 6)
+    AS code_mean_line_length,
+  list_aggregate(list_transform(lines, x -> len(x)), 'max') AS code_max_line_length,
+  CASE WHEN regexp_matches(lower(array_to_string(lines[1:10], chr(10))),
+       'auto-generated|autogenerated|automatically generated|generated by|do not edit|do not modify')
+       THEN 1 ELSE 0 END AS is_auto_generated
+FROM l
+""")
+def e_code_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("code"))
+    out = get_operator("CodeLengthSampleEvaluator", {}).run(docs)
+    out = get_operator("CodeAutoGeneratedSampleEvaluator", {}).run(out)
+    return out.select("doc_id", "code_num_lines", "code_mean_line_length",
+                      "code_max_line_length", "is_auto_generated")
+
+
+@q("t_language_filter", f"""
+WITH l AS (SELECT doc_id, {LANGID_SQL} AS lang_pred FROM documents)
+SELECT doc_id FROM l WHERE lang_pred = 'en'
+""")
+def t_language_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("LanguageFilter", {"allowed_languages": ["en"]})
+    return op.run(docs).select("doc_id")
+
+
+# rows-only: stemming (python suffix rules) + cider (python metric)
+def _stemming(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    return get_operator("StemmingLemmatizationRefiner", {}).run(docs).select("doc_id", "text")
+
+
+def _cider(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("reference"),
+        F.lower(F.col("text")).alias("generated"))
+    out = get_operator("CiderSampleEvaluator", {}).run(docs)
+    return out.select("doc_id", F.round("cider", 4).alias("cider"))
+
+
+def _vendi(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return get_operator("VendiDatasetEvaluator", {"max_rows": 500}).run(emb)
+
+
+q("x_stemming")(_stemming)
+q("e_cider")(_cider)
+q("e_vendi_diversity")(_vendi)
 
 
 # ---------------------------------------------------------------------------

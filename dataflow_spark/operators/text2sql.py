@@ -81,7 +81,7 @@ class SQLGenerator(Operator):
             )
         )
         out = llm_map(fanned, self.serving, "{_prompt}", "_prompt", "_raw")
-        sql = F.regexp_extract(F.col("_raw"), r"```sql\s*([\s\S]*?)```\s*$", 1)
+        sql = F.regexp_extract(F.col("_raw"), r"```sql\s*([\s\S]*?)\s*```\s*$", 1)
         return (
             out.withColumn(
                 self.output_key,
@@ -204,3 +204,269 @@ class Text2SQLPromptGenerator(Operator):
             self.output_key,
             F.format_string(self.TEMPLATE, F.col(self.schema_key), F.col(self.question_key)),
         )
+
+
+@OPERATOR_REGISTRY.register()
+class SQLVariationGenerator(Operator):
+    """LLM mutates existing SQL into n variants
+    (text2sql/generate/sql_variation_generator.py) — explode fan-out +
+    one LLM-map; the variant SQL replaces the input column, original kept
+    as ``orig_sql``."""
+
+    def __init__(self, serving: LLMServing, sql_key: str = "SQL",
+                 num_variations: int = 2):
+        self.serving = serving
+        self.sql_key = sql_key
+        self.num_variations = num_variations
+        self.input_keys = (sql_key,)
+        self.output_keys = (sql_key, "orig_sql", "variation_id")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        fanned = (
+            df.withColumn("orig_sql", F.col(self.sql_key))
+            .withColumn("variation_id",
+                        F.explode(F.sequence(F.lit(1), F.lit(self.num_variations))))
+            .withColumn("_p", F.concat(
+                F.lit("Rewrite this SQL differently (variant "),
+                F.col("variation_id").cast("string"), F.lit("):\n"),
+                F.col("orig_sql")))
+        )
+        out = llm_map(fanned, self.serving, "{_p}", "_p", "_raw")
+        sql = F.regexp_extract(F.col("_raw"), r"```sql\s*([\s\S]*?)\s*```\s*$", 1)
+        return (out.withColumn(
+            self.sql_key,
+            F.when(sql != "", F.trim(sql)).otherwise(F.trim(F.col("_raw"))))
+            .drop("_p", "_raw"))
+
+
+@OPERATOR_REGISTRY.register()
+class SQLByColumnGenerator(Operator):
+    """Column-driven SQL synthesis: one prompt per (table, column) drawn
+    from the schema DDL (text2sql/generate/sql_by_column_generator.py).
+    Columns are regex-harvested from the DDL and exploded."""
+
+    def __init__(self, serving: LLMServing, schema_key: str = "schema_ddl",
+                 output_key: str = "SQL"):
+        self.serving = serving
+        self.schema_key = schema_key
+        self.output_key = output_key
+        self.input_keys = (schema_key,)
+        self.output_keys = (output_key, "target_column")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        cols = F.regexp_extract_all(
+            F.col(self.schema_key),
+            F.lit(r"(?:\(|,)\s*([A-Za-z_][A-Za-z_0-9]*)\s+(?:INT|TEXT|REAL|FLOAT|VARCHAR|BOOL)"),
+            1)
+        fanned = (df.withColumn("target_column", F.explode(cols))
+                  .withColumn("_p", F.concat(
+                      F.lit("Write a SQL query centered on column '"),
+                      F.col("target_column"), F.lit("' of schema:\n"),
+                      F.col(self.schema_key))))
+        out = llm_map(fanned, self.serving, "{_p}", "_p", "_raw")
+        sql = F.regexp_extract(F.col("_raw"), r"```sql\s*([\s\S]*?)\s*```\s*$", 1)
+        return (out.withColumn(
+            self.output_key,
+            F.when(sql != "", F.trim(sql)).otherwise(F.trim(F.col("_raw"))))
+            .drop("_p", "_raw"))
+
+
+@OPERATOR_REGISTRY.register()
+class Text2SQLQuestionGenerator(Operator):
+    """LLM writes the natural-language question for a SQL query
+    (text2sql/generate/text2sql_question_generator.py)."""
+
+    def __init__(self, serving: LLMServing, sql_key: str = "SQL",
+                 output_key: str = "question"):
+        self.serving = serving
+        self.sql_key, self.output_key = sql_key, output_key
+        self.input_keys = (sql_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        return llm_map(df, self.serving,
+                       "State the question this SQL answers: {%s}" % self.sql_key,
+                       self.sql_key, self.output_key)
+
+
+@OPERATOR_REGISTRY.register()
+class Text2SQLCoTGenerator(Operator):
+    """LLM produces a chain-of-thought solution for (question, schema)
+    (text2sql/generate/text2sql_cot_generator.py)."""
+
+    def __init__(self, serving: LLMServing, question_key: str = "question",
+                 schema_key: str = "schema_ddl", output_key: str = "cot"):
+        self.serving = serving
+        self.question_key, self.schema_key = question_key, schema_key
+        self.output_key = output_key
+        self.input_keys = (question_key, schema_key)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        tmp = df.withColumn("_p", F.concat(
+            F.lit("Think step by step. Schema:\n"), F.col(self.schema_key),
+            F.lit("\nQuestion: "), F.col(self.question_key)))
+        return llm_map(tmp, self.serving, "{_p}", "_p", self.output_key).drop("_p")
+
+
+@OPERATOR_REGISTRY.register()
+class SQLCoTVotingGenerator(Operator):
+    """k CoT samples -> extract final SQL -> majority vote per row
+    (text2sql/generate/text2sql_cot_voting_generator.py). Same
+    distributed-mode shape as ReasoningPseudoAnswerGenerator."""
+
+    def __init__(self, serving: LLMServing, question_key: str = "question",
+                 output_key: str = "voted_sql", k: int = 3, id_key: str = "_row_id"):
+        self.serving = serving
+        self.question_key, self.output_key = question_key, output_key
+        self.k = k
+        self.id_key = id_key
+        self.input_keys = (question_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        from dataflow_spark.core.operator import with_row_id
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        df = with_row_id(df) if self.id_key == "_row_id" else df
+        fanned = (df.select(self.id_key, self.question_key)
+                  .withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(self.k))))
+                  .withColumn("_p", F.concat(
+                      F.lit("Answer with SQL (attempt "), F.col("_i").cast("string"),
+                      F.lit("): "), F.col(self.question_key))))
+        gen = llm_map(fanned, self.serving, "{_p}", "_p", "_raw")
+        sql = F.regexp_extract(F.col("_raw"), r"```sql\s*([\s\S]*?)\s*```\s*$", 1)
+        ex = gen.withColumn("_sql", F.when(sql != "", F.trim(sql))
+                            .otherwise(F.trim(F.col("_raw"))))
+        votes = ex.groupBy(self.id_key, "_sql").agg(F.count("*").alias("_v"))
+        w = Window.partitionBy(self.id_key).orderBy(F.desc("_v"), F.asc("_sql"))
+        winner = (votes.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1)
+                  .select(self.id_key, F.col("_sql").alias(self.output_key)))
+        return df.join(winner, self.id_key, "left")
+
+
+@OPERATOR_REGISTRY.register()
+class SQLExecutabilityFilter(Operator):
+    """Plan-only executability gate: EXPLAIN (sqlite) instead of running
+    the query (text2sql/filter/sql_executability_filter.py) — cheaper
+    than SQLExecutionFilter, same executor-side connection pattern."""
+
+    def __init__(self, db_path: str | None = None, sql_key: str = "SQL",
+                 keep_label: bool = False):
+        self.db_path = db_path
+        self.sql_key = sql_key
+        self.keep_label = keep_label
+        self.input_keys = (sql_key,)
+        self.output_keys = ("sql_explain_ok",) if keep_label else ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        schema = StructType(df.schema.fields
+                            + [StructField("sql_explain_ok", BooleanType())])
+        sql_key, db_path = self.sql_key, self.db_path
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sqlite3
+
+            con = sqlite3.connect(db_path or ":memory:")
+            for pdf in batches:
+                oks = []
+                for sql in pdf[sql_key]:
+                    if not is_select_like(sql or ""):
+                        oks.append(False)
+                        continue
+                    try:
+                        con.execute("EXPLAIN " + strip_sql_comments(sql))
+                        oks.append(True)
+                    except Exception:
+                        oks.append(False)
+                pdf = pdf.copy()
+                pdf["sql_explain_ok"] = oks
+                yield pdf
+            con.close()
+
+        out = df.mapInPandas(gen, schema=schema).filter(F.col("sql_explain_ok"))
+        return out if self.keep_label else out.drop("sql_explain_ok")
+
+
+@OPERATOR_REGISTRY.register()
+class SQLExecutionClassifier(Operator):
+    """Label (not filter) each SQL by execution outcome:
+    ok / error / not_select (text2sql/eval/sql_execution_classifier.py)."""
+
+    def __init__(self, db_path: str | None = None, sql_key: str = "SQL",
+                 output_key: str = "exec_status", timeout_ms: int = 2000):
+        self.db_path = db_path
+        self.sql_key, self.output_key = sql_key, output_key
+        self.timeout_ms = timeout_ms
+        self.input_keys = (sql_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        schema = StructType(df.schema.fields
+                            + [StructField(self.output_key, StringType())])
+        sql_key, db_path, out_key = self.sql_key, self.db_path, self.output_key
+        timeout_ms = self.timeout_ms
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import sqlite3
+
+            con = sqlite3.connect(db_path or ":memory:")
+            budget = {"n": 0}
+
+            def handler():
+                budget["n"] += 1
+                return 1 if budget["n"] > timeout_ms else 0
+
+            con.set_progress_handler(handler, 10_000)
+            for pdf in batches:
+                labels = []
+                for sql in pdf[sql_key]:
+                    if not is_select_like(sql or ""):
+                        labels.append("not_select")
+                        continue
+                    budget["n"] = 0
+                    try:
+                        con.execute(strip_sql_comments(sql)).fetchmany(10)
+                        labels.append("ok")
+                    except Exception:
+                        labels.append("error")
+                pdf = pdf.copy()
+                pdf[out_key] = labels
+                yield pdf
+            con.close()
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+@OPERATOR_REGISTRY.register()
+class Text2SQLCorrespondenceFilter(Operator):
+    """LLM judges question<->SQL consistency; keep 'yes' verdicts
+    (text2sql/filter/text2sql_correspondence_filter.py)."""
+
+    def __init__(self, serving: LLMServing, question_key: str = "question",
+                 sql_key: str = "SQL"):
+        self.serving = serving
+        self.question_key, self.sql_key = question_key, sql_key
+        self.input_keys = (question_key, sql_key)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        tmp = df.withColumn("_p", F.concat(
+            F.lit("Does this SQL answer the question? Reply yes/no.\nQ: "),
+            F.col(self.question_key), F.lit("\nSQL: "), F.col(self.sql_key)))
+        out = llm_map(tmp, self.serving, "{_p}", "_p", "_verdict")
+        return (out.filter(F.lower(F.col("_verdict")).rlike(r"\byes\b"))
+                .drop("_p", "_verdict"))

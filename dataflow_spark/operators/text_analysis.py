@@ -175,3 +175,57 @@ class NgramRepetitionEvaluator(Operator):
             return s.map(one)
 
         return df.withColumn(self.output_key, ratio(F.col(self.input_key)))
+
+
+@OPERATOR_REGISTRY.register()
+class LanguageFilter(Operator):
+    """Keep rows whose predicted language is in ``allowed_languages``.
+
+    Reference: general_text/filter/language_filter.py (fasttext) — ours
+    composes LanguageIdEvaluator's marker heuristic with an isin
+    predicate; a fasttext backend can replace langid_expr without
+    touching the filter.
+    """
+
+    def __init__(self, allowed_languages: list[str] | None = None,
+                 input_key: str = "text", keep_label: bool = False,
+                 label_key: str = "pred_lang"):
+        self.allowed = allowed_languages or ["en"]
+        self.input_key = input_key
+        self.keep_label = keep_label
+        self.label_key = label_key
+        self.input_keys = (input_key,)
+        self.output_keys = (label_key,) if keep_label else ()
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        lang = langid_expr(F.col(self.input_key))
+        if self.keep_label:
+            return (df.withColumn(self.label_key, lang)
+                    .filter(F.col(self.label_key).isin(self.allowed)))
+        return df.filter(lang.isin(self.allowed))
+
+
+@OPERATOR_REGISTRY.register()
+class PIICountEvaluator(Operator):
+    """Count PII hits (emails/phones/SSNs/IPs/cards) per row.
+
+    Reference: PresidioSampleEvaluator (general_text/eval/
+    presidio_sample_evaluator.py:73) counts presidio entities; ours
+    counts regex hits with the same typed inventory as
+    PIIAnonymizeRefiner — pure regexp_count, oracle-able.
+    """
+
+    def __init__(self, input_key: str = "text", output_key: str = "pii_count"):
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        from dataflow_spark.operators.refiners.pii import PIIAnonymizeRefiner
+
+        c = F.col(self.input_key)
+        total = None
+        for pat, _ in PIIAnonymizeRefiner.RULES:
+            cnt = F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0))
+            total = cnt if total is None else total + cnt
+        return df.withColumn(self.output_key, total)
