@@ -63,23 +63,21 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = (
+        # keep old + new label in the checkpoint so the convergence test
+        # is a filter over cached rows, not another self-join
+        chk = (
             labels.join(prop, "id", "left")
             .withColumn(
                 "new_component",
                 F.least(F.col("component"), F.coalesce("nbr_component", "component")),
             )
-            .select("id", F.col("new_component").alias("component"))
+            .select("id", "component", "new_component")
+            .localCheckpoint(eager=True)  # truncate lineage
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            chk.filter(F.col("new_component") != F.col("component")).limit(1).count()
         )
-        labels = new_labels
+        labels = chk.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
     return labels
