@@ -1215,6 +1215,85 @@ q("e_cider")(_cider)
 q("e_vendi_diversity")(_vendi)
 
 
+@q("e_perplexity_unigram", r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS total FROM tok)
+SELECT t.doc_id, round(exp(avg(-ln(c.c::DOUBLE / tot.total))), 4) AS perplexity
+FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot
+GROUP BY t.doc_id
+""")
+def e_perplexity_unigram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PerplexitySampleEvaluator", {"order_key": "doc_id"})
+    return op.run(docs).select(
+        "doc_id", F.round("perplexity", 4).alias("perplexity"))
+
+
+def _funccall_chain(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").limit(20).select(
+        "doc_id", F.col("text").alias("chat"))
+    out = get_operator("ScenarioExtractor", {"serving": s}).run(docs)
+    out = get_operator("AtomTaskGenerator", {"serving": s}).run(out)
+    out = get_operator("SequentialTaskGenerator", {"serving": s}).run(out)
+    out = get_operator("FunctionGenerator", {"serving": s}).run(out)
+    return out.select("doc_id", "scenario", "atom_task", "composition_task", "functions")
+
+
+def _multiturn_chat(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    op = get_operator("ConsistentChatGenerator",
+                      {"serving": s, "num_per_topic": 2, "rounds": 2})
+    out = op.run(spark.range(1))
+    return out.select("topic", F.size("conversations").alias("n_turns"))
+
+
+def _vqa(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", F.lit("describe the image").alias("prompt"),
+        F.encode(F.col("text"), "utf-8").alias("content"))
+    out = get_operator("PromptedVQAGenerator",
+                       {"serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "vqa_answer")
+
+
+def _speech2text(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    out = get_operator("Speech2TextGenerator",
+                       {"serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "transcription")
+
+
+def _multihop_qa(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").limit(30)
+    out = get_operator("Text2MultiHopQAGenerator",
+                       {"serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "mh_question", "mh_answer")
+
+
+q("g_funccall_chain")(_funccall_chain)
+q("g_consistent_chat")(_multiturn_chat)
+q("m_vqa")(_vqa)
+q("m_speech2text")(_speech2text)
+q("g_multihop_qa")(_multihop_qa)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------

@@ -107,3 +107,178 @@ class MultiTurnConversationGenerator(Operator):
                 cur_key = u_key
         out = df.withColumn(self.output_key, F.array(*turns))
         return out.drop(*[c for c in out.columns if c.startswith(("_asst_", "_user_"))])
+
+
+# ---------------------------------------------------------------------------
+# func-call task-synthesis family (reference:
+# conversations/generate/func_call_generators.py:27-546 — seven chained
+# LLM-map operators over a scenario -> task -> function -> conversation
+# progression; each stage is one distributed LLM-map, fan-out stages are
+# explode + LLM-map)
+# ---------------------------------------------------------------------------
+
+@OPERATOR_REGISTRY.register()
+class ScenarioExtractor(Operator):
+    """Extract the scenario behind a chat/text row
+    (func_call_generators.py ScenarioExtractor)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "chat",
+                 output_key: str = "scenario"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        return llm_map(df, self.serving,
+                       "Name the real-world scenario of: {%s}" % self.input_key,
+                       self.input_key, self.output_key)
+
+
+@OPERATOR_REGISTRY.register()
+class ScenarioExpander(Operator):
+    """Expand each scenario into n alternatives (fan-out explode +
+    LLM-map); keeps the source scenario as ``orig_scenario``."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "scenario",
+                 n: int = 2):
+        self.serving = serving
+        self.input_key = input_key
+        self.n = n
+        self.input_keys = (input_key,)
+        self.output_keys = (input_key, "orig_scenario")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        fanned = (
+            df.withColumn("orig_scenario", F.col(self.input_key))
+            .withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(self.n))))
+            .withColumn("_p", F.concat(
+                F.lit("Propose alternative scenario #"), F.col("_i").cast("string"),
+                F.lit(" similar to: "), F.col("orig_scenario")))
+        )
+        out = llm_map(fanned, self.serving, "{_p}", "_p", self.input_key)
+        return out.drop("_i", "_p")
+
+
+@OPERATOR_REGISTRY.register()
+class AtomTaskGenerator(Operator):
+    """Scenario -> atomic task (func_call_generators.py AtomTaskGenerator)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "scenario",
+                 output_key: str = "atom_task"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        return llm_map(df, self.serving,
+                       "Write one atomic user task for scenario: {%s}" % self.input_key,
+                       self.input_key, self.output_key)
+
+
+@OPERATOR_REGISTRY.register()
+class SequentialTaskGenerator(Operator):
+    """Atomic task -> subsequent task + composed two-step task
+    (SequentialTaskGenerator): two LLM-maps, no fan-out."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "atom_task",
+                 next_key: str = "subsequent_task", composed_key: str = "composition_task"):
+        self.serving = serving
+        self.input_key = input_key
+        self.next_key, self.composed_key = next_key, composed_key
+        self.input_keys = (input_key,)
+        self.output_keys = (next_key, composed_key)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = llm_map(df, self.serving,
+                      "Write the task a user would naturally do after: {%s}" % self.input_key,
+                      self.input_key, self.next_key)
+        out = out.withColumn("_pair", F.concat(
+            F.col(self.input_key), F.lit(" THEN "), F.col(self.next_key)))
+        out = llm_map(out, self.serving,
+                      "Combine into one sequential task: {_pair}", "_pair", self.composed_key)
+        return out.drop("_pair")
+
+
+@OPERATOR_REGISTRY.register()
+class ParaSeqTaskGenerator(Operator):
+    """Atomic task -> parallel companion + combined parallel-then-
+    sequential composition (ParaSeqTaskGenerator)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "atom_task",
+                 parallel_key: str = "parallel_task", composed_key: str = "paraseq_task"):
+        self.serving = serving
+        self.input_key = input_key
+        self.parallel_key, self.composed_key = parallel_key, composed_key
+        self.input_keys = (input_key,)
+        self.output_keys = (parallel_key, composed_key)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = llm_map(df, self.serving,
+                      "Write a task doable in parallel with: {%s}" % self.input_key,
+                      self.input_key, self.parallel_key)
+        out = out.withColumn("_pair", F.concat(
+            F.col(self.input_key), F.lit(" AND "), F.col(self.parallel_key)))
+        out = llm_map(out, self.serving,
+                      "Combine into one multi-part task: {_pair}", "_pair", self.composed_key)
+        return out.drop("_pair")
+
+
+@OPERATOR_REGISTRY.register()
+class FunctionGenerator(Operator):
+    """Task -> JSON list of callable function signatures the assistant
+    would need (FuncGenerator); output kept as a JSON string column
+    (open schema), parse with from_json downstream."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "atom_task",
+                 output_key: str = "functions"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        return llm_map(df, self.serving,
+                       "List JSON function signatures needed for task: {%s}" % self.input_key,
+                       self.input_key, self.output_key)
+
+
+@OPERATOR_REGISTRY.register()
+class ConsistentChatGenerator(Operator):
+    """Synthesize multi-turn chats from nothing: distributed row
+    generation (spark.range cross topics) + the multi-turn loop.
+
+    Reference: conversations/generate/consistent_chat_generator.py:58 —
+    topic-seeded from-scratch synthesis.
+    """
+
+    TOPICS = ["travel", "cooking", "finance", "health", "coding",
+              "music", "sports", "history"]
+
+    def __init__(self, serving: LLMServing, num_per_topic: int = 2,
+                 rounds: int = 2, output_key: str = "conversations"):
+        self.serving = serving
+        self.num_per_topic = num_per_topic
+        self.rounds = rounds
+        self.output_key = output_key
+        self.input_keys = ()
+        self.output_keys = ("topic", output_key)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        spark = df.sparkSession
+        # tiny fan-out: createDataFrame spreads rows over defaultParallelism
+        # slices, so every downstream LLM-map stage would launch ~32 mostly
+        # empty python workers; a handful of partitions is the right width
+        topics = spark.createDataFrame(
+            [(t,) for t in self.TOPICS], ["topic"]).coalesce(4)
+        seeds = (
+            topics.withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(self.num_per_topic))))
+            .withColumn("_seed", F.concat(
+                F.lit("Ask an interesting question #"), F.col("_i").cast("string"),
+                F.lit(" about "), F.col("topic")))
+        )
+        seeded = llm_map(seeds, self.serving, "{_seed}", "_seed", "chat")
+        conv = MultiTurnConversationGenerator(
+            self.serving, "chat", self.rounds, self.output_key).run(seeded)
+        return conv.drop("_i", "_seed")

@@ -36,7 +36,13 @@ def llm_map(df: DataFrame, serving: LLMServing, prompt_template: str,
     The serving object is pickled into the closure; executor-side state
     (HTTP sessions, models) must be lazy inside the serving class.
     """
-    out_schema = StructType(df.schema.fields + [StructField(output_key, StringType())])
+    if output_key in df.columns:  # in-place overwrite (refiner-style use)
+        out_schema = StructType([
+            StructField(output_key, StringType()) if f.name == output_key else f
+            for f in df.schema.fields
+        ])
+    else:
+        out_schema = StructType(df.schema.fields + [StructField(output_key, StringType())])
     bs = serving.batch_size
     prompt_cols = [input_key]
 

@@ -164,3 +164,94 @@ class CondorGenerator(Operator):
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         return self.generate(df.sparkSession)
+
+
+@OPERATOR_REGISTRY.register()
+class BenchAnswerGenerator(Operator):
+    """Answer benchmark questions (core_text/generate/
+    bench_answer_generator.py:332) — one LLM-map + final-answer extract."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "question",
+                 output_key: str = "model_answer"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.reasoning import ReasoningAnswerExtractionGenerator
+
+        out = llm_map(df, self.serving, "Answer: {%s}" % self.input_key,
+                      self.input_key, "_raw_ans")
+        out = ReasoningAnswerExtractionGenerator("_raw_ans", self.output_key).run(out)
+        return out.drop("_raw_ans")
+
+
+@OPERATOR_REGISTRY.register()
+class Phi4QAGenerator(Operator):
+    """Pretrain text -> (question, answer) pair (text_pt/generate/
+    phi4qa_generator.py:86): one LLM-map per side."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "text",
+                 question_key: str = "question", answer_key: str = "answer"):
+        self.serving = serving
+        self.input_key = input_key
+        self.question_key, self.answer_key = question_key, answer_key
+        self.input_keys = (input_key,)
+        self.output_keys = (question_key, answer_key)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = llm_map(df, self.serving,
+                      "Write one exam question about: {%s}" % self.input_key,
+                      self.input_key, self.question_key)
+        return llm_map(out, self.serving, "Answer precisely: {%s}" % self.question_key,
+                       self.question_key, self.answer_key)
+
+
+@OPERATOR_REGISTRY.register()
+class Text2MultiHopQAGenerator(Operator):
+    """Doc -> multi-hop QA: extract two facts, bridge them, compose the
+    multi-hop question + answer (core_text/generate/
+    text2multihopqa_generator.py:23,217 — a fixed chain of LLM-maps)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "text",
+                 question_key: str = "mh_question", answer_key: str = "mh_answer"):
+        self.serving = serving
+        self.input_key = input_key
+        self.question_key, self.answer_key = question_key, answer_key
+        self.input_keys = (input_key,)
+        self.output_keys = (question_key, answer_key)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = llm_map(df, self.serving, "State two related facts from: {%s}" % self.input_key,
+                      self.input_key, "_facts")
+        out = llm_map(out, self.serving,
+                      "Write a question whose answer needs BOTH facts: {_facts}",
+                      "_facts", self.question_key)
+        out = out.withColumn("_qa_ctx", F.concat(
+            F.col("_facts"), F.lit(" || "), F.col(self.question_key)))
+        out = llm_map(out, self.serving, "Answer using the facts: {_qa_ctx}",
+                      "_qa_ctx", self.answer_key)
+        return out.drop("_facts", "_qa_ctx")
+
+
+@OPERATOR_REGISTRY.register()
+class CondorRefiner(Operator):
+    """Two-stage Condor refine: critique then rewrite the answer column
+    (text_sft/refine/condor_refiner.py:87)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "answer"):
+        self.serving = serving
+        self.input_key = input_key
+        self.input_keys = (input_key,)
+        self.output_keys = (input_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        out = llm_map(df, self.serving, "Critique this answer: {%s}" % self.input_key,
+                      self.input_key, "_critique")
+        out = out.withColumn("_ctx", F.concat(
+            F.col(self.input_key), F.lit(" || critique: "), F.col("_critique")))
+        out = llm_map(out, self.serving, "Rewrite the answer per the critique: {_ctx}",
+                      "_ctx", "_refined")
+        return (out.withColumn(self.input_key, F.col("_refined"))
+                .drop("_critique", "_ctx", "_refined"))

@@ -184,3 +184,61 @@ class FrameSampler(Operator):
                 yield pd.DataFrame(rows, columns=list(pdf.columns) + [f"{fk}_idx", fk])
 
         return df.mapInPandas(gen, schema=schema)
+
+
+@OPERATOR_REGISTRY.register()
+class PromptedVQAGenerator(Operator):
+    """Image + prompt -> VLM answer.
+
+    Reference: core_vision/generate/prompted_vqa_generator.py:66 — a VLM
+    serving call per (image, prompt) row. Spark shape: the image column
+    is summarized into a compact token (sha256 + declared dims — the
+    stand-in for real base64 attachment, which slots into a multimodal
+    serving backend without plan changes) and the call is one LLM-map.
+    """
+
+    def __init__(self, serving, prompt_key: str = "prompt",
+                 content_key: str = "content", output_key: str = "vqa_answer"):
+        self.serving = serving
+        self.prompt_key, self.content_key = prompt_key, content_key
+        self.output_key = output_key
+        self.input_keys = (prompt_key, content_key)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        tmp = df.withColumn("_vqa_p", F.concat(
+            F.lit("[image sha256="), F.sha2(F.col(self.content_key), 256),
+            F.lit("] "), F.col(self.prompt_key)))
+        return llm_map(tmp, self.serving, "{_vqa_p}", "_vqa_p",
+                       self.output_key).drop("_vqa_p")
+
+
+@OPERATOR_REGISTRY.register()
+class Speech2TextGenerator(Operator):
+    """Audio binary -> transcription via an ASR serving backend.
+
+    Reference: core_speech/generate/speech2text_generator.py:59-81.
+    The serving contract takes a deterministic audio token (sha256 +
+    byte length); a real ASR backend replaces the token with the
+    waveform — mapInPandas batching, schema, and ordering are identical.
+    """
+
+    def __init__(self, serving, content_key: str = "content",
+                 output_key: str = "transcription"):
+        self.serving = serving
+        self.content_key = content_key
+        self.output_key = output_key
+        self.input_keys = (content_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        tmp = df.withColumn("_asr_p", F.concat(
+            F.lit("transcribe [audio sha256="), F.sha2(F.col(self.content_key), 256),
+            F.lit(" bytes="), F.length(F.col(self.content_key)).cast("string"),
+            F.lit("]")))
+        return llm_map(tmp, self.serving, "{_asr_p}", "_asr_p",
+                       self.output_key).drop("_asr_p")
