@@ -1287,6 +1287,22 @@ def _multihop_qa(spark, sf_dir):
     return out.select("doc_id", "mh_question", "mh_answer")
 
 
+@q("e_model_score_hash", """
+WITH h AS (SELECT doc_id, lower(md5(concat('QuratingSampleEvaluator', text))) AS hx
+           FROM documents),
+v AS (SELECT doc_id,
+             list_aggregate(list_transform(generate_series(1, 8),
+               i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                    * power(16, 8 - i)), 'sum') AS val
+      FROM h)
+SELECT doc_id, round(val / 4294967295.0, 6) AS qurating_score FROM v
+""")
+def e_model_score_hash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("QuratingSampleEvaluator", {}).run(docs)
+    return out.select("doc_id", F.round("qurating_score", 6).alias("qurating_score"))
+
+
 q("g_funccall_chain")(_funccall_chain)
 q("g_consistent_chat")(_multiturn_chat)
 q("m_vqa")(_vqa)

@@ -11,5 +11,5 @@ from dataflow_spark.operators.generate import llm_map, embedding  # noqa: F401
 from dataflow_spark.operators.generate import text_gen, chunking  # noqa: F401
 from dataflow_spark.operators import multimodal  # noqa: F401
 from dataflow_spark.operators import reasoning, code, knowledge  # noqa: F401
-from dataflow_spark.operators.eval import diversity, perplexity  # noqa: F401
+from dataflow_spark.operators.eval import diversity, perplexity, model_scorers  # noqa: F401
 from dataflow_spark.operators.refiners import pii  # noqa: F401

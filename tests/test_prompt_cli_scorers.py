@@ -1,0 +1,100 @@
+"""Prompt registry + prompt_restrict, model-scorer seam, CLI verbs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.prompt import (
+    DIYPromptABC, PROMPT_REGISTRY, PromptABC, prompt_restrict,
+)
+from dataflow_spark.core.registry import get_operator
+
+
+# -- prompt registry ---------------------------------------------------------
+
+@PROMPT_REGISTRY.register()
+class _MathPrompt(PromptABC):
+    """Math question prompt."""
+
+    def build_prompt(self, **kw):
+        return "solve " + kw["q"]
+
+
+class _OtherPrompt(PromptABC):
+    def build_prompt(self, **kw):
+        return "other"
+
+
+class _UserPrompt(DIYPromptABC):
+    def build_prompt(self, **kw):
+        return "diy"
+
+
+@prompt_restrict(_MathPrompt)
+class _RestrictedOp:
+    def __init__(self, prompt_template=None):
+        self.prompt_template = prompt_template
+
+
+def test_prompt_registry_and_restrict():
+    assert "_MathPrompt" in PROMPT_REGISTRY
+    assert _MathPrompt().build_prompt(q="1+1") == "solve 1+1"
+
+    _RestrictedOp(prompt_template=_MathPrompt())       # allowed
+    _RestrictedOp(prompt_template=_UserPrompt())       # DIY always allowed
+    _RestrictedOp(prompt_template="plain string ok")   # non-PromptABC passes through
+    with pytest.raises(TypeError):
+        _RestrictedOp(prompt_template=_OtherPrompt())
+    assert _RestrictedOp.__allowed_prompts__ == ("_MathPrompt",)
+
+
+# -- model scorers -----------------------------------------------------------
+
+def test_model_scorer_hash_backend_deterministic(spark):
+    df = spark.createDataFrame([("good text",), ("bad",)], ["text"])
+    out1 = {r["text"]: r["qurating_score"] for r in
+            get_operator("QuratingSampleEvaluator", {}).run(df).collect()}
+    out2 = {r["text"]: r["qurating_score"] for r in
+            get_operator("QuratingSampleEvaluator", {}).run(df).collect()}
+    assert out1 == out2
+    assert all(0.0 <= v <= 1.0 for v in out1.values())
+    # different scorers give different scores for the same text (salted)
+    other = {r["text"]: r["fineweb_edu_score"] for r in
+             get_operator("FineWebEduSampleEvaluator", {}).run(df).collect()}
+    assert other != out1
+
+
+def test_model_score_filter_threshold(spark):
+    df = spark.createDataFrame([(f"text {i}",) for i in range(50)], ["text"])
+    scored = get_operator("DeitaQualitySampleEvaluator", {}).run(df)
+    med = scored.approxQuantile("deita_quality_score", [0.5], 0.0)[0]
+    kept = get_operator("DeitaQualityFilter", {"min_score": med}).run(df).count()
+    want = scored.filter(F.col("deita_quality_score") >= med).count()
+    assert kept == want and 0 < kept < 50
+
+
+def test_bert_sample_evaluator_fallback(spark):
+    df = spark.createDataFrame([("a b c", "a b c"), ("a", "z")],
+                               ["generated", "reference"])
+    rows = [r["bert_score"] for r in
+            get_operator("BertSampleEvaluator", {}).run(df).collect()]
+    assert rows[0] == 1.0 and rows[1] == 0.0
+
+
+# -- CLI ---------------------------------------------------------------------
+
+def test_cli_verbs(tmp_path, capsys):
+    from dataflow_spark.cli import main
+
+    assert main(["init", str(tmp_path)]) == 0
+    assert (tmp_path / "pipeline.py").exists()
+    assert main(["init", str(tmp_path)]) == 1  # refuses overwrite
+
+    assert main(["env"]) == 0
+    out = capsys.readouterr().out
+    assert "pyspark" in out
+
+    assert main(["ops", "--grep", "Dedup"]) == 0
+    out = capsys.readouterr().out
+    assert "HashDeduplicateFilter" in out
+
+    assert main(["desc", "PromptedGenerator"]) == 0
