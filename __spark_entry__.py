@@ -1303,6 +1303,67 @@ def e_model_score_hash(spark, sf_dir):
     return out.select("doc_id", F.round("qurating_score", 6).alias("qurating_score"))
 
 
+@q("e_langkit_readability", r"""
+WITH s AS (
+  SELECT doc_id, text,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))
+    END AS w,
+    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             x -> trim(x) != '')), 1) AS sent,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents)
+SELECT doc_id, w AS langkit_words, sent AS langkit_sentences, syl AS langkit_syllables,
+       round(206.835 - 1.015 * (greatest(w, 1)::DOUBLE / sent)
+             - 84.6 * (syl::DOUBLE / greatest(w, 1)), 4) AS langkit_flesch
+FROM s
+""")
+def e_langkit_readability(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("LangkitSampleEvaluator", {}).run(docs)
+    return out.select("doc_id", "langkit_words", "langkit_sentences",
+                      "langkit_syllables", "langkit_flesch")
+
+
+@q("g_mathbook_extract", r"""
+WITH s AS (SELECT doc_id,
+  concat('Problem 1: solve ', source, chr(10), '2. compute ', lang) AS text
+  FROM documents),
+e AS (SELECT doc_id,
+  regexp_extract_all(text, '(?m)(?:(?:Problem|Exercise)\s+(\d+)[.:]|^(\d+)\.)\s*([^
+]+)', 1) AS n1,
+  regexp_extract_all(text, '(?m)(?:(?:Problem|Exercise)\s+(\d+)[.:]|^(\d+)\.)\s*([^
+]+)', 2) AS n2,
+  regexp_extract_all(text, '(?m)(?:(?:Problem|Exercise)\s+(\d+)[.:]|^(\d+)\.)\s*([^
+]+)', 3) AS qs
+  FROM s)
+SELECT doc_id,
+       try_cast(CASE WHEN n1[i] != '' THEN n1[i] ELSE n2[i] END AS INT) AS q_number,
+       trim(qs[i]) AS question
+FROM e, UNNEST(generate_series(1, len(qs))) t(i)
+""")
+def g_mathbook_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Problem 1: solve "), F.col("source"), F.lit("\n2. compute "),
+                 F.col("lang")).alias("text"))
+    out = get_operator("MathBookQuestionExtract", {}).run(docs)
+    return out.select("doc_id", "q_number", "question")
+
+
+def _llm_judges(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    s = MockLLMServing(mode="template", template="clarity: 3\ncoherence: 4\naccuracy: 2\nsafety: 5")
+    out = get_operator("MetaSampleEvaluator", {"serving": s}).run(docs)
+    out = get_operator("InstagSampleEvaluator", {
+        "serving": MockLLMServing(mode="template", template="tag1, tag2")}).run(out)
+    return out.select("doc_id", "meta_clarity", "meta_coherence",
+                      "meta_accuracy", "meta_safety", "instag_count")
+
+
+q("e_llm_judges")(_llm_judges)
 q("g_funccall_chain")(_funccall_chain)
 q("g_consistent_chat")(_multiturn_chat)
 q("m_vqa")(_vqa)

@@ -64,3 +64,39 @@ class CodeTextCompositionEvaluator(Operator):
                 F.array_max(F.transform(F.split(c, r"\n"), lambda ln: F.length(ln))),
             )
         )
+
+
+@OPERATOR_REGISTRY.register()
+class LangkitSampleEvaluator(Operator):
+    """Readability/statistics bundle per row: word count, sentence
+    count, syllable estimate (vowel groups), Flesch reading ease.
+
+    Reference: LangkitSampleEvaluator (general_text/eval/
+    langkit_sample_evaluator.py:80, whylogs langkit metrics). Engine
+    semantics: the classic Flesch formula over regex counts — pure
+    Column expressions, oracle-able.
+    """
+
+    def __init__(self, input_key: str = "text", prefix: str = "langkit_"):
+        self.input_key = input_key
+        self.prefix = prefix
+        self.input_keys = (input_key,)
+        self.output_keys = (prefix + "words", prefix + "sentences",
+                            prefix + "syllables", prefix + "flesch")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        c = F.col(self.input_key)
+        words = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != ""))
+        words = F.when(F.length(F.trim(c)) == 0, 0).otherwise(words)
+        sentences = F.greatest(
+            F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != "")),
+            F.lit(1))
+        syllables = F.coalesce(F.regexp_count(F.lower(c), F.lit("[aeiouy]+")), F.lit(0))
+        w = F.greatest(words, F.lit(1)).cast("double")
+        flesch = (F.lit(206.835) - F.lit(1.015) * (w / sentences)
+                  - F.lit(84.6) * (syllables / w))
+        p = self.prefix
+        return (df.withColumn(p + "words", words)
+                .withColumn(p + "sentences", sentences)
+                .withColumn(p + "syllables", syllables)
+                .withColumn(p + "flesch", F.round(flesch, 4)))
