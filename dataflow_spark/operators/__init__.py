@@ -14,4 +14,4 @@ from dataflow_spark.operators import reasoning, code, knowledge  # noqa: F401
 from dataflow_spark.operators.eval import diversity, perplexity, model_scorers  # noqa: F401
 from dataflow_spark.operators.refiners import pii  # noqa: F401
 from dataflow_spark.operators.eval import llm_judges  # noqa: F401
-from dataflow_spark.operators import pdf2vqa  # noqa: F401
+from dataflow_spark.operators import pdf2vqa, chemistry  # noqa: F401

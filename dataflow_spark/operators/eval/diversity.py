@@ -189,3 +189,40 @@ class BenchDatasetEvaluator(Operator):
             F.count("*").alias("n"),
             F.round(F.avg(self.match_key), 6).alias("accuracy"),
         )
+
+
+@OPERATOR_REGISTRY.register()
+class Task2VecDatasetEvaluator(Operator):
+    """Dataset diversity via embedding-covariance spectral entropy — the
+    engine-defined stand-in for Task2Vec probe-network embeddings
+    (general_text/eval/task2vec_dataset_evaluator.py:109 + task2vec/,
+    which need a GPU probe model). Same contract: one diversity scalar
+    from a bounded sample; a real Task2Vec backend can replace the
+    sample->matrix step without touching the operator surface.
+    """
+
+    def __init__(self, embedding_key: str = "embedding", max_rows: int = 2000,
+                 seed: int = 7):
+        self.embedding_key = embedding_key
+        self.max_rows = max_rows
+        self.seed = seed
+        self.input_keys = (embedding_key,)
+        self.output_keys = ("n", "task2vec_diversity")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        sample = (df.select(self.embedding_key)
+                  .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
+        X = np.array([r[0] for r in sample], dtype=np.float64)
+        spark = df.sparkSession
+        n = len(X)
+        if n < 2:
+            return spark.createDataFrame([(n, 0.0)], "n long, task2vec_diversity double")
+        X = X - X.mean(axis=0, keepdims=True)
+        cov = (X.T @ X) / (n - 1)
+        ev = np.clip(np.linalg.eigvalsh(cov), 0, None)
+        tot = ev.sum()
+        if tot <= 0:
+            return spark.createDataFrame([(n, 0.0)], "n long, task2vec_diversity double")
+        p = ev[ev > 0] / tot
+        ent = float(-(p * np.log(p)).sum())
+        return spark.createDataFrame([(n, ent)], "n long, task2vec_diversity double")

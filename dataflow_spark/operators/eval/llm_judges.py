@@ -150,3 +150,12 @@ class InstagSampleEvaluator(Operator):
         return (out.withColumn(self.tags_key, tags)
                 .withColumn(self.count_key, F.size(self.tags_key))
                 .drop("_tags_raw"))
+
+
+@OPERATOR_REGISTRY.register()
+class FuncCallConversationSampleEvaluator(_SingleScoreJudge):
+    """LLM-judged function-call conversation quality
+    (conversations/eval/func_call_conversation_sample_evaluator.py:99)."""
+
+    PROMPT = "Rate 1-5 how well this conversation uses tool calls: {x}"
+    OUTPUT_KEY = "funccall_quality_score"

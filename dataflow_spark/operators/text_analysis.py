@@ -229,3 +229,27 @@ class PIICountEvaluator(Operator):
             cnt = F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0))
             total = cnt if total is None else total + cnt
         return df.withColumn(self.output_key, total)
+
+
+@OPERATOR_REGISTRY.register()
+class LLMLanguageFilter(Operator):
+    """LLM judges each row's language; keep rows whose judged code is in
+    ``allowed_languages`` (general_text/filter/llm_language_filter.py:38).
+    The judged code is the first 2-3-letter lowercase token in the reply."""
+
+    def __init__(self, serving, allowed_languages: list[str] | None = None,
+                 input_key: str = "text"):
+        self.serving = serving
+        self.allowed = allowed_languages or ["en"]
+        self.input_key = input_key
+        self.input_keys = (input_key,)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        out = llm_map(df, self.serving,
+                      "Reply with the ISO language code of: {%s}" % self.input_key,
+                      self.input_key, "_lang_raw")
+        code = F.regexp_extract(F.lower(F.col("_lang_raw")), r"\b([a-z]{2,3})\b", 1)
+        return out.filter(code.isin(self.allowed)).drop("_lang_raw")
