@@ -327,41 +327,13 @@ class SemDeduplicateFilter(_NearDupBase):
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
-        dim = self.dim or len(
-            df.select(self.input_key).filter(F.col(self.input_key).isNotNull()).first()[0]
-        )
-        planes = self._planes(dim)
-        emb = F.col(self.input_key)
-
-        # sign bit per hyperplane -> packed int key per band
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        emb,
-                        F.array(*[F.lit(float(v)) for v in plane]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                > 0,
-                1,
-            ).otherwise(0)
-            for plane in planes
-        ]
-        width = self.num_planes // self.num_bands
-        band_structs = []
-        for b in range(self.num_bands):
-            key = F.lit(0)
-            for j in range(width):
-                key = key * 2 + bits[b * width + j]
-            band_structs.append(
-                F.struct(F.lit(b).alias("band"), key.cast("long").alias("h"))
-            )
+        # vectorized sign-bit band keys (functions/vector.py) — the
+        # per-plane expression tree is CodegenFallback, ~1000x slower
+        bands_udf = V.hyperplane_bands_udf(self.num_planes, self.num_bands, self.seed)
         banded = df.select(
-            "_nd_id", F.explode(F.array(*band_structs)).alias("bh")
-        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+            "_nd_id",
+            F.posexplode(bands_udf(F.col(self.input_key))).alias("band", "h"),
+        )
 
         vecs = df.select("_nd_id", F.col(self.input_key).alias("_v"))
         thr = 1.0 - self.eps

@@ -193,24 +193,27 @@ class LSHKNN(Operator):
 
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
-        dim = self.dim or len(
-            df.select(self.embedding_key).filter(F.col(self.embedding_key).isNotNull()).first()[0]
-        )
+        # vectorized band keys (functions/vector.py): the per-plane
+        # expression tree is CodegenFallback, ~1000x slower per row
+        bands_udf = V.hyperplane_bands_udf(self.num_planes, self.num_bands, self.seed)
         c = df.select(
             F.col(self.id_key).alias("neighbor_id"),
             F.col(self.embedding_key).alias("_c_emb"),
-            F.explode(self._band_keys(F.col(self.embedding_key), dim)).alias("bh"),
-        ).select("neighbor_id", "_c_emb", "bh.band", "bh.h")
+            F.posexplode(bands_udf(F.col(self.embedding_key))).alias("band", "h"),
+        )
         q = qsrc.select(
             F.col(self.id_key).alias("query_id"),
             F.col(self.embedding_key).alias("_q_emb"),
-            F.explode(self._band_keys(F.col(self.embedding_key), dim)).alias("bh"),
-        ).select("query_id", "_q_emb", "bh.band", "bh.h")
+            F.posexplode(bands_udf(F.col(self.embedding_key))).alias("band", "h"),
+        )
         cand = (
             c.join(F.broadcast(q), ["band", "h"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", "_q_emb", "_c_emb")
-            .distinct()
+            # a pair colliding in several bands appears once per band;
+            # dedup on the id pair only (full-row distinct would hash the
+            # embedding arrays too)
+            .dropDuplicates(["query_id", "neighbor_id"])
         )
         sim = cand.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
         w = Window.partitionBy("query_id").orderBy(
