@@ -9,11 +9,13 @@ key or ingest ``_row_id``), never partition order.
 Scale design:
   - exact dedup: hash + row_number window — one shuffle on the hash key,
     map-side combinable, skew-safe (hash keys are uniform).
-  - near-dup: signature -> band explode -> self-join on (band, hash) ->
-    candidate edges -> connected components (distributed min-label
-    propagation, the large/small-star style loop) -> keep min order-id
-    per component. No driver-side O(n^2) anywhere, unlike the
-    reference's greedy loops (simhash_deduplicate_filter.py:56-91).
+  - near-dup: signature -> band explode -> bucket groupBy pair
+    expansion -> verified candidate edges -> connected components
+    (bounded-size driver union-find, distributed min-label propagation
+    above the bound) -> keep rows whose id equals their component's min.
+    No O(n^2) over the corpus anywhere, unlike the reference's greedy
+    loops (simhash_deduplicate_filter.py:56-91) — quadratic work is
+    confined to within-bucket pair expansion, exactly as in LSH.
 """
 
 from __future__ import annotations
@@ -39,15 +41,51 @@ def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Distributed connected components by min-label propagation.
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_max_edges: int = 2_000_000) -> DataFrame:
+    """Connected components: adaptive driver union-find / distributed
+    min-label propagation.
 
     ``edges``: DataFrame[src: long, dst: long] (undirected). Returns
     DataFrame[id: long, component: long] where component = min node id
-    reachable. Converges in O(diameter) joins; near-dup clusters are
-    shallow so this terminates in a handful of iterations. Each
-    iteration is one shuffle; AQE coalesces the small tail iterations.
+    reachable.
+
+    Near-dup candidate graphs are a small fraction of the corpus (only
+    rows whose bucket collided AND passed signature verification), so up
+    to ``driver_max_edges`` the component step runs as an in-driver
+    union-find over the already-materialized edge list — no per-iteration
+    shuffles. Above the bound it switches to the distributed
+    min-label-propagation loop (one shuffle per iteration, O(diameter)
+    iterations; each iteration localCheckpoints to truncate lineage).
+    The edge list itself is always computed distributedly.
     """
+    # one-job probe: fetch up to the bound + 1; small graphs (the common
+    # case) never pay a separate count action
+    probe = edges.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for row in probe:
+            nodes.add(row[0]); nodes.add(row[1])
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                if a > b:
+                    a, b = b, a
+                parent[b] = a  # min-id root
+        labels = [(x, find(x)) for x in nodes]
+        spark = edges.sparkSession
+        return spark.createDataFrame(labels, "id long, component long")
+
+    edges = edges.persist()
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.groupBy("src")
@@ -173,25 +211,39 @@ class _NearDupBase(_BaseDedup):
         verify: optional callable (cand_df with a_id/b_id) -> filtered
         cand_df, applied to candidate pairs before components.
         """
+        # one shuffle (groupBy bucket) + in-bucket pair expansion instead
+        # of a two-sided self-join on (band, h): same candidate edge set,
+        # half the shuffled bytes. Bucket pair count is quadratic in
+        # bucket size by construction (as in the reference's LSH).
+        buckets = (
+            banded.groupBy("band", "h")
+            .agg(F.sort_array(F.collect_list("_nd_id")).alias("_ids"))
+            .filter(F.size("_ids") > 1)
+        )
+        ids = F.col("_ids")
+        pair_structs = F.flatten(F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        ))
         pairs = (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.h") == F.col("b.h"))
-                & (F.col("a._nd_id") < F.col("b._nd_id")),
-            )
-            .select(F.col("a._nd_id").alias("src"), F.col("b._nd_id").alias("dst"))
+            buckets.select(F.explode(pair_structs).alias("_e"))
+            .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
             .distinct()
         )
         if verify is not None:
             pairs = verify(pairs)
         comp = connected_components(pairs)
-        out = (
-            df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
-            .withColumn("component", F.coalesce("component", F.col("_nd_id")))
-        )
-        return _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
+        # keep-first without a window: the component label IS the min
+        # order-id of the cluster (union-find min-root / min-label
+        # propagation), so "first occurrence" == rows whose own id equals
+        # their component label; unclustered rows (left-join miss) stay.
+        out = df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+        return (out.filter(F.coalesce(F.col("component"), F.col("_nd_id"))
+                           == F.col("_nd_id"))
+                .drop("component", "_nd_id"))
 
 
 @OPERATOR_REGISTRY.register()
