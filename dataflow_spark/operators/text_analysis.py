@@ -50,17 +50,40 @@ def langid_expr(col: Column) -> Column:
 
     Ties break by priority en > de > fr > es (deterministic). CJK rule
     first because Chinese text is not whitespace-tokenized.
+
+    Implementation: vectorized pandas UDF — the pure-expression variant
+    (4 langs x words/filter/array_contains HOF trees) is CodegenFallback
+    with no CSE, re-tokenizing every row 4x (~3x slower at sf0.1). The
+    SQL-mirrorable definition is pinned by the t_langid oracle.
     """
-    hits = lang_hit_counts(col)
-    best_lang = F.lit("und")
-    best_n = F.lit(0)
-    for lang in ["es", "fr", "de", "en"]:  # reverse priority; later wins ties via >=
-        n = hits[lang]
-        cond = n >= best_n
-        # evaluate in reverse order so that 'en' (checked last) wins ties
-        best_lang = F.when(cond & (n > 0), F.lit(lang)).otherwise(best_lang)
-        best_n = F.when(cond, n).otherwise(best_n)
-    return F.when(col.rlike(CJK_RE), F.lit("zh")).otherwise(best_lang)
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    markers = {lang: frozenset(ms) for lang, ms in LANG_MARKERS.items()}
+    ws_re = re.compile(r"\s+", re.ASCII)  # mirror Java \s
+    cjk_re = re.compile(CJK_RE)
+
+    def one(text: str | None) -> str | None:
+        if text is None:
+            return None
+        if cjk_re.search(text):
+            return "zh"
+        toks = [w.lower() for w in ws_re.split(text) if w]
+        best_lang, best_n = "und", 0
+        for lang in ["es", "fr", "de", "en"]:  # later wins ties (en first)
+            n = sum(1 for t in toks if t in markers[lang])
+            if n >= best_n and n > 0:
+                best_lang, best_n = lang, n
+            elif n >= best_n:
+                best_n = n
+        return best_lang
+
+    @pandas_udf("string")
+    def langid(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return langid(col)
 
 
 @OPERATOR_REGISTRY.register()
