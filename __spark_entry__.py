@@ -765,7 +765,18 @@ def _m_media_meta(spark, sf_dir):
     return out.select("doc_id", "media_meta.width", "media_meta.height", "media_meta.sha256")
 
 
-q("m_media_meta")(_m_media_meta)
+_MEDIA_ORACLE = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+b AS (SELECT doc_id, hx,
+  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+  (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+  FROM h)
+SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, hx AS sha256 FROM b
+"""
+
+q("m_media_meta", _MEDIA_ORACLE)(_m_media_meta)
 
 
 # embedding generation plumbing (deterministic hash backend) -> rows-only
@@ -918,7 +929,11 @@ SELECT sql_id, CASE WHEN score <= 1 THEN 'easy' WHEN score <= 3 THEN 'medium'
 FROM c
 """
 
-q("x_sql_execution_filter")(_sql_exec_filter)
+# golden oracle: expected outcome of the fixed fixture under sqlite
+# semantics (0: SELECT 1; 2: comment-stripped SELECT; 3: WITH; 7: scalar
+# subquery — 1 and 6 reference missing tables, 4 is not SELECT-like,
+# 5 is a syntax error)
+q("x_sql_execution_filter", "SELECT * FROM (VALUES (0), (2), (3), (7)) t(sql_id)")(_sql_exec_filter)
 q("x_sql_hardness", _HARDNESS_ORACLE)(_sql_hardness)
 q("x_sql_generator")(_sql_generator)
 
@@ -985,9 +1000,15 @@ def _sandbox(spark, sf_dir):
 q("e_bleu_token_f1")(_bleu_f1)
 q("x_kcenter_coreset")(_coreset)
 q("s_knn_ivf")(_ivf_knn)
-q("x_conversation_roundtrip")(_conversation_roundtrip)
+q("x_conversation_roundtrip", """
+SELECT user_id AS conv_id, count(*) AS n_turns
+FROM events WHERE user_id < 20 GROUP BY user_id
+""")(_conversation_roundtrip)
 q("g_text2qa")(_text2qa)
-q("x_code_sandbox")(_sandbox)
+q("x_code_sandbox", """
+SELECT * FROM (VALUES (0, true), (1, false), (2, false), (3, true))
+t(code_id, exec_ok)
+""")(_sandbox)
 
 
 # ---------------------------------------------------------------------------
