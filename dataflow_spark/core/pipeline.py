@@ -94,14 +94,63 @@ class Pipeline:
         lines.append("}")
         return "\n".join(lines)
 
+    # -- serving lifecycle -------------------------------------------------
+    def _servings_of(self, op: Operator) -> list:
+        """Snoop an operator's fields for serving backends, as the
+        reference snoops LLMServingABC attributes
+        (Pipeline.py:67-69); one composition level deep covers the
+        evaluator-inside-filter pattern."""
+        from dataflow_spark.serving.base import EmbeddingServing, LLMServing
+
+        found = []
+        seen: set[int] = set()
+
+        def scan(obj: Any, depth: int) -> None:
+            for v in vars(obj).values():
+                if isinstance(v, (LLMServing, EmbeddingServing)):
+                    if id(v) not in seen:
+                        seen.add(id(v))
+                        found.append(v)
+                elif isinstance(v, Operator) and depth < 1:
+                    scan(v, depth + 1)
+
+        scan(op, 0)
+        return found
+
+    def cleanup(self) -> None:
+        """Release every serving backend used by this pipeline's
+        operators (GPU memory, HTTP pools). Reference semantics:
+        refcount-to-zero cleanup after the final stage
+        (Pipeline.py:517-541). Call after the terminal action."""
+        done: set[int] = set()
+        for st in self.steps:
+            for s in self._servings_of(st.op):
+                if id(s) not in done:
+                    done.add(id(s))
+                    s.cleanup()
+
     # -- execute ----------------------------------------------------------
     def forward(self, df: DataFrame, resume_step: int = 0,
                 spark: SparkSession | None = None) -> DataFrame:
         """Apply the chain lazily. With a StepStore and checkpoint_every>0,
         materialize every k-th step and support resume (reference:
-        _compiled_forward(resume_step), Pipeline.py:507-541)."""
+        _compiled_forward(resume_step), Pipeline.py:507-541).
+
+        Serving lifecycle: in checkpointed (materialized) execution, a
+        serving whose last-using step has been checkpointed is cleaned up
+        immediately — the reference's refcount behavior. In fully lazy
+        execution nothing has run when forward() returns, so release
+        backends with ``cleanup()`` after the terminal action.
+        """
         if self._compiled is None:
             self.compile(df.columns)
+        # last step index using each serving (refcount release point)
+        last_use: dict[int, int] = {}
+        servings: dict[int, Any] = {}
+        for idx, st in enumerate(self.steps):
+            for s in self._servings_of(st.op):
+                last_use[id(s)] = idx
+                servings[id(s)] = s
         if resume_step > 0:
             if self.store is None:
                 raise ValueError("resume requires a StepStore")
@@ -118,4 +167,9 @@ class Pipeline:
                     and (idx + 1) % self.checkpoint_every == 0):
                 self.store.write(df, idx, st.name)
                 df = self.store.read(df.sparkSession, idx)
+                # steps <= idx have fully executed: release their servings
+                for sid, last in last_use.items():
+                    if last <= idx and servings.get(sid) is not None:
+                        servings[sid].cleanup()
+                        servings[sid] = None
         return df

@@ -79,3 +79,41 @@ def test_transform_operator(spark):
         lambda d: d.limit(2),
     ]})
     assert [r["id"] for r in op.run(df).collect()] == [1, 2]
+
+
+def test_serving_lifecycle_cleanup(spark, tmp_path):
+    from dataflow_spark import Pipeline, StepStore
+    from dataflow_spark.core.registry import get_operator
+    from dataflow_spark.serving import MockLLMServing
+
+    class TrackedServing(MockLLMServing):
+        def __init__(self):
+            super().__init__(mode="hash")
+            self.cleaned = 0
+
+        def cleanup(self):
+            self.cleaned += 1
+
+    s1, s2 = TrackedServing(), TrackedServing()
+    store = StepStore(str(tmp_path / "steps"))
+    pipe = Pipeline([
+        get_operator("PromptedGenerator", {"serving": s1, "input_key": "text",
+                                           "output_key": "g1"}),
+        get_operator("PromptedGenerator", {"serving": s2, "input_key": "g1",
+                                           "prompt_template": "{g1}",
+                                           "output_key": "g2"}),
+    ], store=store, checkpoint_every=1)
+    df = spark.createDataFrame([("x",)], ["text"])
+    out = pipe.forward(df)
+    # checkpointed execution: s1's last use (step 0) materialized -> cleaned
+    assert s1.cleaned == 1 and s2.cleaned == 1
+    assert out.count() == 1
+
+    # lazy execution: nothing cleaned until explicit cleanup()
+    s3 = TrackedServing()
+    lazy = Pipeline([get_operator("PromptedGenerator", {"serving": s3,
+                                                        "input_key": "text"})])
+    lazy.forward(df).count()
+    assert s3.cleaned == 0
+    lazy.cleanup()
+    assert s3.cleaned == 1
