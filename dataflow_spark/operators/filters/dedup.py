@@ -370,12 +370,6 @@ class SemDeduplicateFilter(_NearDupBase):
         self.seed = seed
         self.dim = dim
 
-    def _planes(self, dim: int):
-        import numpy as np
-
-        rng = np.random.RandomState(self.seed)
-        return rng.standard_normal((self.num_planes, dim))
-
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))

@@ -161,36 +161,6 @@ class LSHKNN(Operator):
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
 
-    def _band_keys(self, emb_col, dim: int):
-        import numpy as np
-
-        rng = np.random.RandomState(self.seed)
-        planes = rng.standard_normal((self.num_planes, dim))
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        emb_col,
-                        F.array(*[F.lit(float(v)) for v in p]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                > 0,
-                1,
-            ).otherwise(0)
-            for p in planes
-        ]
-        width = self.num_planes // self.num_bands
-        bands = []
-        for b in range(self.num_bands):
-            key = F.lit(0)
-            for j in range(width):
-                key = key * 2 + bits[b * width + j]
-            bands.append(F.struct(F.lit(b).alias("band"), key.cast("long").alias("h")))
-        return F.array(*bands)
-
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
         # vectorized band keys (functions/vector.py): the per-plane
