@@ -24,7 +24,7 @@ pipe = Pipeline([
     get_operator("WordNumberFilter", {"input_key": "text", "min_words": 5}),
     get_operator("HashDeduplicateFilter", {"input_keys": "text"}),
 ])
-pipe.compile(df)          # key-flow validation before any job runs
+pipe.compile(df.columns)  # key-flow validation before any job runs
 out = pipe.forward(df)
 out.write.mode("overwrite").parquet("OUTPUT_PATH")
 '''

@@ -79,3 +79,63 @@ def _read_remote_dataset(spark: SparkSession, uri: str,
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the standard test tables from an sf directory."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None, num_partitions: int = 8,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              **options) -> DataFrame:
+    """Parallel JDBC scan (reference: MyScale/ClickHouse LIMIT/OFFSET
+    paging, storage.py:832-834, and the SQLite/MySQL text2sql
+    connectors).
+
+    Spark-native replacement for manual paging: pass a numeric
+    ``partition_column`` + bounds and the scan splits into
+    ``num_partitions`` range predicates pushed to the database — each
+    executor reads its slice concurrently. Requires the JDBC driver jar
+    on the classpath (spark.jars); raises Spark's ClassNotFound
+    otherwise.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+                  .option("upperBound", str(upper_bound if upper_bound is not None else 1 << 31)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_pdf_markdown(spark: SparkSession, path: str,
+                      converter=None) -> DataFrame:
+    """PDF/URL -> markdown ingest seam (reference: MinerU operators,
+    knowledge_cleaning/generate/mineru_operators.py:57,200,325).
+
+    Distributed shape: binaryFile scan -> per-row converter callable
+    (bytes -> markdown str) inside mapInPandas. The container has no PDF
+    library, so ``converter=None`` raises NotImplementedError AT TASK
+    TIME with a clear message — the Spark plumbing (schema, batching,
+    path handling) is real; plug a MinerU/pypdf client in as
+    ``converter`` without touching the plan.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.pdf").load(path)
+           .select("path", "content"))
+    schema = StructType([StructField("path", StringType()),
+                         StructField("markdown", StringType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if converter is None:
+                raise NotImplementedError(
+                    "PDF decoding requires a converter callable "
+                    "(e.g. a MinerU client); none is bundled")
+            out = pdf[["path"]].copy()
+            out["markdown"] = [converter(bytes(b)) for b in pdf["content"]]
+            yield out
+
+    return src.mapInPandas(gen, schema=schema)
