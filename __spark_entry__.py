@@ -540,8 +540,17 @@ _REFINERS: list[tuple[str, str, dict | None, str]] = [
 for _name, _op, _params, _expr in _REFINERS:
     q(_name, f"SELECT doc_id, {_expr} AS text FROM documents")(_refiner_query(_op, _params))
 
-# RE2 has no backreferences -> rows-only check for the repetition refiner
-q("r_remove_repetition_punct")(_refiner_query("RemoveRepetitionsPunctuationRefiner"))
+# RE2 has no backreferences -> oracle walks characters instead: drop any
+# char equal to its predecessor when both sit in the ASCII punct ranges
+q("r_remove_repetition_punct", """
+WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents)
+SELECT doc_id, array_to_string(
+  list_filter(ch, (x, i) -> NOT (i > 1 AND x = ch[i-1]
+    AND ((x >= '!' AND x <= '/') OR (x >= ':' AND x <= '@')
+         OR (x >= '[' AND x <= chr(96)) OR (x >= '{' AND x <= '~')))),
+  '') AS text
+FROM c
+""")(_refiner_query("RemoveRepetitionsPunctuationRefiner"))
 
 
 # ---------------------------------------------------------------------------
@@ -1227,10 +1236,32 @@ def t_language_filter(spark, sf_dir):
     return op.run(docs).select("doc_id")
 
 
-# rows-only: stemming (python suffix rules) + cider (python metric)
 def _stemming(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    # word-only projection so the suffix rules are oracle-expressible as a
+    # CASE chain per word; the delimiter-preserving path is unit-tested
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)"), " ").alias("text"))
     return get_operator("StemmingLemmatizationRefiner", {}).run(docs).select("doc_id", "text")
+
+
+def _stemming_oracle() -> str:
+    from dataflow_spark.operators.refiners.pii import _STEM_RULES
+
+    whens = []
+    for suf, repl in _STEM_RULES:
+        cond = f"ends_with(w, '{suf}') AND len(w) - {len(suf)} + {len(repl)} >= 3"
+        res = f"left(w, len(w) - {len(suf)})" + (f" || '{repl}'" if repl else "")
+        whens.append(f"WHEN {cond} THEN {res}")
+    case = "CASE " + " ".join(whens) + " ELSE w END"
+    return f"""
+SELECT doc_id, array_to_string(
+  list_transform(
+    list_transform(regexp_extract_all(text, '[A-Za-z]+'), u -> lower(u)),
+    w -> {case}),
+  ' ') AS text
+FROM documents
+"""
 
 
 def _cider(spark, sf_dir):
@@ -1246,7 +1277,7 @@ def _vendi(spark, sf_dir):
     return get_operator("VendiDatasetEvaluator", {"max_rows": 500}).run(emb)
 
 
-q("x_stemming")(_stemming)
+q("x_stemming", _stemming_oracle())(_stemming)
 q("e_cider")(_cider)
 q("e_vendi_diversity")(_vendi)
 
