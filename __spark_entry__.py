@@ -803,14 +803,15 @@ SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, hx AS sha256 FRO
 q("m_media_meta", _MEDIA_ORACLE)(_m_media_meta)
 
 
-# embedding generation plumbing (deterministic hash backend) -> rows-only
+# embedding generation plumbing (deterministic hash backend)
 def _g_embed(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(100)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     out = get_operator("EmbeddingGenerator", {"input_key": "text"}).run(docs)
     return out.select("doc_id", F.size("embedding").alias("dim"))
 
 
-q("g_embedding")(_g_embed)
+q("g_embedding",
+  "SELECT doc_id, 8 AS dim FROM documents WHERE doc_id < 100")(_g_embed)
 
 
 # ---------------------------------------------------------------------------
@@ -959,7 +960,20 @@ FROM c
 # 5 is a syntax error)
 q("x_sql_execution_filter", "SELECT * FROM (VALUES (0), (2), (3), (7)) t(sql_id)")(_sql_exec_filter)
 q("x_sql_hardness", _HARDNESS_ORACLE)(_sql_hardness)
-q("x_sql_generator")(_sql_generator)
+# hash-mode mock: response is 'resp-' || md5(prompt)[:12], and the prompt
+# is a deterministic concat -> the whole fan-out chain is SQL-expressible
+q("x_sql_generator", """
+WITH dbs(db_id, ddl) AS (VALUES
+  ('db0', 'CREATE TABLE t(a INT, b TEXT)'),
+  ('db1', 'CREATE TABLE u(x REAL)')),
+f AS (SELECT db_id, c AS sql_complexity_type,
+        'Write one SQL query.' || chr(10) || '-- complexity: ' || c || chr(10)
+        || '-- schema: ' || ddl || chr(10) || '-- variant: ' || i AS pr
+      FROM dbs,
+           UNNEST(['simple', 'moderate', 'complex', 'highly complex']) t(c),
+           UNNEST([1, 2]) g(i))
+SELECT db_id, sql_complexity_type, 'resp-' || left(md5(pr), 12) AS "SQL" FROM f
+""")(_sql_generator)
 
 
 # ---------------------------------------------------------------------------
@@ -1006,7 +1020,7 @@ def _conversation_roundtrip(spark, sf_dir):
 def _text2qa(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     serving = MockLLMServing(mode="template",
                              template="Q: what? A: because. Q: why {prompt:.0s}too? A: yes.")
     op = get_operator("Text2QAGenerator", {"serving": serving, "input_key": "text"})
@@ -1028,7 +1042,14 @@ q("x_conversation_roundtrip", """
 SELECT user_id AS conv_id, count(*) AS n_turns
 FROM events WHERE user_id < 20 GROUP BY user_id
 """)(_conversation_roundtrip)
-q("g_text2qa")(_text2qa)
+# constant-template mock ({prompt:.0s} truncates the prompt away), so the
+# oracle pins the parse/explode plumbing: 2 QA rows per document
+q("g_text2qa", """
+SELECT doc_id, i AS q_index,
+       CASE i WHEN 0 THEN 'what?' ELSE 'why too?' END AS question,
+       CASE i WHEN 0 THEN 'because.' ELSE 'yes.' END AS answer
+FROM documents, UNNEST([0, 1]) t(i) WHERE doc_id < 50
+""")(_text2qa)
 q("x_code_sandbox", """
 SELECT * FROM (VALUES (0, true), (1, false), (2, false), (3, true))
 t(code_id, exec_ok)
@@ -1305,7 +1326,7 @@ def _funccall_chain(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
     s = MockLLMServing(mode="hash")
-    docs = _t(spark, sf_dir, "documents").limit(20).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
         "doc_id", F.col("text").alias("chat"))
     out = get_operator("ScenarioExtractor", {"serving": s}).run(docs)
     out = get_operator("AtomTaskGenerator", {"serving": s}).run(out)
@@ -1327,7 +1348,7 @@ def _multiturn_chat(spark, sf_dir):
 def _vqa(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
-    docs = _t(spark, sf_dir, "documents").limit(50).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
         "doc_id", F.lit("describe the image").alias("prompt"),
         F.encode(F.col("text"), "utf-8").alias("content"))
     out = get_operator("PromptedVQAGenerator",
@@ -1338,7 +1359,7 @@ def _vqa(spark, sf_dir):
 def _speech2text(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
-    docs = _t(spark, sf_dir, "documents").limit(50).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     out = get_operator("Speech2TextGenerator",
                        {"serving": MockLLMServing(mode="hash")}).run(docs)
@@ -1348,7 +1369,7 @@ def _speech2text(spark, sf_dir):
 def _multihop_qa(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
-    docs = _t(spark, sf_dir, "documents").limit(30)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     out = get_operator("Text2MultiHopQAGenerator",
                        {"serving": MockLLMServing(mode="hash")}).run(docs)
     return out.select("doc_id", "mh_question", "mh_answer")
@@ -1421,7 +1442,7 @@ def g_mathbook_extract(spark, sf_dir):
 def _llm_judges(spark, sf_dir):
     from dataflow_spark.serving import MockLLMServing
 
-    docs = _t(spark, sf_dir, "documents").limit(50)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     s = MockLLMServing(mode="template", template="clarity: 3\ncoherence: 4\naccuracy: 2\nsafety: 5")
     out = get_operator("MetaSampleEvaluator", {"serving": s}).run(docs)
     out = get_operator("InstagSampleEvaluator", {
@@ -1430,12 +1451,50 @@ def _llm_judges(spark, sf_dir):
                       "meta_accuracy", "meta_safety", "instag_count")
 
 
-q("e_llm_judges")(_llm_judges)
-q("g_funccall_chain")(_funccall_chain)
-q("g_consistent_chat")(_multiturn_chat)
-q("m_vqa")(_vqa)
-q("m_speech2text")(_speech2text)
-q("g_multihop_qa")(_multihop_qa)
+# deterministic mock chains: every response is 'resp-' || md5(prompt)[:12]
+# (hash mode) or a constant template, so each chain is SQL-expressible
+q("e_llm_judges", """
+SELECT doc_id, CAST(3 AS DOUBLE) AS meta_clarity, CAST(4 AS DOUBLE) AS meta_coherence,
+       CAST(2 AS DOUBLE) AS meta_accuracy, CAST(5 AS DOUBLE) AS meta_safety,
+       2 AS instag_count
+FROM documents WHERE doc_id < 50
+""")(_llm_judges)
+q("g_funccall_chain", """
+WITH d AS (SELECT doc_id, text AS chat FROM documents WHERE doc_id < 20),
+s1 AS (SELECT doc_id,
+         'resp-' || left(md5('Name the real-world scenario of: ' || chat), 12) AS scenario
+       FROM d),
+s2 AS (SELECT *, 'resp-' || left(md5('Write one atomic user task for scenario: ' || scenario), 12) AS atom_task FROM s1),
+s3 AS (SELECT *, 'resp-' || left(md5('Write the task a user would naturally do after: ' || atom_task), 12) AS nxt FROM s2),
+s4 AS (SELECT *, 'resp-' || left(md5('Combine into one sequential task: ' || atom_task || ' THEN ' || nxt), 12) AS composition_task FROM s3),
+s5 AS (SELECT *, 'resp-' || left(md5('List JSON function signatures needed for task: ' || atom_task), 12) AS functions FROM s4)
+SELECT doc_id, scenario, atom_task, composition_task, functions FROM s5
+""")(_funccall_chain)
+q("g_consistent_chat", """
+SELECT t.topic, 4 AS n_turns
+FROM UNNEST(['travel', 'cooking', 'finance', 'health', 'coding',
+             'music', 'sports', 'history']) t(topic),
+     UNNEST([1, 2]) g(i)
+""")(_multiturn_chat)
+q("m_vqa", """
+WITH p AS (SELECT doc_id,
+             '[image sha256=' || sha256(text) || '] describe the image' AS pr
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id, 'resp-' || left(md5(pr), 12) AS vqa_answer FROM p
+""")(_vqa)
+q("m_speech2text", """
+WITH p AS (SELECT doc_id,
+             'transcribe [audio sha256=' || sha256(text) || ' bytes=' || strlen(text) || ']' AS pr
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id, 'resp-' || left(md5(pr), 12) AS transcription FROM p
+""")(_speech2text)
+q("g_multihop_qa", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+f AS (SELECT doc_id, 'resp-' || left(md5('State two related facts from: ' || text), 12) AS facts FROM d),
+qn AS (SELECT *, 'resp-' || left(md5('Write a question whose answer needs BOTH facts: ' || facts), 12) AS mh_question FROM f),
+an AS (SELECT *, 'resp-' || left(md5('Answer using the facts: ' || facts || ' || ' || mh_question), 12) AS mh_answer FROM qn)
+SELECT doc_id, mh_question, mh_answer FROM an
+""")(_multihop_qa)
 
 
 # ---------------------------------------------------------------------------
