@@ -1516,6 +1516,89 @@ SELECT doc_id, mh_question, mh_answer FROM an
 
 
 # ---------------------------------------------------------------------------
+# bench evaluators, pdf merge, question fusion/judges (SURVEY §2.6/2.2/2.9)
+# ---------------------------------------------------------------------------
+
+@q("x_pdf_merge", """
+SELECT doc_id,
+       substr(text, 1, 100)
+         || chr(10) || chr(10)
+         || substr(text, 101) AS text,
+       2 AS n_pages
+FROM documents
+""")
+def x_pdf_merge(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.lit(1).alias("page"),
+                        F.substring("text", 1, 100).alias("text")).unionByName(
+        docs.select("doc_id", F.lit(2).alias("page"),
+                    F.expr("substring(text, 101)").alias("text")))
+    return get_operator("PDFMerger", {}).run(pages)
+
+
+@q("e_unified_bench", """
+SELECT source, count(*) AS n,
+       round(avg((lang = 'en')::INT), 6) AS accuracy
+FROM documents GROUP BY source
+""")
+def e_unified_bench(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("lang").alias("answer"), F.lit("en").alias("gold"))
+    op = get_operator("UnifiedBenchDatasetEvaluator",
+                      {"match_mode": "exact", "group_key": "source"})
+    return op.run(docs)
+
+
+@q("e_bench_question_level", """
+WITH m AS (SELECT doc_id % 50 AS qid, max((lang = 'en')::INT) AS ok
+           FROM documents GROUP BY doc_id % 50)
+SELECT count(*) AS n_questions, round(avg(ok), 6) AS accuracy FROM m
+""")
+def e_bench_question_level(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("question_id"),
+        F.col("lang").alias("answer"), F.lit("en").alias("gold"))
+    return get_operator("BenchDatasetEvaluatorQuestion", {}).run(docs)
+
+
+@q("x_question_fusion", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+g AS (SELECT doc_id // 2 AS fuse_group,
+             string_agg(text, ' ||| ' ORDER BY doc_id) AS joined
+      FROM d GROUP BY doc_id // 2)
+SELECT fuse_group,
+       'resp-' || left(md5('Fuse into one question requiring all parts: ' || joined), 12)
+         AS fused_question
+FROM g
+""")
+def x_question_fusion(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).select(
+        "doc_id", F.col("text").alias("question"))
+    op = get_operator("ReasoningQuestionFusionGenerator",
+                      {"serving": MockLLMServing(mode="hash"), "fuse_n": 2,
+                       "dense_keys": True})
+    return op.run(docs).select("fuse_group", "fused_question")
+
+
+@q("e_question_judges", """
+SELECT doc_id, CAST(7 AS DOUBLE) AS difficulty_score, true AS solvable
+FROM documents WHERE doc_id < 20
+""")
+def e_question_judges(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", F.col("text").alias("question"))
+    out = get_operator("ReasoningQuestionDifficultySampleEvaluator", {
+        "serving": MockLLMServing(mode="template", template="difficulty: 7")}).run(docs)
+    out = get_operator("ReasoningQuestionSolvableSampleEvaluator", {
+        "serving": MockLLMServing(mode="template", template="yes it is")}).run(out)
+    return out.select("doc_id", "difficulty_score", "solvable")
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,37 @@ class MathBookQuestionExtract(Operator):
                                F.col("_mb.n").try_cast("int"))
                 .withColumn(self.question_key, F.trim(F.col("_mb.q")))
                 .drop("_mb", self.input_key))
+
+
+@OPERATOR_REGISTRY.register()
+class PDFMerger(Operator):
+    """Merge per-page rows back into one row per document: pages sorted
+    by page number, text concatenated with a page separator
+    (pdf2vqa/generate/pdf_merger.py:34-72).
+
+    Spark shape: groupBy(doc) + sort_array over collected (page, text)
+    structs — one shuffle on the doc key; page order is explicit in the
+    data, not partition order.
+    """
+
+    def __init__(self, doc_key: str = "doc_id", page_key: str = "page",
+                 text_key: str = "text", separator: str = "\n\n"):
+        self.doc_key, self.page_key, self.text_key = doc_key, page_key, text_key
+        self.separator = separator
+        self.input_keys = (doc_key, page_key, text_key)
+        self.output_keys = (text_key, "n_pages")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        pages = F.sort_array(F.collect_list(
+            F.struct(F.col(self.page_key).alias("p"),
+                     F.col(self.text_key).alias("t"))))
+        return (
+            df.groupBy(self.doc_key)
+            .agg(pages.alias("_pages"))
+            .select(
+                self.doc_key,
+                F.array_join(F.transform(F.col("_pages"), lambda s: s["t"]),
+                             self.separator).alias(self.text_key),
+                F.size("_pages").alias("n_pages"),
+            )
+        )

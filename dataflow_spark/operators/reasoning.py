@@ -219,3 +219,111 @@ class ReasoningTokenDatasetEvaluator(Operator):
             F.min("_t").alias("min_tokens"),
             F.max("_t").alias("max_tokens"),
         )
+
+
+@OPERATOR_REGISTRY.register()
+class ReasoningQuestionFusionGenerator(Operator):
+    """Fuse consecutive groups of ``fuse_n`` questions into one harder
+    composite question (reasoning/generate/
+    reasoning_question_fusion_generator.py:110).
+
+    Spark shape: bucket by floor(rank/fuse_n) over a stable order key,
+    groupBy bucket + sort_array collect, one LLM-map per fused group —
+    the fan-in mirror of the fan-out generators.
+
+    Scale note: the global row_number window funnels through one
+    partition; acceptable for curated question sets (<~10M rows), which
+    is this operator's domain. For dense integer order keys, pass
+    dense_keys=True to bucket arithmetically with no global sort.
+    """
+
+    def __init__(self, serving: LLMServing, input_key: str = "question",
+                 order_key: str = "doc_id", fuse_n: int = 2,
+                 output_key: str = "fused_question", dense_keys: bool = False):
+        self.serving = serving
+        self.input_key, self.order_key = input_key, order_key
+        self.fuse_n = fuse_n
+        self.output_key = output_key
+        self.dense_keys = dense_keys
+        self.input_keys = (input_key, order_key)
+        self.output_keys = (output_key, "fuse_group")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        if self.dense_keys:
+            bucketed = df.withColumn(
+                "fuse_group",
+                F.floor(F.col(self.order_key) / F.lit(self.fuse_n)))
+        else:
+            w = Window.orderBy(self.order_key)
+            bucketed = df.withColumn(
+                "fuse_group",
+                F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(self.fuse_n)))
+        grouped = (
+            bucketed.groupBy("fuse_group")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col(self.order_key).alias("k"),
+                F.col(self.input_key).alias("q")))).alias("_qs"))
+            .withColumn("_joined", F.array_join(
+                F.transform(F.col("_qs"), lambda s: s["q"]), " ||| "))
+        )
+        out = llm_map(grouped, self.serving,
+                      "Fuse into one question requiring all parts: {_joined}",
+                      "_joined", self.output_key)
+        return out.drop("_qs", "_joined")
+
+
+@OPERATOR_REGISTRY.register()
+class ReasoningQuestionDifficultySampleEvaluator(Operator):
+    """LLM rates question difficulty 1-10; numeric column extracted from
+    the response (reasoning/eval/reasoning_question_difficulty_sample_
+    evaluator.py:109)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "question",
+                 output_key: str = "difficulty_score"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        out = llm_map(df, self.serving,
+                      "Rate the difficulty 1-10, reply 'difficulty: <n>': {%s}"
+                      % self.input_key,
+                      self.input_key, "_diff_raw")
+        s = F.regexp_extract(F.col("_diff_raw"),
+                             r"(?i)difficulty\s*[:=]\s*(-?[0-9]+(\.[0-9]+)?)", 1)
+        return (out.withColumn(self.output_key,
+                               F.when(s != "", s).try_cast("double"))
+                .drop("_diff_raw"))
+
+
+@OPERATOR_REGISTRY.register()
+class ReasoningQuestionSolvableSampleEvaluator(Operator):
+    """LLM judges whether a question is well-posed/solvable; boolean
+    column from a yes/no reply (reasoning/eval/reasoning_question_
+    solvable_sample_evaluator.py:89)."""
+
+    def __init__(self, serving: LLMServing, input_key: str = "question",
+                 output_key: str = "solvable"):
+        self.serving = serving
+        self.input_key, self.output_key = input_key, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from dataflow_spark.operators.generate.llm_map import llm_map
+
+        out = llm_map(df, self.serving,
+                      "Is this solvable as stated? Reply yes or no: {%s}"
+                      % self.input_key,
+                      self.input_key, "_solv_raw")
+        return (out.withColumn(
+            self.output_key,
+            F.lower(F.col("_solv_raw")).rlike(r"\byes\b"))
+            .drop("_solv_raw"))
