@@ -15,6 +15,7 @@ class Registry:
     def __init__(self, name: str):
         self.name = name
         self._obj_map: dict[str, Type] = {}
+        self._aliases: dict[str, str] = {}
         self._whitelist: set[str] | None = None
 
     def register(self, name: str | None = None) -> Callable[[Type], Type]:
@@ -27,7 +28,15 @@ class Registry:
 
         return deco
 
+    def alias(self, alias_name: str, target: str) -> None:
+        """Register a reference-exact name for an engine operator so
+        pipelines written against the reference resolve unchanged
+        (e.g. 'KBCChunkGenerator' -> ChunkGenerator). Aliases resolve in
+        get() but are not listed in keys() — one canonical name each."""
+        self._aliases[alias_name] = target
+
     def get(self, name: str) -> Type:
+        name = self._aliases.get(name, name)
         if name not in self._obj_map:
             raise KeyError(
                 f"{name!r} not found in {self.name} registry; "
@@ -38,7 +47,7 @@ class Registry:
         return self._obj_map[name]
 
     def __contains__(self, name: str) -> bool:
-        return name in self._obj_map
+        return name in self._obj_map or name in self._aliases
 
     def keys(self) -> list[str]:
         ks = sorted(self._obj_map)

@@ -15,3 +15,26 @@ from dataflow_spark.operators.eval import diversity, perplexity, model_scorers  
 from dataflow_spark.operators.refiners import pii  # noqa: F401
 from dataflow_spark.operators.eval import llm_judges  # noqa: F401
 from dataflow_spark.operators import pdf2vqa, chemistry  # noqa: F401
+
+# Reference-exact names whose engine operator is named differently:
+# pipelines written against OpenDCAI/DataFlow resolve without edits.
+from dataflow_spark.core.registry import OPERATOR_REGISTRY as _R
+
+for _ref_name, _ours in {
+    "NgramSampleEvaluator": "NgramRepetitionEvaluator",
+    "PresidioSampleEvaluator": "PIICountEvaluator",
+    "KBCChunkGenerator": "ChunkGenerator",
+    "KBCMultiHopQAGeneratorBatch": "Text2MultiHopQAGenerator",
+    "KBCTextCleanerBatch": "KBCTextCleaner",
+    "AgenticRAGQAF1SampleEvaluator": "TokenF1SampleEvaluator",
+    "ReasoningAnswerExtractionQwenMathEvalGenerator": "ReasoningAnswerExtractionGenerator",
+    "ReasoningPretrainFormatConvertGenerator": "ReasoningFormatConvertGenerator",
+    "QA_Merger": "QAMerger",
+    "PDF_Merger": "PDFMerger",
+    "CodeTextCompositionSampleEvaluator": "CodeTextCompositionEvaluator",
+    "LexicalDiversitySampleEvaluator": "LexicalDiversityEvaluator",
+    "CoTVotingGenerator": "SQLCoTVotingGenerator",
+    "FuncGenerator": "FunctionGenerator",
+    "PandasOperator": "TransformOperator",
+}.items():
+    _R.alias(_ref_name, _ours)

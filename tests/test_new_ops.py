@@ -79,3 +79,13 @@ def test_question_level_accuracy(spark):
     r = get_operator("BenchDatasetEvaluatorQuestion",
                      {"require_all": True}).run(df).first()
     assert (r["n_questions"], r["accuracy"]) == (2, 0.0)
+
+
+def test_reference_name_aliases():
+    from dataflow_spark.core.registry import OPERATOR_REGISTRY, get_operator
+
+    assert type(get_operator("PDF_Merger", {})).__name__ == "PDFMerger"
+    assert type(get_operator("KBCChunkGenerator", {})).__name__ == "ChunkGenerator"
+    assert "PandasOperator" in OPERATOR_REGISTRY
+    # aliases do not pollute the canonical listing
+    assert "PDF_Merger" not in OPERATOR_REGISTRY.keys()
