@@ -79,7 +79,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The fixture stores ts as TIMESTAMP(NANOS), which a vanilla Spark
+        # session refuses to infer ([PARQUET_TYPE_ILLEGAL]). Must not depend
+        # on session construction: enable nanosAsLong at runtime, and fall
+        # back to an explicit schema (physical INT64 reads fine as bigint).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        except Exception:
+            df = spark.read.schema(
+                "event_id bigint, ts bigint, user_id bigint, "
+                "event_type string, value double, props string"
+            ).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long nanos (nanosAsLong): convert to
         # micros with integer division (ns ~1.7e18 exceeds double's 53-bit

@@ -46,14 +46,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default="")
+    ap.add_argument("--vanilla", action="store_true",
+                    help="use a plain SparkSession like the driver harness")
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from dataflow_spark import get_spark
 
-    spark = get_spark("verify-oracle")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("verify-oracle-vanilla").getOrCreate())
+    else:
+        from dataflow_spark import get_spark
+        spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
