@@ -15,6 +15,8 @@ from dataflow_spark.operators.eval import diversity, perplexity, model_scorers  
 from dataflow_spark.operators.refiners import pii  # noqa: F401
 from dataflow_spark.operators.eval import llm_judges  # noqa: F401
 from dataflow_spark.operators import pdf2vqa, chemistry  # noqa: F401
+from dataflow_spark.operators.filters import threshold  # noqa: F401
+from dataflow_spark.operators import reasoning_filters, mineru  # noqa: F401
 
 # Reference-exact names whose engine operator is named differently:
 # pipelines written against OpenDCAI/DataFlow resolve without edits.
@@ -36,5 +38,9 @@ for _ref_name, _ours in {
     "CoTVotingGenerator": "SQLCoTVotingGenerator",
     "FuncGenerator": "FunctionGenerator",
     "PandasOperator": "TransformOperator",
+    "ScenarioExtractGenerator": "ScenarioExtractor",
+    "ScenarioExpandGenerator": "ScenarioExpander",
+    "Text2SQLCoTVotingGenerator": "SQLCoTVotingGenerator",
+    "KBCChunkGeneratorBatch": "ChunkGenerator",
 }.items():
     _R.alias(_ref_name, _ours)

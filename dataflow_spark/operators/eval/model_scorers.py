@@ -142,6 +142,7 @@ for _ev_name, _filter_name in [
     ("DeitaQualitySampleEvaluator", "DeitaQualityFilter"),
     ("DeitaComplexitySampleEvaluator", "DeitaComplexityFilter"),
     ("RMSampleEvaluator", "RMFilter"),
+    ("PairQualSampleEvaluator", "PairQualFilter"),
 ]:
     _fcls = type(_filter_name, (_ModelScoreFilter,), {
         "__doc__": f"Threshold filter over {_ev_name}'s score.",
