@@ -204,6 +204,9 @@ class NgramHashDeduplicateFilter(_BaseDedup):
 class _NearDupBase(_BaseDedup):
     """Shared band-join -> components -> keep-first machinery."""
 
+    #: buckets above this size switch from all-pairs to chain expansion
+    max_bucket_size = 1000
+
     def _dedup_by_bands(self, df: DataFrame, banded: DataFrame,
                         order_col: str, verify=None) -> DataFrame:
         """``banded``: DataFrame[_nd_id, band struct col 'bands' exploded].
@@ -214,20 +217,32 @@ class _NearDupBase(_BaseDedup):
         # one shuffle (groupBy bucket) + in-bucket pair expansion instead
         # of a two-sided self-join on (band, h): same candidate edge set,
         # half the shuffled bytes. Bucket pair count is quadratic in
-        # bucket size by construction (as in the reference's LSH).
+        # bucket size by construction (as in the reference's LSH), so an
+        # adversarial corpus (thousands of near-identical docs -> one
+        # giant bucket) is capped: buckets larger than max_bucket_size
+        # emit a consecutive-id chain (size-1 edges) instead of all
+        # pairs. Same connected component for the degenerate cluster,
+        # linear instead of quadratic edge count.
         buckets = (
             banded.groupBy("band", "h")
             .agg(F.sort_array(F.collect_list("_nd_id")).alias("_ids"))
             .filter(F.size("_ids") > 1)
         )
         ids = F.col("_ids")
-        pair_structs = F.flatten(F.transform(
+        all_pairs = F.flatten(F.transform(
             ids,
             lambda x, i: F.transform(
                 F.slice(ids, i + 2, F.size(ids)),
                 lambda y: F.struct(x.alias("src"), y.alias("dst")),
             ),
         ))
+        chain = F.transform(
+            F.slice(ids, 1, F.size(ids) - 1),
+            lambda x, i: F.struct(x.alias("src"),
+                                  F.element_at(ids, i + 2).alias("dst")),
+        )
+        pair_structs = F.when(F.size(ids) > F.lit(self.max_bucket_size),
+                              chain).otherwise(all_pairs)
         pairs = (
             buckets.select(F.explode(pair_structs).alias("_e"))
             .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))

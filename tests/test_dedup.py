@@ -80,3 +80,24 @@ def test_connected_components(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[5] == comp[6] == 5
     assert comp[8] == comp[9] == comp[10] == comp[11] == 8
+
+
+def test_near_dup_bucket_cap_degenerate_corpus(spark):
+    """10k identical docs land in one LSH bucket; the bucket-size cap
+    switches to chain expansion (N-1 edges, not N^2/2) and still
+    collapses the cluster to its first row in bounded time."""
+    import time
+
+    from dataflow_spark.operators.filters.dedup import MinHashDeduplicateFilter
+
+    n = 10_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same exact document body repeated verbatim for every row' AS text")
+    op = MinHashDeduplicateFilter(order_key="doc_id")
+    op.max_bucket_size = 100  # force the chain path
+    t0 = time.time()
+    out = op.run(df)
+    kept = out.select("doc_id").collect()
+    assert [r.doc_id for r in kept] == [0]
+    assert time.time() - t0 < 120
