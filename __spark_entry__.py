@@ -800,7 +800,8 @@ q("s_knn_lsh")(lambda spark, sf_dir: get_operator(
 def _m_media_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content"))
-    out = get_operator("MediaMetadataExtractor", {"content_key": "content"}).run(docs)
+    out = get_operator("MediaMetadataExtractor", {"content_key": "content",
+                                                  "decode": "fake"}).run(docs)
     return out.select("doc_id", "media_meta.width", "media_meta.height", "media_meta.sha256")
 
 
@@ -816,6 +817,38 @@ SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, hx AS sha256 FRO
 """
 
 q("m_media_meta", _MEDIA_ORACLE)(_m_media_meta)
+
+
+# real container-header metadata: PNG/GIF/BMP/JPEG dims + WAV duration
+# parsed from actual bytes (pure-Python header parse, no imaging lib)
+@q("m_media_headers", """
+SELECT * FROM (VALUES ('png', 'png', 'image', 20, 30, 0),
+                      ('gif', 'gif', 'image', 40, 50, 0),
+                      ('bmp', 'bmp', 'image', 60, 70, 0),
+                      ('jpg', 'jpg', 'image', 80, 90, 0),
+                      ('wav', 'wav', 'audio', NULL, NULL, 2000))
+       t(name, format, media_type, width, height, duration_ms)
+""")
+def m_media_headers(spark, sf_dir):
+    samples = [
+        ("png", "89504e470d0a1a0a0000000d49484452000000140000001e"),
+        ("gif", "4749463839612800320000"),
+        ("bmp", "424d" + "00" * 16 + "3c00000046000000"),
+        ("jpg", "ffd8ffc0001108005a005000"),
+        ("wav", "52494646240000005745564D"  # placeholder, replaced below
+         ),
+    ]
+    wav_hex = ("52494646" "24000000" "57415645" "666d7420" "10000000"
+               "0100" "0100" "803e0000" "803e0000" "0100" "0800"
+               "64617461" "007d0000")
+    samples[-1] = ("wav", wav_hex)
+    df = spark.createDataFrame(samples, ["name", "hex"]).coalesce(1)
+    df = df.withColumn("content", F.unhex(F.col("hex"))).drop("hex")
+    out = get_operator("MediaMetadataExtractor", {
+        "content_key": "content", "decode": "headers"}).run(df)
+    return out.select(
+        "name", "media_meta.format", "media_meta.media_type",
+        "media_meta.width", "media_meta.height", "media_meta.duration_ms")
 
 
 # embedding generation plumbing (deterministic hash backend)

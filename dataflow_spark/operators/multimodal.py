@@ -56,8 +56,68 @@ def read_media_dir(spark: SparkSession, path: str, pattern: str = "*") -> DataFr
 
 def _decode_image_stub(content: bytes) -> tuple[int, int]:
     """STUB: real impl would use PIL. NotImplementedError by contract —
-    the deterministic-fake variant below is what tests exercise."""
-    raise NotImplementedError("image decoding requires an imaging library")
+    pixel-level decode still needs an imaging library; header parsing
+    below does NOT (pure Python over the container formats)."""
+    raise NotImplementedError("pixel decoding requires an imaging library")
+
+
+def parse_media_header(content: bytes) -> dict | None:
+    """Pure-Python container-header parse — no imaging libs needed.
+
+    Returns {format, media_type, width, height, duration_ms} for
+    PNG/JPEG/GIF/BMP images and RIFF/WAV audio, or None when the
+    signature is unrecognized. This is real metadata extraction (the
+    formats put dimensions in fixed header fields); only pixel/sample
+    DECODING stays behind the library seam."""
+    b = content or b""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return {"format": "png", "media_type": "image",
+                "width": w, "height": h, "duration_ms": 0}
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return {"format": "jpg", "media_type": "image",
+                        "width": w, "height": h, "duration_ms": 0}
+            i += 2 + seg_len
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return {"format": "gif", "media_type": "image",
+                "width": int.from_bytes(b[6:8], "little"),
+                "height": int.from_bytes(b[8:10], "little"),
+                "duration_ms": 0}
+    if len(b) >= 26 and b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return {"format": "bmp", "media_type": "image",
+                "width": abs(w), "height": abs(h), "duration_ms": 0}
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, byte_rate, data_size = 12, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            size = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 20 <= len(b):
+                byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size % 2)
+        dur = (int(data_size * 1000 / byte_rate)
+               if byte_rate and data_size is not None else None)
+        return {"format": "wav", "media_type": "audio",
+                "width": None, "height": None, "duration_ms": dur}
+    return None
 
 
 def _fake_decode_dims(content: bytes) -> tuple[int, int]:
@@ -71,39 +131,50 @@ def _fake_decode_dims(content: bytes) -> tuple[int, int]:
 class MediaMetadataExtractor(Operator):
     """Add a MEDIA_META struct per binary row (mapInPandas, Arrow batches).
 
-    ``use_fake_decode=True`` (default: the container has no codecs) uses
-    the deterministic fake; False raises NotImplementedError at task
-    time, marking the integration seam.
+    decode='headers' (default) parses real container headers — PNG/JPEG/
+    GIF/BMP dimensions, WAV duration — in pure Python; unrecognized
+    signatures get the constructor's media_type/format with null
+    dimensions. decode='fake' keeps the deterministic sha-derived
+    dimensions (plumbing tests); decode='lib' marks the pixel-decode
+    library seam (raises at task time). ``use_fake_decode`` kept for
+    back-compat: True -> 'fake', False -> 'lib'.
     """
 
     def __init__(self, content_key: str = "content", output_key: str = "media_meta",
                  media_type: str = "image", fmt: str = "png",
-                 use_fake_decode: bool = True):
+                 decode: str = "headers", use_fake_decode: bool | None = None):
         self.content_key, self.output_key = content_key, output_key
         self.media_type, self.fmt = media_type, fmt
-        self.use_fake_decode = use_fake_decode
+        if use_fake_decode is not None:
+            decode = "fake" if use_fake_decode else "lib"
+        if decode not in ("headers", "fake", "lib"):
+            raise ValueError("decode must be headers|fake|lib")
+        self.decode = decode
         self.input_keys = (content_key,)
         self.output_keys = (output_key,)
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         schema = StructType(df.schema.fields + [StructField(self.output_key, MEDIA_META)])
         ck, ok = self.content_key, self.output_key
-        mt, fmt, fake = self.media_type, self.fmt, self.use_fake_decode
+        mt, fmt, mode = self.media_type, self.fmt, self.decode
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 metas = []
                 for content in pdf[ck]:
                     raw = bytes(content) if content is not None else b""
-                    if fake:
-                        w, h = _fake_decode_dims(raw)
+                    meta = {"media_type": mt, "format": fmt, "width": None,
+                            "height": None, "duration_ms": 0}
+                    if mode == "headers":
+                        parsed = parse_media_header(raw)
+                        if parsed is not None:
+                            meta.update(parsed)
+                    elif mode == "fake":
+                        meta["width"], meta["height"] = _fake_decode_dims(raw)
                     else:
-                        w, h = _decode_image_stub(raw)
-                    metas.append({
-                        "media_type": mt, "format": fmt, "width": w, "height": h,
-                        "duration_ms": 0,
-                        "sha256": hashlib.sha256(raw).hexdigest(),
-                    })
+                        meta["width"], meta["height"] = _decode_image_stub(raw)
+                    meta["sha256"] = hashlib.sha256(raw).hexdigest()
+                    metas.append(meta)
                 pdf = pdf.copy()
                 pdf[ok] = metas
                 yield pdf

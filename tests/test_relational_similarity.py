@@ -101,15 +101,42 @@ def test_sessionize(spark):
 
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([(1, bytearray(b"fakepngbytes"))], ["id", "content"])
-    meta = get_operator("MediaMetadataExtractor", {}).run(df).first()["media_meta"]
+    meta = get_operator("MediaMetadataExtractor", {"decode": "fake"}).run(df).first()["media_meta"]
     assert meta["media_type"] == "image" and len(meta["sha256"]) == 64
     assert meta["width"] >= 64 and meta["height"] >= 64
+    # headers mode: unrecognized signature -> null dims, sha still real
+    hmeta = get_operator("MediaMetadataExtractor", {}).run(df).first()["media_meta"]
+    assert hmeta["width"] is None and len(hmeta["sha256"]) == 64
 
     feats = get_operator("MediaFeatureExtractor", {"dim": 8}).run(df).first()["features"]
     assert len(feats) == 8
 
     frames = get_operator("FrameSampler", {"n_frames": 3}).run(df).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+
+
+def test_media_header_parsing():
+    from dataflow_spark.operators.multimodal import parse_media_header
+
+    png = bytes.fromhex("89504e470d0a1a0a0000000d49484452000000140000001e")
+    assert parse_media_header(png) == {
+        "format": "png", "media_type": "image", "width": 20, "height": 30,
+        "duration_ms": 0}
+    gif = bytes.fromhex("4749463839612800320000")
+    assert parse_media_header(gif)["width"] == 40
+    bmp = bytes.fromhex("424d" + "00" * 16 + "3c00000046000000")
+    assert (parse_media_header(bmp)["width"], parse_media_header(bmp)["height"]) == (60, 70)
+    jpg = bytes.fromhex("ffd8ffc0001108005a005000")
+    got = parse_media_header(jpg)
+    assert (got["width"], got["height"]) == (80, 90)
+    wav = bytes.fromhex(
+        "52494646240000005741564?".replace("?", "5")  # RIFF....WAVE
+        + "666d74201000000001000100803e0000803e000001000800"
+        + "64617461007d0000")
+    w = parse_media_header(wav)
+    assert w["media_type"] == "audio" and w["duration_ms"] == 2000
+    assert parse_media_header(b"not media") is None
+    assert parse_media_header(b"") is None
 
 
 def test_stepstore_lineage(tmp_path, spark):
