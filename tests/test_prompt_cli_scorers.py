@@ -98,3 +98,33 @@ def test_cli_verbs(tmp_path, capsys):
     assert "HashDeduplicateFilter" in out
 
     assert main(["desc", "PromptedGenerator"]) == 0
+
+
+def test_cli_eval_verb(tmp_path, spark, capsys):
+    import json
+
+    from dataflow_spark.cli import main
+
+    src = tmp_path / "answers.jsonl"
+    src.write_text(
+        '{"answer": "4", "gold": "4", "subject": "math"}\n'
+        '{"answer": "Paris", "gold": "paris", "subject": "geo"}\n'
+        '{"answer": "wrong", "gold": "right", "subject": "geo"}\n')
+    out = tmp_path / "acc.json"
+    assert main(["eval", str(src), "--output", str(out)]) == 0
+    result = json.loads(out.read_text())
+    assert result["n"] == 3 and abs(result["accuracy"] - 2 / 3) < 1e-6
+
+    out2 = tmp_path / "acc_grouped.json"
+    assert main(["eval", str(src), "--group-key", "subject",
+                 "--output", str(out2)]) == 0
+    grouped = {g["subject"]: g for g in json.loads(out2.read_text())["groups"]}
+    assert grouped["math"]["accuracy"] == 1.0
+    assert grouped["geo"]["accuracy"] == 0.5
+
+
+def test_cli_webui_index():
+    from dataflow_spark.cli import _webui_index_html
+
+    html = _webui_index_html()
+    assert "HashDeduplicateFilter" in html and "<table" in html
