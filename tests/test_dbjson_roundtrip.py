@@ -1,0 +1,78 @@
+"""ClickHouse/MyScale `data`-JSON column contract: integration round-trip
+through an embedded columnar store (DuckDB standing in for ClickHouse —
+same contract shape: system columns + one JSON string column; the
+production hop is a JDBC writer/reader with identical layout)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from dataflow_spark.sources.dbjson import (SYSTEM_COLUMNS, pack_data_column,
+                                           unpack_data_column)
+
+
+@pytest.fixture()
+def user_df(spark):
+    rows = [
+        (1, "alice says \"hi\"", 0.5, None),
+        (2, "unicode: café 中文", -3.25, "tag"),
+        (3, None, 0.0, "x,y\nz"),
+    ]
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("score", DoubleType()),
+        StructField("label", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pack_store_readback_unpack(spark, user_df, tmp_path):
+    packed = pack_data_column(user_df, pipeline_id="p1", task_id=7)
+    assert set(packed.columns) >= {"data", "pipeline_id", "task_id",
+                                   "raw_data_id"}
+
+    # store hop: write into an embedded DB table, read back
+    con = duckdb.connect(str(tmp_path / "store.db"))
+    con.register("staged", packed.toPandas())
+    con.execute("CREATE TABLE dataflow_rows AS SELECT * FROM staged")
+    back = con.execute(
+        "SELECT data, pipeline_id, task_id, raw_data_id "
+        "FROM dataflow_rows").fetchdf()
+    con.close()
+
+    restored_packed = spark.createDataFrame(back)
+    restored = unpack_data_column(restored_packed, schema=user_df.schema)
+
+    got = {r.doc_id: (r.text, r.score, r.label)
+           for r in restored.select("doc_id", "text", "score", "label").collect()}
+    want = {r.doc_id: (r.text, r.score, r.label) for r in user_df.collect()}
+    assert got == want
+    assert restored.schema["score"].dataType == DoubleType()
+    # system columns survived the store hop
+    sys_rows = restored.select("pipeline_id", "task_id").distinct().collect()
+    assert [(r.pipeline_id, r.task_id) for r in sys_rows] == [("p1", 7)]
+
+
+def test_store_side_json_query(spark, user_df, tmp_path):
+    """The store itself can filter on JSON fields — the contract's point:
+    ClickHouse/MyScale query user fields via JSON functions without the
+    engine unpacking first."""
+    packed = pack_data_column(user_df, pipeline_id="p2")
+    con = duckdb.connect()
+    con.register("t", packed.toPandas())
+    n = con.execute(
+        "SELECT count(*) FROM t "
+        "WHERE CAST(json_extract(data, '$.score') AS DOUBLE) >= 0").fetchone()[0]
+    con.close()
+    assert n == 2
+
+
+def test_existing_system_columns_preserved(spark, user_df):
+    df = user_df.withColumn("pipeline_id", F.lit("keep-me"))
+    packed = pack_data_column(df, pipeline_id="ignored")
+    assert packed.select("pipeline_id").distinct().collect()[0][0] == "keep-me"
+    assert SYSTEM_COLUMNS[0] == "pipeline_id"
