@@ -76,13 +76,43 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # scaling check: the scale-critical subset on a 10x replica of sf0.1
+    # (generated once into .bench_data/sf1) — catches O(n^2) regressions
+    # while still local. Disable with SPARK_GRAFT_SCALE_CHECK=0.
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "1":
+        from tools.make_scaled_data import ensure_scaled_data
+
+        sf1_dir = ensure_scaled_data(spark, src=sf_dir)
+        scale_queries = [
+            "q1_pricing_summary", "q5_regional_revenue", "q_events_hourly",
+            "d_exact_hash", "d_minhash_lsh", "s_knn_lsh",
+        ]
+        s_timings: dict[str, float] = {}
+        for name in scale_queries:
+            fn = qs[name]
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            s_timings[name] = round(time.time() - t0, 3)
+        base = {k: timings[k] for k in scale_queries}
+        result["scale_check"] = {
+            "sf": 1.0, "factor_vs_headline": 10,
+            "queries": s_timings,
+            "value": round(sum(s_timings.values()), 3),
+            "scaleup_ratio": {
+                k: round(s_timings[k] / base[k], 2) if base[k] > 0 else None
+                for k in scale_queries},
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
