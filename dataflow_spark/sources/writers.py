@@ -27,6 +27,10 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None,
         writer.options(**options).json(path)
     elif ext == "csv":
         writer.options(header=True, **options).csv(path)
+    elif ext in ("pickle", "pkl"):
+        write_pickle(df, path)
+    elif ext == "xlsx":
+        write_xlsx(df, path)
     else:
         raise ValueError(f"unsupported sink format {ext!r}")
 
@@ -38,3 +42,25 @@ def write_json_pretty(df: DataFrame, path: str, limit: int = 100000) -> None:
     with open(tmp, "w") as f:
         json.dump(rows, f, indent=2, default=str)
     os.replace(tmp, path)
+
+
+def write_pickle(df: DataFrame, path: str, limit: int = 1_000_000) -> None:
+    """Driver-side pandas-pickle export (reference storage.py:683-696
+    write dispatch). Bounded collect — exports, not datasets; use
+    parquet for anything that should stay distributed."""
+    pdf = df.limit(limit).toPandas()
+    tmp = path + ".tmp"
+    pdf.to_pickle(tmp)
+    os.replace(tmp, path)
+
+
+def write_xlsx(df: DataFrame, path: str, limit: int = 100_000) -> None:
+    """Driver-side Excel export (reference storage.py:683-696). Needs
+    the optional openpyxl engine; raises a clear error without it."""
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as e:  # pragma: no cover — absent in container
+        raise ImportError(
+            "write_xlsx requires the optional openpyxl package; "
+            "use write_any(..., fmt='parquet'/'csv') instead") from e
+    df.limit(limit).toPandas().to_excel(path, index=False)

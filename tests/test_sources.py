@@ -25,3 +25,30 @@ def test_read_any_by_extension(spark, tmp_path):
     p = str(tmp_path / "data.parquet")
     df.write.parquet(p)
     assert read_any(spark, p).count() == 1
+
+
+def test_pickle_write_read_roundtrip(spark, tmp_path):
+    from dataflow_spark.sources.readers import read_any
+    from dataflow_spark.sources.writers import write_any
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    p = str(tmp_path / "export.pkl")
+    write_any(df, p)
+    back = read_any(spark, p)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_xlsx_write_gated(spark, tmp_path):
+    import pytest
+
+    from dataflow_spark.sources.writers import write_xlsx
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="openpyxl"):
+            write_xlsx(df, str(tmp_path / "x.xlsx"))
+    else:
+        write_xlsx(df, str(tmp_path / "x.xlsx"))
+        assert (tmp_path / "x.xlsx").exists()
