@@ -204,7 +204,10 @@ class NgramHashDeduplicateFilter(_BaseDedup):
 class _NearDupBase(_BaseDedup):
     """Shared band-join -> components -> keep-first machinery."""
 
-    #: buckets above this size switch from all-pairs to chain expansion
+    #: 'star' (default) emits size-1 min-anchored edges per bucket;
+    #: 'all' emits all pairs (precision mode), capped by max_bucket_size
+    pair_expansion = "star"
+    #: in 'all' mode, buckets above this size fall back to chain edges
     max_bucket_size = 1000
 
     def _dedup_by_bands(self, df: DataFrame, banded: DataFrame,
@@ -214,35 +217,45 @@ class _NearDupBase(_BaseDedup):
         verify: optional callable (cand_df with a_id/b_id) -> filtered
         cand_df, applied to candidate pairs before components.
         """
-        # one shuffle (groupBy bucket) + in-bucket pair expansion instead
-        # of a two-sided self-join on (band, h): same candidate edge set,
-        # half the shuffled bytes. Bucket pair count is quadratic in
-        # bucket size by construction (as in the reference's LSH), so an
-        # adversarial corpus (thousands of near-identical docs -> one
-        # giant bucket) is capped: buckets larger than max_bucket_size
-        # emit a consecutive-id chain (size-1 edges) instead of all
-        # pairs. Same connected component for the degenerate cluster,
-        # linear instead of quadratic edge count.
+        # one shuffle (groupBy bucket) + in-bucket edge expansion instead
+        # of a two-sided self-join on (band, h): same components, half
+        # the shuffled bytes. Edge expansion per bucket of size k:
+        #   star (default): k-1 edges anchoring every id to the bucket
+        #     min — identical connected components to all-pairs through
+        #     that bucket, linear not quadratic. (The reference's
+        #     datasketch-LSH greedy insert is the same star shape and
+        #     does not verify at all; our verify runs on the star edges,
+        #     so precision is still >= reference.)
+        #   all: k(k-1)/2 edges, for maximum verify precision; buckets
+        #     above max_bucket_size emit a consecutive chain instead so
+        #     adversarial near-identical corpora stay linear.
         buckets = (
             banded.groupBy("band", "h")
             .agg(F.sort_array(F.collect_list("_nd_id")).alias("_ids"))
             .filter(F.size("_ids") > 1)
         )
         ids = F.col("_ids")
-        all_pairs = F.flatten(F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        ))
-        chain = F.transform(
-            F.slice(ids, 1, F.size(ids) - 1),
-            lambda x, i: F.struct(x.alias("src"),
-                                  F.element_at(ids, i + 2).alias("dst")),
-        )
-        pair_structs = F.when(F.size(ids) > F.lit(self.max_bucket_size),
-                              chain).otherwise(all_pairs)
+        if self.pair_expansion == "star":
+            pair_structs = F.transform(
+                F.slice(ids, 2, F.size(ids) - 1),
+                lambda y: F.struct(F.element_at(ids, 1).alias("src"),
+                                   y.alias("dst")),
+            )
+        else:
+            all_pairs = F.flatten(F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            ))
+            chain = F.transform(
+                F.slice(ids, 1, F.size(ids) - 1),
+                lambda x, i: F.struct(x.alias("src"),
+                                      F.element_at(ids, i + 2).alias("dst")),
+            )
+            pair_structs = F.when(F.size(ids) > F.lit(self.max_bucket_size),
+                                  chain).otherwise(all_pairs)
         pairs = (
             buckets.select(F.explode(pair_structs).alias("_e"))
             .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
@@ -276,8 +289,10 @@ class MinHashDeduplicateFilter(_NearDupBase):
 
     def __init__(self, input_key: str = "text", threshold: float = 0.9,
                  num_perm: int = 64, num_bands: int = 4, shingle_n: int = 5,
-                 order_key: str | None = None, verify_jaccard: bool = True):
+                 order_key: str | None = None, verify_jaccard: bool = True,
+                 pair_expansion: str = "star"):
         super().__init__(input_key, order_key)
+        self.pair_expansion = pair_expansion
         self.threshold = threshold
         self.num_perm = num_perm
         self.num_bands = num_bands
@@ -334,8 +349,10 @@ class SimHashDeduplicateFilter(_NearDupBase):
     """
 
     def __init__(self, input_key: str = "text", max_hamming: int = 3,
-                 shingle_n: int = 4, order_key: str | None = None):
+                 shingle_n: int = 4, order_key: str | None = None,
+                 pair_expansion: str = "star"):
         super().__init__(input_key, order_key)
+        self.pair_expansion = pair_expansion
         self.max_hamming = max_hamming
         self.shingle_n = shingle_n
 
@@ -377,8 +394,10 @@ class SemDeduplicateFilter(_NearDupBase):
 
     def __init__(self, embedding_key: str = "embedding", eps: float = 0.05,
                  num_planes: int = 16, num_bands: int = 4, dim: int | None = None,
-                 order_key: str | None = None, seed: int = 42):
+                 order_key: str | None = None, seed: int = 42,
+                 pair_expansion: str = "star"):
         super().__init__(embedding_key, order_key)
+        self.pair_expansion = pair_expansion
         self.eps = eps
         self.num_planes = num_planes
         self.num_bands = num_bands

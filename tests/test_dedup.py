@@ -94,10 +94,29 @@ def test_near_dup_bucket_cap_degenerate_corpus(spark):
     df = spark.range(n).selectExpr(
         "id AS doc_id",
         "'the same exact document body repeated verbatim for every row' AS text")
-    op = MinHashDeduplicateFilter(order_key="doc_id")
-    op.max_bucket_size = 100  # force the chain path
+    op = MinHashDeduplicateFilter(order_key="doc_id", pair_expansion="all")
+    op.max_bucket_size = 100  # force the chain fallback inside 'all' mode
     t0 = time.time()
     out = op.run(df)
     kept = out.select("doc_id").collect()
     assert [r.doc_id for r in kept] == [0]
     assert time.time() - t0 < 120
+
+
+def test_pair_expansion_modes_agree(spark):
+    """Star and all-pairs expansion find the same duplicate clusters on
+    a well-separated corpus."""
+    from dataflow_spark.operators.filters.dedup import MinHashDeduplicateFilter
+
+    rows = []
+    for g in range(20):
+        base = f"group {g} document about topic {g} with shared content body {'x' * g}"
+        for r in range(5):
+            rows.append((g * 10 + r, base + f" tail{r}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2)
+    kept_star = {r.doc_id for r in MinHashDeduplicateFilter(
+        order_key="doc_id", threshold=0.5).run(df).collect()}
+    kept_all = {r.doc_id for r in MinHashDeduplicateFilter(
+        order_key="doc_id", threshold=0.5,
+        pair_expansion="all").run(df).collect()}
+    assert kept_star == kept_all
