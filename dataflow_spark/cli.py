@@ -181,6 +181,130 @@ def cmd_webui(args: argparse.Namespace) -> int:
     return 0
 
 
+def _prepare_sft_dataset(spark, df, text_key: str, output: str,
+                         serving=None) -> int:
+    """Shared text2model/pdf2model data stage: clean -> filter -> dedup
+    -> chunk -> QA-generate -> SFT-format jsonl. Returns row count."""
+    from dataflow_spark.core.registry import get_operator
+    from dataflow_spark.serving import MockLLMServing
+
+    # default serving is the deterministic mock (no model weights in this
+    # container); a real OpenAI-compatible LLMServing slots in unchanged
+    serving = serving or MockLLMServing(
+        mode="template",
+        template="Q: What does this passage say? A: {prompt:.120s}")
+    from pyspark.sql import functions as F
+
+    pipe_ops = [
+        get_operator("RemoveExtraSpacesRefiner", {"input_key": text_key}),
+        get_operator("ContentNullFilter", {"input_key": text_key}),
+        get_operator("WordNumberFilter", {"input_key": text_key,
+                                          "min_words": 5}),
+        get_operator("HashDeduplicateFilter", {"input_keys": text_key}),
+        get_operator("ChunkGenerator", {"input_key": text_key,
+                                        "chunk_size": 2000}),
+        get_operator("Text2QAGenerator", {
+            "serving": serving, "input_key": "chunk",
+            "prompt_template": "Generate QA pairs for:\n{chunk}"}),
+    ]
+    out = df
+    for op in pipe_ops:
+        out = op.run(out)
+    sft = out.select(
+        F.col("question").alias("instruction"),
+        F.col("answer").alias("output"))
+    rows = [r.asDict() for r in sft.collect()]
+    import json as _json
+
+    os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+    with open(output, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r, default=str) + "\n")
+    return len(rows)
+
+
+def cmd_text2model(args: argparse.Namespace) -> int:
+    """Data stage of the reference's text2model flow (cli.py:386-408):
+    raw text -> cleaned/deduped/chunked -> QA pairs -> SFT jsonl. The
+    train step hands off to an external trainer (the reference shells
+    out to LlamaFactory — model training is outside the data engine)."""
+    if args.action == "train":
+        try:
+            import llamafactory  # noqa: F401  # pragma: no cover
+        except ImportError:
+            print("training backends (LlamaFactory) are not bundled with the "
+                  "data engine; run `text2model prepare` to produce the SFT "
+                  "dataset, then point your trainer at it", file=sys.stderr)
+            return 1
+    from dataflow_spark import get_spark
+    from dataflow_spark.sources.readers import read_any
+
+    spark = get_spark("text2model")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = read_any(spark, args.input)
+    n = _prepare_sft_dataset(spark, df, args.text_key, args.output)
+    print(f"wrote {n} SFT rows to {args.output}")
+    return 0
+
+
+def cmd_pdf2model(args: argparse.Namespace) -> int:
+    """Data stage of the reference's pdf2model/kbc flow (cli.py:326-383):
+    pdf/html/markdown files -> markdown -> cleaned/chunked -> QA pairs ->
+    SFT jsonl. PDF parsing needs the pdf_converter seam (no PDF library
+    bundled) — such rows are skipped with a warning."""
+    if args.action == "train":
+        try:
+            import llamafactory  # noqa: F401  # pragma: no cover
+        except ImportError:
+            print("training backends are not bundled; run `pdf2model prepare` "
+                  "then point your trainer at the SFT dataset", file=sys.stderr)
+            return 1
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark import get_spark
+    from dataflow_spark.core.registry import get_operator
+
+    spark = get_spark("pdf2model")
+    spark.sparkContext.setLogLevel("ERROR")
+    files = sorted(
+        p for pat in ("*.pdf", "*.md", "*.markdown", "*.html", "*.htm", "*.txt")
+        for p in globmod.glob(os.path.join(args.input, pat)))
+    if not files:
+        print(f"no convertible files under {args.input}", file=sys.stderr)
+        return 1
+    src = spark.createDataFrame([(p,) for p in files], ["source"])
+    conv = get_operator("FileOrURLToMarkdownConverterLocal", {
+        "intermediate_dir": os.path.join(args.cache, "intermediate")}).run(src)
+    conv = conv.cache()
+    n_failed = conv.filter(F.col("text_path") == "").count()
+    if n_failed:
+        print(f"warning: {n_failed} file(s) not converted (PDF needs a "
+              "pdf_converter backend)", file=sys.stderr)
+    ok = conv.filter(F.col("text_path") != "")
+
+    # read markdown executor-side (shared FS contract, same as converter)
+    def read_md(batches):
+        for b in batches:
+            b = b.copy()
+            b["text"] = [open(p, encoding="utf-8", errors="replace").read()
+                         for p in b["text_path"]]
+            yield b[["source", "text_path", "text"]]
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("source", StringType()),
+                         StructField("text_path", StringType()),
+                         StructField("text", StringType())])
+    md = ok.select("source", "text_path").mapInPandas(
+        lambda it: read_md(it), schema=schema)
+    cleaned = get_operator("KBCTextCleaner", {"input_key": "text"}).run(md)
+    n = _prepare_sft_dataset(spark, cleaned, "text", args.output)
+    print(f"wrote {n} SFT rows to {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dataflow-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +344,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=7862)
     sp.set_defaults(fn=cmd_webui)
+
+    sp = sub.add_parser("text2model",
+                        help="text -> SFT dataset (train hands off)")
+    sp.add_argument("action", choices=["prepare", "train"])
+    sp.add_argument("input", help="text file (.jsonl/.json/.csv/.parquet)")
+    sp.add_argument("--text-key", default="text")
+    sp.add_argument("--output", default="sft_dataset.jsonl")
+    sp.set_defaults(fn=cmd_text2model)
+
+    sp = sub.add_parser("pdf2model",
+                        help="pdf/markdown dir -> SFT dataset (train hands off)")
+    sp.add_argument("action", choices=["prepare", "train"])
+    sp.add_argument("input", help="directory of pdf/md/html files")
+    sp.add_argument("--cache", default=".cache")
+    sp.add_argument("--output", default="sft_dataset.jsonl")
+    sp.set_defaults(fn=cmd_pdf2model)
 
     args = p.parse_args(argv)
     return args.fn(args)

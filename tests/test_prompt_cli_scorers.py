@@ -128,3 +128,38 @@ def test_cli_webui_index():
 
     html = _webui_index_html()
     assert "HashDeduplicateFilter" in html and "<table" in html
+
+
+def test_cli_text2model_prepare(tmp_path, spark):
+    import json
+
+    from dataflow_spark.cli import main
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"text": "A long passage about data engines and spark pipelines '
+        'used for preparing supervised training sets."}\n')
+    out = tmp_path / "sft.jsonl"
+    assert main(["text2model", "prepare", str(src),
+                 "--output", str(out)]) == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert rows and {"instruction", "output"} <= set(rows[0])
+    # train hands off: clear error, no crash
+    assert main(["text2model", "train", str(src)]) == 1
+
+
+def test_cli_pdf2model_prepare(tmp_path, spark):
+    import json
+
+    from dataflow_spark.cli import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "doc.md").write_text(
+        "# Title\nA markdown document long enough to pass the word filter "
+        "about engines and pipelines.")
+    out = tmp_path / "sft.jsonl"
+    assert main(["pdf2model", "prepare", str(d), "--output", str(out),
+                 "--cache", str(tmp_path / "c")]) == 0
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert rows and rows[0]["instruction"]
