@@ -1102,7 +1102,27 @@ SELECT doc_id,
        ELSE round(2.0 * nc / (nc + nr), 4) END AS token_f1
 FROM n
 """)(_bleu_f1)
-q("x_kcenter_coreset")(_coreset)
+# greedy k-center is deterministic (min-id start, min-id tie-break), so
+# the oracle replays the greedy selection as a recursive CTE
+q("x_kcenter_coreset", """
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+sel AS (
+  SELECT 1 AS it, [(SELECT min(vec_id) FROM e)] AS chosen
+  UNION ALL
+  SELECT it + 1, list_append(chosen, (
+    SELECT c.vec_id FROM e c
+    WHERE NOT list_contains(sel.chosen, c.vec_id)
+    ORDER BY (
+      SELECT min(list_distance(c.v, s.v))
+      FROM e s WHERE list_contains(sel.chosen, s.vec_id)
+    ) DESC, c.vec_id ASC
+    LIMIT 1))
+  FROM sel WHERE it < 50
+)
+SELECT unnest(chosen) AS vec_id FROM sel WHERE it = 50
+""")(_coreset)
 q("s_knn_ivf")(_ivf_knn)
 q("x_conversation_roundtrip", """
 SELECT user_id AS conv_id, count(*) AS n_turns

@@ -51,15 +51,19 @@ class KCenterGreedyFilter(Operator):
         X = np.array([r[1] for r in rows], dtype=np.float64)
 
         k = min(self.num_samples, len(ids))
-        # greedy k-center: start from the smallest id (deterministic),
-        # then repeatedly take the point farthest from the chosen set
+        # greedy k-center: start from the smallest id, then repeatedly
+        # take the point with max squared distance to the chosen set
+        # (same selection as euclidean, cheaper); distance ties break to
+        # the smallest id so the selection is fully deterministic and
+        # independent of collect order
         start = int(np.argmin(ids))
         chosen = [start]
-        d = np.linalg.norm(X - X[start], axis=1)
+        d = ((X - X[start]) ** 2).sum(axis=1)
         for _ in range(1, k):
-            nxt = int(np.argmax(d))
+            cand = np.flatnonzero(d == d.max())
+            nxt = int(cand[np.argmin(ids[cand])])
             chosen.append(nxt)
-            d = np.minimum(d, np.linalg.norm(X - X[nxt], axis=1))
+            d = np.minimum(d, ((X - X[nxt]) ** 2).sum(axis=1))
         chosen_ids = [int(ids[i]) for i in chosen]
 
         spark = df.sparkSession
