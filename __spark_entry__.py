@@ -1372,9 +1372,14 @@ FROM documents
 
 
 def _cider(spark, sf_dir):
+    # candidate = first two-thirds of the words: a real partial overlap,
+    # so every n-gram cosine in the score is non-trivial
+    w = T.words(F.col("text"))
+    cand = F.array_join(
+        F.slice(w, 1, F.greatest(F.lit(1),
+                                 F.floor(F.size(w) * 2 / 3).cast("int"))), " ")
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("reference"),
-        F.lower(F.col("text")).alias("generated"))
+        "doc_id", F.col("text").alias("reference"), cand.alias("generated"))
     out = get_operator("CiderSampleEvaluator", {}).run(docs)
     return out.select("doc_id", F.round("cider", 4).alias("cider"))
 
@@ -1385,7 +1390,39 @@ def _vendi(spark, sf_dir):
 
 
 q("x_stemming", _stemming_oracle())(_stemming)
-q("e_cider")(_cider)
+q("e_cider", r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x != '') AS rt
+  FROM documents),
+b2 AS (SELECT doc_id, rt,
+              rt[1:greatest(1, CAST(floor(len(rt) * 2.0 / 3) AS INT))] AS ct
+       FROM base),
+ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+cg AS (SELECT doc_id, n,
+              unnest(list_transform(generate_series(1, len(ct) - n + 1),
+                     i -> array_to_string(ct[i:i+n-1], ' '))) AS g
+       FROM b2, ns WHERE len(ct) >= n),
+rg AS (SELECT doc_id, n,
+              unnest(list_transform(generate_series(1, len(rt) - n + 1),
+                     i -> array_to_string(rt[i:i+n-1], ' '))) AS g
+       FROM b2, ns WHERE len(rt) >= n),
+cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+dt AS (SELECT cc.doc_id, cc.n, sum(cc.c * rc.c) AS d
+       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+       GROUP BY cc.doc_id, cc.n),
+ncs AS (SELECT doc_id, n, sqrt(sum(c * c)) AS nc FROM cc GROUP BY doc_id, n),
+nrs AS (SELECT doc_id, n, sqrt(sum(c * c)) AS nr FROM rc GROUP BY doc_id, n),
+per_n AS (SELECT ncs.doc_id, ncs.n,
+                 coalesce(dt.d / nullif(ncs.nc * nrs.nr, 0), 0) AS cs
+          FROM ncs
+          JOIN nrs ON ncs.doc_id = nrs.doc_id AND ncs.n = nrs.n
+          LEFT JOIN dt ON ncs.doc_id = dt.doc_id AND ncs.n = dt.n),
+agg AS (SELECT doc_id, sum(cs) AS s FROM per_n GROUP BY doc_id)
+SELECT b2.doc_id, round(10.0 * coalesce(agg.s, 0) / 4, 4) AS cider
+FROM b2 LEFT JOIN agg ON b2.doc_id = agg.doc_id
+""")(_cider)
 q("e_vendi_diversity")(_vendi)
 
 
