@@ -305,6 +305,39 @@ def cmd_pdf2model(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """Run a ready-made pipeline from dataflow_spark.pipelines on an
+    input file (the reference user's statics/pipelines entry points)."""
+    import inspect
+
+    from dataflow_spark import get_spark
+    from dataflow_spark import pipelines as pl
+    from dataflow_spark.serving import MockLLMServing
+    from dataflow_spark.sources.readers import read_any
+    from dataflow_spark.sources.writers import write_any
+
+    if args.name not in pl.PIPELINES:
+        print(f"unknown pipeline {args.name!r}; available: "
+              f"{', '.join(sorted(pl.PIPELINES))}", file=sys.stderr)
+        return 1
+    builder = pl.PIPELINES[args.name]
+    kwargs = {}
+    if "serving" in inspect.signature(builder).parameters:
+        # mock serving keeps the pipeline runnable offline; a real
+        # OpenAI-compatible LLMServing slots in programmatically
+        kwargs["serving"] = MockLLMServing(mode="hash")
+    pipe = builder(**kwargs) if kwargs else builder()
+    spark = get_spark(f"pipeline-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = pipe.forward(read_any(spark, args.input))
+    if args.output:
+        write_any(out, args.output)
+        print(f"wrote {args.output}")
+    else:
+        print(f"{out.count()} rows, columns: {out.columns}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dataflow-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -344,6 +377,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=7862)
     sp.set_defaults(fn=cmd_webui)
+
+    sp = sub.add_parser("pipeline", help="run a ready-made pipeline")
+    sp.add_argument("name")
+    sp.add_argument("input")
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("text2model",
                         help="text -> SFT dataset (train hands off)")

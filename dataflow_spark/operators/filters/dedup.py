@@ -144,6 +144,12 @@ class _BaseDedup(Operator):
             return df, self.order_key
         return with_row_id(df), ROW_ID
 
+    def _finish(self, out: DataFrame, order_col: str) -> DataFrame:
+        """Drop the engine-added order column (never user columns)."""
+        if order_col == ROW_ID and self.order_key != ROW_ID:
+            return out.drop(ROW_ID)
+        return out
+
 
 @OPERATOR_REGISTRY.register()
 class HashDeduplicateFilter(_BaseDedup):
@@ -172,7 +178,7 @@ class HashDeduplicateFilter(_BaseDedup):
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
-        return _keep_first(df, self._hash(), order_col)
+        return self._finish(_keep_first(df, self._hash(), order_col), order_col)
 
 
 @OPERATOR_REGISTRY.register()
@@ -191,7 +197,9 @@ class CCNetDeduplicateFilter(_BaseDedup):
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
-        return _keep_first(df, F.md5(self.normalize(F.col(self.input_key))), order_col)
+        return self._finish(
+            _keep_first(df, F.md5(self.normalize(F.col(self.input_key))), order_col),
+            order_col)
 
 
 @OPERATOR_REGISTRY.register()
@@ -280,9 +288,11 @@ class _NearDupBase(_BaseDedup):
         # propagation), so "first occurrence" == rows whose own id equals
         # their component label; unclustered rows (left-join miss) stay.
         out = df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
-        return (out.filter(F.coalesce(F.col("component"), F.col("_nd_id"))
-                           == F.col("_nd_id"))
-                .drop("component", "_nd_id"))
+        return self._finish(
+            out.filter(F.coalesce(F.col("component"), F.col("_nd_id"))
+                       == F.col("_nd_id"))
+            .drop("component", "_nd_id"),
+            order_col)
 
 
 @OPERATOR_REGISTRY.register()

@@ -76,4 +76,5 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
             .join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
             .withColumn("component", F.coalesce("component", F.col("_nd_id")))
         )
-        return _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
+        kept = _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
+        return self._finish(kept, order_col)
