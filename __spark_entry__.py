@@ -1950,6 +1950,266 @@ def x_mineru_markdown(spark, sf_dir):
         (F.col("text_path") != "").alias("converted"))
 
 
+# ---------------------------------------------------------------------------
+# round-2b: oracle rows for operators that previously had pytest-only
+# coverage (threshold filters, prompted/agentic LLM chains, refiners)
+# ---------------------------------------------------------------------------
+
+@q("x_general_filter", """
+SELECT doc_id FROM documents WHERE len(text) >= 300 AND text LIKE '%the%'
+""")
+def x_general_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("GeneralFilter", {
+        "predicates": ["length(text) >= 300", "text LIKE '%the%'"]})
+    return op.run(docs).select("doc_id")
+
+
+@q("x_score_range", """
+SELECT o_orderkey FROM orders
+WHERE o_totalprice IS NOT NULL AND o_totalprice BETWEEN 1000 AND 50000
+""")
+def x_score_range(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    op = get_operator("ScoreRangeFilter", {
+        "input_key": "o_totalprice", "min_score": 1000.0, "max_score": 50000.0})
+    return op.run(orders).select("o_orderkey")
+
+
+# hash-backend score s = uint32(md5(salt||text)[:4]) / 0xFFFFFFFF, so a
+# threshold on s is a lexicographic bound on the first 8 hex digits:
+# s >= k  <=>  hex8 >= hex(ceil(k * 0xFFFFFFFF))
+@q("x_qurating_filter", """
+SELECT doc_id FROM documents
+WHERE substr(lower(md5(concat('QuratingSampleEvaluator', text))), 1, 8)
+      >= '80000000'
+""")
+def x_qurating_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return get_operator("QuratingFilter", {"min_score": 0.5}).run(docs).select("doc_id")
+
+
+@q("x_fineweb_filter", """
+SELECT doc_id FROM documents
+WHERE substr(lower(md5(concat('FineWebEduSampleEvaluator', text))), 1, 8)
+      BETWEEN '40000000' AND 'bfffffff'
+""")
+def x_fineweb_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (get_operator("FineWebEduFilter",
+                         {"min_score": 0.25, "max_score": 0.75})
+            .run(docs).select("doc_id"))
+
+
+@q("f_code_length", """
+WITH l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents)
+SELECT doc_id FROM l
+WHERE list_max(list_transform(ls, x -> len(x))) <= 300
+  AND len(ls) BETWEEN 1 AND 50
+""")
+def f_code_length(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("CodeLengthFilter", {
+        "input_key": "text", "max_line_length": 300,
+        "min_lines": 1, "max_lines": 50})
+    return op.run(docs).select("doc_id")
+
+
+@q("f_code_autogen", """
+WITH h AS (SELECT doc_id,
+  lower(array_to_string(list_slice(str_split(text, chr(10)), 1, 10), chr(10))) AS head
+  FROM documents)
+SELECT doc_id FROM h WHERE NOT regexp_matches(head,
+  'auto-generated|autogenerated|automatically generated|generated by|do not edit|do not modify')
+""")
+def f_code_autogen(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("CodeAutoGeneratedFilter", {"input_key": "text"})
+    return op.run(docs).select("doc_id")
+
+
+@q("r_remove_emoji", """
+SELECT doc_id,
+  regexp_replace(text || ' \U0001f600 ok ☀✨',
+    '[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}'
+    || '\\x{1F900}-\\x{1F9FF}\\x{2600}-\\x{26FF}\\x{2700}-\\x{27BF}\\x{FE0F}]',
+    '', 'g') AS t2
+FROM documents
+""")
+def r_remove_emoji(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "t2", F.concat(F.col("text"), F.lit(" \U0001f600 ok ☀✨")))
+    op = get_operator("RemoveEmojiRefiner", {"input_key": "t2"})
+    return op.run(docs).select("doc_id", "t2")
+
+
+_SPELL_VOCAB = ["lorem", "ipsum", "dolor", "amet", "elit", "magna", "quis"]
+
+# engine semantics: a non-vocab alpha word becomes the lexicographically
+# smallest vocab word within one delete/transpose/replace/insert — i.e.
+# Damerau-Levenshtein distance 1 (restricted alphabet is a-z both sides)
+@q("x_spelling_correction", """
+WITH w0 AS (SELECT doc_id, lower(regexp_extract(text, '[A-Za-z]+', 0)) AS w
+            FROM documents),
+v(v) AS (VALUES ('lorem'),('ipsum'),('dolor'),('amet'),('elit'),('magna'),('quis')),
+c AS (SELECT w0.doc_id, w0.w,
+        (SELECT min(v.v) FROM v WHERE damerau_levenshtein(w0.w, v.v) = 1) AS cand,
+        EXISTS(SELECT 1 FROM v WHERE v.v = w0.w) AS invoc
+      FROM w0)
+SELECT doc_id, CASE WHEN w = '' OR invoc THEN w ELSE coalesce(cand, w) END AS w
+FROM c
+""")
+def x_spelling_correction(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.regexp_extract("text", "[A-Za-z]+", 0)).alias("w"))
+    op = get_operator("SpellingCorrectionRefiner", {
+        "vocabulary": _SPELL_VOCAB, "input_key": "w"})
+    return op.run(docs).select("doc_id", "w")
+
+
+@q("x_perplexity_filter", r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x != '')) AS w
+  FROM documents),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS total FROM tok),
+p AS (SELECT t.doc_id, exp(avg(-ln(c.c::DOUBLE / tot.total))) AS ppl
+      FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot GROUP BY t.doc_id)
+SELECT doc_id FROM p WHERE ppl <= 30.1
+""")
+def x_perplexity_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PerplexityFilter", {"max_score": 30.1, "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+# hash-mode responses are 'resp-' || md5(prompt)[:12]; PromptedEvaluator
+# extracts the first digit run of the hex as the score
+@q("e_prompted_score", r"""
+WITH r AS (SELECT doc_id,
+             'resp-' || left(md5('Rate quality 0-9: ' || text), 12) AS raw
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_extract(raw, '(-?[0-9]+(\.[0-9]+)?)', 1) != ''
+            THEN regexp_extract(raw, '(-?[0-9]+(\.[0-9]+)?)', 1)::DOUBLE
+       END AS llm_score
+FROM r
+""")
+def e_prompted_score(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PromptedEvaluator", {
+        "serving": MockLLMServing(mode="hash"),
+        "prompt_template": "Rate quality 0-9: {text}"})
+    return op.run(docs).select("doc_id", "llm_score")
+
+
+@q("x_prompted_filter", r"""
+WITH r AS (SELECT doc_id,
+             'resp-' || left(md5('Rate quality 0-9: ' || text), 12) AS raw
+           FROM documents),
+s AS (SELECT doc_id,
+        TRY_CAST(regexp_extract(raw, '(-?[0-9]+(\.[0-9]+)?)', 1) AS DOUBLE) AS sc
+      FROM r)
+SELECT doc_id FROM s WHERE sc >= 5
+""")
+def x_prompted_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PromptedFilter", {
+        "serving": MockLLMServing(mode="hash"),
+        "prompt_template": "Rate quality 0-9: {text}", "min_score": 5.0})
+    return op.run(docs).select("doc_id")
+
+
+@q("g_agentic_depth_chain", """
+WITH a AS (SELECT doc_id,
+             'resp-' || left(md5('Write one atomic question answerable from: '
+                                 || text), 12) AS atomic_task
+           FROM documents WHERE doc_id < 40),
+d1 AS (SELECT *, 'resp-' || left(md5(
+         'Make this question require one more reasoning hop: ' || atomic_task),
+         12) AS h1 FROM a),
+d2 AS (SELECT *, 'resp-' || left(md5(
+         'Make this question require one more reasoning hop: ' || h1),
+         12) AS depth_task FROM d1)
+SELECT doc_id, atomic_task, depth_task FROM d2
+""")
+def g_agentic_depth_chain(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = get_operator("AgenticRAGAtomicTaskGenerator", {"serving": s}).run(docs)
+    out = get_operator("AgenticRAGDepthQAGenerator",
+                       {"serving": s, "depth": 2}).run(out)
+    return out.select("doc_id", "atomic_task", "depth_task")
+
+
+@q("g_agentic_width", """
+WITH a AS (SELECT doc_id,
+             'resp-' || left(md5('Write one atomic question answerable from: '
+                                 || text), 12) AS atomic_task
+           FROM documents WHERE doc_id < 40),
+i AS (SELECT doc_id, atomic_task,
+        row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM a),
+fst AS (SELECT idx // 2 AS p, atomic_task AS t1 FROM i WHERE idx % 2 = 0),
+snd AS (SELECT idx // 2 AS p, atomic_task AS t2 FROM i WHERE idx % 2 = 1)
+SELECT fst.p AS "_pair", t1 AS "_t1", t2 AS "_t2",
+       'resp-' || left(md5('Combine into one question: 1) ' || t1
+                           || ' 2) ' || t2), 12) AS width_task
+FROM fst JOIN snd ON fst.p = snd.p
+""")
+def g_agentic_width(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = get_operator("AgenticRAGAtomicTaskGenerator", {"serving": s}).run(docs)
+    return get_operator("AgenticRAGWidthQAGenerator",
+                        {"serving": s, "id_key": "doc_id"}).run(out)
+
+
+@q("g_sql_variation", """
+WITH base AS (SELECT n_nationkey, 'SELECT ' || n_nationkey AS orig_sql
+              FROM nation),
+f AS (SELECT n_nationkey, orig_sql, unnest([1, 2]) AS variation_id FROM base)
+SELECT n_nationkey, variation_id, orig_sql,
+       'resp-' || left(md5('Rewrite this SQL differently (variant '
+                           || variation_id || '):' || chr(10) || orig_sql),
+                       12) AS "SQL"
+FROM f
+""")
+def g_sql_variation(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(F.lit("SELECT "), F.col("n_nationkey").cast("string")).alias("SQL"))
+    out = get_operator("SQLVariationGenerator", {
+        "serving": MockLLMServing(mode="hash"), "num_variations": 2}).run(nat)
+    return out.select("n_nationkey", "variation_id", "orig_sql", "SQL")
+
+
+@q("x_sql_executability", """
+SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+""")
+def x_sql_executability(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 2 == 0,
+               F.concat(F.lit("SELECT "), F.col("n_nationkey").cast("string")))
+        .otherwise(F.concat(F.lit("FROM missing_table SELEC "),
+                            F.col("n_nationkey").cast("string")))
+        .alias("SQL"))
+    out = get_operator("SQLExecutabilityFilter", {}).run(nat)
+    return out.select("n_nationkey")
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.
