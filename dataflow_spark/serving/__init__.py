@@ -1,4 +1,13 @@
-from dataflow_spark.serving.base import LLMServing
+from dataflow_spark.serving.base import EmbeddingServing, LLMServing
 from dataflow_spark.serving.mock import MockLLMServing, HashEmbeddingServing
+from dataflow_spark.serving.api import (
+    APIEmbeddingServing,
+    APILLMServing,
+    APILLMServing_request,
+)
 
-__all__ = ["LLMServing", "MockLLMServing", "HashEmbeddingServing"]
+__all__ = [
+    "LLMServing", "EmbeddingServing",
+    "MockLLMServing", "HashEmbeddingServing",
+    "APILLMServing", "APILLMServing_request", "APIEmbeddingServing",
+]

@@ -1,0 +1,89 @@
+"""APILLMServing / APIEmbeddingServing against a local OpenAI-compatible
+stub server (no network, no keys) — proves the full executor-side path:
+mapInPandas closure -> thread-pool fan-out -> HTTP -> response parse.
+"""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from dataflow_spark.serving import APIEmbeddingServing, APILLMServing, APILLMServing_request
+
+
+class _Stub(BaseHTTPRequestHandler):
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        if self.path == "/v1/chat/completions":
+            prompt = body["messages"][-1]["content"]
+            sys_msgs = [m for m in body["messages"] if m["role"] == "system"]
+            prefix = f"[{sys_msgs[0]['content']}]" if sys_msgs else ""
+            out = {"choices": [{"message": {
+                "content": f"{prefix}echo:{prompt}:{body['model']}"}}]}
+        elif self.path == "/v1/embeddings":
+            out = {"data": [{"index": i, "embedding": [float(len(t)), 1.0]}
+                            for i, t in enumerate(body["input"])]}
+        else:  # pragma: no cover
+            self.send_response(404)
+            self.end_headers()
+            return
+        payload = json.dumps(out).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def stub_url():
+    srv = HTTPServer(("127.0.0.1", 0), _Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_chat_batch(stub_url):
+    s = APILLMServing(api_url=f"{stub_url}/v1/chat/completions",
+                      model_name="m1", max_workers=4)
+    out = s.generate_batch(["a", "b", "c"])
+    assert out == ["echo:a:m1", "echo:b:m1", "echo:c:m1"]
+    assert s.generate_batch([]) == []
+
+
+def test_chat_system_prompt_and_alias(stub_url):
+    assert APILLMServing_request is APILLMServing
+    s = APILLMServing(api_url=f"{stub_url}/v1/chat/completions",
+                      model_name="m", system_prompt="sys")
+    assert s.generate_batch(["x"]) == ["[sys]echo:x:m"]
+
+
+def test_embeddings(stub_url):
+    s = APIEmbeddingServing(api_url=f"{stub_url}/v1/embeddings", dim=2)
+    assert s.embed_batch(["ab", "q"]) == [[2.0, 1.0], [1.0, 1.0]]
+    assert s.embed_batch([]) == []
+
+
+def test_llm_map_through_api(stub_url, spark):
+    from dataflow_spark.operators.generate.llm_map import llm_map
+
+    df = spark.createDataFrame([("hi",), ("yo",)], ["text"]).coalesce(1)
+    s = APILLMServing(api_url=f"{stub_url}/v1/chat/completions", model_name="m")
+    got = {r["text"]: r["resp"]
+           for r in llm_map(df, s, "Q:{text}", "text", "resp").collect()}
+    assert got == {"hi": "echo:Q:hi:m", "yo": "echo:Q:yo:m"}
+
+
+def test_embedding_generator_through_api(stub_url, spark):
+    from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+    df = spark.createDataFrame([("abc",), ("de",)], ["text"]).coalesce(1)
+    op = OPERATOR_REGISTRY.get("EmbeddingGenerator")(
+        serving=APIEmbeddingServing(api_url=f"{stub_url}/v1/embeddings", dim=2))
+    rows = {r["text"]: r["embedding"] for r in op.run(df).collect()}
+    assert rows == {"abc": [3.0, 1.0], "de": [2.0, 1.0]}
