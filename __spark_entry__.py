@@ -2210,6 +2210,251 @@ def x_sql_executability(spark, sf_dir):
     return out.select("n_nationkey")
 
 
+@q("g_reasoning_chain", r"""
+WITH s1 AS (SELECT doc_id,
+              'resp-' || left(md5('Write a new math question inspired by: '
+                                  || text), 12) AS synth_question
+            FROM documents WHERE doc_id < 30),
+s2 AS (SELECT *, 'resp-' || left(md5('Solve step by step: ' || synth_question),
+                                 12) AS solution FROM s1),
+s3 AS (SELECT *, CASE WHEN len(regexp_extract_all(solution,
+                              '(-?[0-9]+\.?[0-9]*)', 1)) > 0
+                      THEN list_extract(regexp_extract_all(solution,
+                              '(-?[0-9]+\.?[0-9]*)', 1), -1)
+                 END AS final_answer FROM s2)
+SELECT doc_id, synth_question, solution, final_answer,
+       'Question: ' || synth_question || chr(10) || 'Answer: ' || solution
+         AS pretrain_text
+FROM s3
+""")
+def g_reasoning_chain(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("question"), "text")
+    out = get_operator("ReasoningQuestionGenerator",
+                       {"serving": s, "input_key": "text"}).run(docs)
+    out = get_operator("ReasoningAnswerGenerator",
+                       {"serving": s, "input_key": "synth_question"}).run(out)
+    out = get_operator("ReasoningFormatConvertGenerator", {
+        "question_key": "synth_question", "answer_key": "solution",
+        "output_key": "pretrain_text"}).run(out)
+    return out.select("doc_id", "synth_question", "solution", "final_answer",
+                      "pretrain_text")
+
+
+@q("g_code_instruction_chain", """
+WITH s1 AS (SELECT doc_id,
+              'resp-' || left(md5('Write a programming task whose solution is:'
+                                  || chr(10) || text), 12) AS instruction
+            FROM documents WHERE doc_id < 30),
+s2 AS (SELECT *, 'resp-' || left(md5(
+         'Rewrite this task to be more challenging: ' || instruction), 12)
+         AS enhanced_instruction FROM s1),
+s3 AS (SELECT *, 'resp-' || left(md5('Implement: ' || enhanced_instruction), 12)
+         AS code FROM s2),
+s4 AS (SELECT *, 'resp-' || left(md5(
+         'State the instruction this code implements:' || chr(10) || code), 12)
+         AS back_instruction FROM s3)
+SELECT doc_id, instruction, enhanced_instruction, code, back_instruction FROM s4
+""")
+def g_code_instruction_chain(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    out = get_operator("CodeInstructionGenerator",
+                       {"serving": s, "input_key": "text"}).run(docs)
+    out = get_operator("CodeEnhancementInstructionGenerator",
+                       {"serving": s}).run(out)
+    out = get_operator("CodeInstructionToCodeGenerator",
+                       {"serving": s, "input_key": "enhanced_instruction"}).run(out)
+    out = get_operator("CodeCodeToInstructionGenerator", {"serving": s}).run(out)
+    return out.select("doc_id", "instruction", "enhanced_instruction", "code",
+                      "back_instruction")
+
+
+@q("g_condor_pair", """
+WITH seed AS (
+  SELECT i AS pair_id,
+         list_extract(['math','coding','writing','reasoning'],
+                      (i % 4 + 1)::INT) AS topic
+  FROM generate_series(0, 19) t(i)),
+q1 AS (SELECT *, 'resp-' || left(md5('Pose a ' || topic
+         || ' question, variant ' || pair_id), 12) AS question FROM seed),
+a1 AS (SELECT *, 'resp-' || left(md5('Answer this: ' || question), 12)
+         AS answer0 FROM q1),
+c1 AS (SELECT *, 'resp-' || left(md5('Critique this answer: ' || answer0), 12)
+         AS critique FROM a1)
+SELECT pair_id, topic, question,
+       'resp-' || left(md5('Rewrite the answer per the critique: ' || answer0
+                           || ' || critique: ' || critique), 12) AS answer
+FROM c1
+""")
+def g_condor_pair(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("CondorGenerator", {"serving": s, "num_pairs": 20}).run(docs)
+    out = get_operator("CondorRefiner", {"serving": s}).run(out)
+    return out.select("pair_id", "topic", "question", "answer")
+
+
+@q("g_sft_seed", """
+WITH s1 AS (SELECT doc_id,
+              'resp-' || left(md5('Write an instruction for: ' || text), 12)
+                AS instruction
+            FROM documents WHERE doc_id < 40)
+SELECT doc_id, instruction,
+       'resp-' || left(md5('Answer: ' || instruction), 12) AS output
+FROM s1
+""")
+def g_sft_seed(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = get_operator("SFTGeneratorSeed",
+                       {"serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "instruction", "output")
+
+
+@q("g_phi4_bench", r"""
+WITH s1 AS (SELECT doc_id,
+              'resp-' || left(md5('Write one exam question about: ' || text), 12)
+                AS question
+            FROM documents WHERE doc_id < 40),
+s2 AS (SELECT *, 'resp-' || left(md5('Answer precisely: ' || question), 12)
+         AS answer FROM s1),
+s3 AS (SELECT *, 'resp-' || left(md5('Answer: ' || question), 12) AS raw FROM s2)
+SELECT doc_id, question, answer,
+       CASE WHEN len(regexp_extract_all(raw, '(-?[0-9]+\.?[0-9]*)', 1)) > 0
+            THEN list_extract(regexp_extract_all(raw, '(-?[0-9]+\.?[0-9]*)', 1), -1)
+       END AS model_answer
+FROM s3
+""")
+def g_phi4_bench(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = get_operator("Phi4QAGenerator", {"serving": s}).run(docs)
+    out = get_operator("BenchAnswerGenerator",
+                       {"serving": s, "input_key": "question"}).run(out)
+    return out.select("doc_id", "question", "answer", "model_answer")
+
+
+@q("g_random_domain_rows", """
+SELECT i AS row_id,
+       list_extract(['science','history','technology','art'],
+                    (i % 4 + 1)::INT) AS domain,
+       'resp-' || left(md5('Write a knowledge paragraph about '
+         || list_extract(['science','history','technology','art'],
+                         (i % 4 + 1)::INT)
+         || ' variant ' || i), 12) AS text
+FROM generate_series(0, 39) t(i)
+""")
+def g_random_domain_rows(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("RandomDomainKnowledgeRowGenerator", {
+        "serving": MockLLMServing(mode="hash"), "num_rows": 40}).run(docs)
+    return out.select("row_id", "domain", "text")
+
+
+@q("g_multiturn_conversation", """
+WITH s0 AS (SELECT doc_id, 'seed ' || doc_id AS chat
+            FROM documents WHERE doc_id < 20),
+s1 AS (SELECT *, 'resp-' || left(md5('Reply to: ' || chat), 12) AS a0 FROM s0),
+s2 AS (SELECT *, 'resp-' || left(md5('Follow up on: ' || a0), 12) AS u0 FROM s1),
+s3 AS (SELECT *, 'resp-' || left(md5('Reply to: ' || u0), 12) AS a1 FROM s2)
+SELECT doc_id,
+  '[{"role":"user","content":"' || chat || '"},'
+  || '{"role":"assistant","content":"' || a0 || '"},'
+  || '{"role":"user","content":"' || u0 || '"},'
+  || '{"role":"assistant","content":"' || a1 || '"}]' AS conv_json
+FROM s3
+""")
+def g_multiturn_conversation(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", F.concat(F.lit("seed "), F.col("doc_id").cast("string")).alias("chat"))
+    out = get_operator("MultiTurnConversationGenerator", {
+        "serving": MockLLMServing(mode="hash"), "rounds": 2}).run(docs)
+    return out.select("doc_id", F.to_json("conversations").alias("conv_json"))
+
+
+@q("g_scenario_expand", """
+WITH base AS (SELECT doc_id, text AS orig_scenario
+              FROM documents WHERE doc_id < 30),
+f AS (SELECT doc_id, orig_scenario, unnest([1, 2]) AS i FROM base)
+SELECT doc_id, orig_scenario,
+       'resp-' || left(md5('Propose alternative scenario #' || i
+                           || ' similar to: ' || orig_scenario), 12) AS scenario
+FROM f
+""")
+def g_scenario_expand(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("scenario"))
+    out = get_operator("ScenarioExpander", {
+        "serving": MockLLMServing(mode="hash"), "n": 2}).run(docs)
+    return out.select("doc_id", "orig_scenario", "scenario")
+
+
+@q("g_paraseq_task", """
+WITH s1 AS (SELECT doc_id, text AS atom_task FROM documents WHERE doc_id < 30),
+s2 AS (SELECT *, 'resp-' || left(md5('Write a task doable in parallel with: '
+                                     || atom_task), 12) AS parallel_task FROM s1)
+SELECT doc_id, parallel_task,
+       'resp-' || left(md5('Combine into one multi-part task: ' || atom_task
+                           || ' AND ' || parallel_task), 12) AS paraseq_task
+FROM s2
+""")
+def g_paraseq_task(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("atom_task"))
+    out = get_operator("ParaSeqTaskGenerator", {
+        "serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "parallel_task", "paraseq_task")
+
+
+# echo serving: the judge's reply contains the instruction text, whose
+# '"judgement_*": true' template makes the parser keep every row —
+# pins the parse/keep path; the reject path is pytest-covered
+@q("x_reasoning_question_filter", """
+SELECT doc_id FROM documents WHERE doc_id < 30
+""")
+def x_reasoning_question_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("math_problem"))
+    out = get_operator("ReasoningQuestionFilter", {
+        "serving": MockLLMServing(mode="echo")}).run(docs)
+    return out.select("doc_id")
+
+
+@q("x_answer_judge_filter", """
+SELECT doc_id, true AS answer_match_result FROM documents WHERE doc_id < 30
+""")
+def x_answer_judge_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("question"),
+        F.lit("42").alias("answer"), F.lit("42").alias("reference_answer"))
+    out = get_operator("ReasoningAnswerModelJudgeFilter", {
+        "serving": MockLLMServing(mode="echo")}).run(docs)
+    return out.select("doc_id", "answer_match_result")
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.

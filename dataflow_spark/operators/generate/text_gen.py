@@ -27,6 +27,14 @@ from dataflow_spark.operators.generate.llm_map import llm_map
 from dataflow_spark.serving.base import LLMServing
 
 
+def _seed_range(spark: SparkSession, n: int) -> DataFrame:
+    """Row-generator seed sized so LLM micro-batches stay full: one
+    partition per ~64 rows (capped at the cluster's parallelism) instead
+    of defaultParallelism mostly-empty slices for small n."""
+    parts = max(1, min(spark.sparkContext.defaultParallelism, (n + 63) // 64))
+    return spark.range(0, n, 1, numPartitions=parts)
+
+
 @OPERATOR_REGISTRY.register()
 class FormatStrPromptedGenerator(Operator):
     """Prompt built by format_string over several columns, then LLM-map."""
@@ -103,7 +111,7 @@ class RandomDomainKnowledgeRowGenerator(Operator):
     def generate(self, spark: SparkSession) -> DataFrame:
         doms = F.array(*[F.lit(d) for d in self.domains])
         seed = (
-            spark.range(self.num_rows)
+            _seed_range(spark, self.num_rows)
             .withColumnRenamed("id", "row_id")
             .withColumn("domain", F.element_at(doms, (F.col("row_id") % len(self.domains) + 1).cast("int")))
             .withColumn("_prompt", F.concat_ws(" ",
@@ -151,7 +159,7 @@ class CondorGenerator(Operator):
     def generate(self, spark: SparkSession) -> DataFrame:
         tops = F.array(*[F.lit(t) for t in self.topics])
         seed = (
-            spark.range(self.num_pairs)
+            _seed_range(spark, self.num_pairs)
             .withColumnRenamed("id", "pair_id")
             .withColumn("topic", F.element_at(tops, (F.col("pair_id") % len(self.topics) + 1).cast("int")))
             .withColumn("_p", F.concat_ws(" ", F.lit("Pose a"), F.col("topic"),
