@@ -2455,6 +2455,135 @@ def x_answer_judge_filter(spark, sf_dir):
     return out.select("doc_id", "answer_match_result")
 
 
+@q("q_relational_operators", """
+WITH j AS (
+  SELECT o_orderpriority, count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderpriority)
+SELECT o_orderpriority, cnt, cnt * 2 AS cnt2 FROM j
+ORDER BY cnt DESC, o_orderpriority LIMIT 3
+""")
+def q_relational_operators(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = get_operator("GeneralFilter", {
+        "predicates": ["c_mktsegment = 'BUILDING'"]}).run(
+            _t(spark, sf_dir, "customer"))
+    j = get_operator("JoinOperator", {
+        "on": F.col("o_custkey") == F.col("c_custkey"),
+        "broadcast_other": True}).run(orders, other=cust)
+    agg = get_operator("AggregateOperator", {
+        "group_by": ["o_orderpriority"],
+        "aggs": [F.count("*").alias("cnt")]}).run(j)
+    agg = get_operator("TransformOperator", {
+        "transforms": [lambda d: d.withColumn("cnt2", F.col("cnt") * 2)]}).run(agg)
+    top = get_operator("SortLimitOperator", {
+        "order_by": [F.desc("cnt"), F.asc("o_orderpriority")], "limit": 3}).run(agg)
+    return get_operator("SelectOperator",
+                        {"columns": ["o_orderpriority", "cnt", "cnt2"]}).run(top)
+
+
+_T2S_DDL = "CREATE TABLE t(a INT, b TEXT, c REAL)"
+
+
+@q("g_text2sql_chain", f"""
+WITH base AS (SELECT n_nationkey, 'SELECT ' || n_nationkey AS "SQL",
+                     '{_T2S_DDL}' AS ddl
+              FROM nation),
+s1 AS (SELECT *, 'resp-' || left(md5('State the question this SQL answers: '
+                                     || "SQL"), 12) AS question FROM base)
+SELECT n_nationkey, question,
+       'You are a SQL expert.' || chr(10) || 'Schema:' || chr(10) || ddl
+         || chr(10) || 'Question: ' || question || chr(10)
+         || 'Answer with a single SQL query.' AS prompt,
+       'resp-' || left(md5('Think step by step. Schema:' || chr(10) || ddl
+                           || chr(10) || 'Question: ' || question), 12) AS cot
+FROM s1
+""")
+def g_text2sql_chain(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(F.lit("SELECT "), F.col("n_nationkey").cast("string")).alias("SQL"),
+        F.lit(_T2S_DDL).alias("schema_ddl"))
+    out = get_operator("Text2SQLQuestionGenerator", {"serving": s}).run(nat)
+    out = get_operator("Text2SQLPromptGenerator", {}).run(out)
+    out = get_operator("Text2SQLCoTGenerator", {"serving": s}).run(out)
+    return out.select("n_nationkey", "question", "prompt", "cot")
+
+
+@q("g_sql_by_column", f"""
+WITH f AS (SELECT r_regionkey, unnest(['a', 'b', 'c']) AS target_column
+           FROM region)
+SELECT r_regionkey, target_column,
+       'resp-' || left(md5('Write a SQL query centered on column '''
+                           || target_column || ''' of schema:' || chr(10)
+                           || '{_T2S_DDL}'), 12) AS "SQL"
+FROM f
+""")
+def g_sql_by_column(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    reg = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.lit(_T2S_DDL).alias("schema_ddl"))
+    out = get_operator("SQLByColumnGenerator", {
+        "serving": MockLLMServing(mode="hash")}).run(reg)
+    return out.select("r_regionkey", "target_column", "SQL")
+
+
+@q("g_sql_cot_voting", """
+WITH s AS (SELECT n_nationkey, n_name,
+             least('resp-' || left(md5('Answer with SQL (attempt 1): ' || n_name), 12),
+                   'resp-' || left(md5('Answer with SQL (attempt 2): ' || n_name), 12),
+                   'resp-' || left(md5('Answer with SQL (attempt 3): ' || n_name), 12))
+               AS voted_sql
+           FROM nation)
+SELECT n_nationkey, voted_sql FROM s
+""")
+def g_sql_cot_voting(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("question"))
+    out = get_operator("SQLCoTVotingGenerator", {
+        "serving": MockLLMServing(mode="hash"), "k": 3,
+        "id_key": "n_nationkey"}).run(nat)
+    return out.select("n_nationkey", "voted_sql")
+
+
+@q("x_sql_execution_classifier", """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 3 = 0 THEN 'ok'
+            WHEN n_nationkey % 3 = 1 THEN 'error'
+            ELSE 'not_select' END AS exec_status
+FROM nation
+""")
+def x_sql_execution_classifier(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("SELECT 1"))
+        .when(F.col("n_nationkey") % 3 == 1, F.lit("SELECT * FROM missing_tbl"))
+        .otherwise(F.lit("DELETE FROM t")).alias("SQL"))
+    out = get_operator("SQLExecutionClassifier", {}).run(nat)
+    return out.select("n_nationkey", "exec_status")
+
+
+@q("x_t2s_correspondence", """
+SELECT n_nationkey FROM nation
+""")
+def x_t2s_correspondence(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("question"),
+        F.concat(F.lit("SELECT "), F.col("n_nationkey").cast("string")).alias("SQL"))
+    out = get_operator("Text2SQLCorrespondenceFilter", {
+        "serving": MockLLMServing(mode="echo")}).run(nat)
+    return out.select("n_nationkey")
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.
