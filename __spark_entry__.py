@@ -2584,6 +2584,387 @@ def x_t2s_correspondence(spark, sf_dir):
     return out.select("n_nationkey")
 
 
+@q("e_accuracy_eval", """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN lower(trim(o_orderstatus)) = 'o' THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       avg(CASE WHEN lower(trim(o_orderstatus)) = 'o' THEN 1 ELSE 0 END)
+         AS accuracy
+FROM orders
+""")
+def e_accuracy_eval(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("model_answer"),
+        F.lit("O").alias("golden_answer"))
+    return get_operator("AccuracyDatasetEvaluator", {}).run(orders)
+
+
+# hash-mode judge score = first digit run in the reply hex
+_JUDGE_SC = ("TRY_CAST(regexp_extract('resp-' || left(md5({prompt}), 12), "
+             "'(-?[0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE)")
+
+
+@q("x_alpagasus_filter", f"""
+WITH s AS (SELECT doc_id,
+  {_JUDGE_SC.format(prompt="'Score the quality of this instruction-response pair from 1 to 5: ' || text")}
+    AS "AlpagasusScore"
+  FROM documents)
+SELECT doc_id, "AlpagasusScore" FROM s
+WHERE "AlpagasusScore" BETWEEN 3 AND 5
+""")
+def x_alpagasus_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("AlpagasusFilter", {
+        "serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "AlpagasusScore")
+
+
+@q("x_treeinstruct_filter", f"""
+WITH s AS (SELECT doc_id,
+  {_JUDGE_SC.format(prompt="'How many nodes would the semantic parse tree of this instruction have? Reply with a number: ' || text")}
+    AS "TreeinstructScore"
+  FROM documents)
+SELECT doc_id, "TreeinstructScore" FROM s
+WHERE "TreeinstructScore" BETWEEN 7 AND 100
+""")
+def x_treeinstruct_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("TreeinstructFilter", {
+        "serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "TreeinstructScore")
+
+
+@q("x_debertav3_filter", """
+WITH s AS (SELECT doc_id,
+             substr(lower(md5(concat('DebertaV3SampleEvaluator', text))), 1, 8)
+               AS hx
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN hx < '55555555' THEN 'Low'
+            WHEN hx < 'aaaaaaaa' THEN 'Medium' ELSE 'High' END AS "Debertav3Score"
+FROM s WHERE hx >= '55555555'
+""")
+def x_debertav3_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("DebertaV3Filter", {}).run(docs)
+    return out.select("doc_id", "Debertav3Score")
+
+
+@q("x_ngram_filter", r"""
+WITH w AS (SELECT doc_id, list_transform(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x != ''),
+             x -> lower(x)) AS ws FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        THEN list_transform(generate_series(1, len(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [array_to_string(ws, ' ')] END AS gs FROM w),
+s AS (SELECT doc_id, CASE WHEN len(gs) > 0
+        THEN len(list_distinct(gs))::DOUBLE / len(gs) END AS sc FROM g)
+SELECT doc_id, round(sc, 4) AS "NgramScore" FROM s
+WHERE sc BETWEEN 0.999 AND 1.0
+""")
+def x_ngram_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("NgramFilter", {
+        "min_score": 0.999, "max_score": 1.0, "ngrams": 3}).run(docs)
+    return out.select("doc_id", F.round("NgramScore", 4).alias("NgramScore"))
+
+
+@q("x_presidio_filter", r"""
+WITH s AS (SELECT doc_id, concat('contact ', source,
+             '@example.com or 555-123-4567 ip 10.0.0.1',
+             CASE WHEN doc_id % 2 = 1 THEN ' ssn 123-45-6789' ELSE '' END,
+             ' :: ', substr(text, 1, 80)) AS t FROM documents),
+c AS (SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(t, '\b(?:\d[ -]?){13,16}\b'))
+  + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+  + len(regexp_extract_all(t, '\b(?:\+?\d{1,3}[ -]?)?(?:\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]\d{4}\b'))
+  + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS "PresidioScore"
+  FROM s)
+SELECT doc_id, "PresidioScore" FROM c WHERE "PresidioScore" BETWEEN 0 AND 3
+""")
+def x_presidio_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("contact "), F.col("source"),
+                 F.lit("@example.com or 555-123-4567 ip 10.0.0.1"),
+                 F.when(F.col("doc_id") % 2 == 1, " ssn 123-45-6789")
+                 .otherwise(""),
+                 F.lit(" :: "), F.substring("text", 1, 80)).alias("text"))
+    out = get_operator("PresidioFilter", {"min_score": 0, "max_score": 3}).run(docs)
+    return out.select("doc_id", "PresidioScore")
+
+
+@q("x_lexical_diversity_filter", r"""
+WITH w AS (SELECT doc_id, list_transform(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x != ''),
+             x -> lower(x)) AS ws FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(ws) > 0
+             THEN len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr,
+        CASE WHEN len(ws) > 0
+             THEN len(list_distinct(ws)) / sqrt(len(ws)::DOUBLE) END AS rttr
+      FROM w)
+SELECT doc_id, round(ttr, 4) AS ttr, round(rttr, 4) AS rttr FROM s
+WHERE ttr BETWEEN 0.55 AND 1.0 AND rttr BETWEEN 0.0 AND 1000000000.0
+""")
+def x_lexical_diversity_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("LexicalDiversityFilter", {
+        "min_scores": {"ttr": 0.55, "rttr": 0.0},
+        "max_scores": {"ttr": 1.0, "rttr": 1e9}}).run(docs)
+    return out.select("doc_id", F.round("ttr", 4).alias("ttr"),
+                      F.round("rttr", 4).alias("rttr"))
+
+
+@q("x_langkit_filter", r"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x != ''))
+    END AS w,
+    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             x -> trim(x) != '')), 1) AS sent,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents),
+f AS (SELECT doc_id, w,
+        206.835 - 1.015 * (greatest(w, 1)::DOUBLE / sent)
+          - 84.6 * (syl::DOUBLE / greatest(w, 1)) AS flesch
+      FROM s)
+SELECT doc_id, w AS langkit_words, round(flesch, 4) AS langkit_flesch FROM f
+WHERE w >= 30 AND flesch <= 60.0
+""")
+def x_langkit_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("LangkitFilter", {
+        "min_scores": {"langkit_words": 30, "langkit_flesch": -1e9},
+        "max_scores": {"langkit_words": 1e9, "langkit_flesch": 60.0}}).run(docs)
+    return out.select("doc_id", "langkit_words",
+                      F.round("langkit_flesch", 4).alias("langkit_flesch"))
+
+
+@q("f_code_encoded", """
+WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1
+                  THEN text || ' ' || repeat('A', 64) ELSE text END AS code
+           FROM documents),
+r AS (SELECT doc_id,
+        round(CASE WHEN doc_id % 2 = 1 THEN 64.0 ELSE 0.0 END
+              / greatest(len(code), 1), 6) AS ratio
+      FROM s)
+SELECT doc_id FROM r WHERE ratio <= 0.2
+""")
+def f_code_encoded(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.concat(F.col("text"), F.lit(" "), F.lit("A" * 64)))
+        .otherwise(F.col("text")).alias("code"))
+    out = get_operator("CodeEncodedDataFilter", {"max_ratio": 0.2}).run(docs)
+    return out.select("doc_id")
+
+
+@q("f_code_composition", """
+WITH s AS (SELECT doc_id,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / greatest(len(text), 1) AS ratio
+           FROM documents)
+SELECT doc_id FROM s WHERE ratio >= 0.8
+""")
+def f_code_composition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("CodeTextCompositionFilter", {
+        "input_key": "text", "min_alpha_ratio": 0.8}).run(docs)
+    return out.select("doc_id")
+
+
+@q("f_code_quality_filter", f"""
+WITH s AS (SELECT doc_id,
+  {_JUDGE_SC.format(prompt="'Rate this code 1-10 for correctness and style: ' || text || chr(10) || 'x = 1'")}
+    AS sc
+  FROM documents)
+SELECT doc_id FROM s WHERE sc BETWEEN 7 AND 10 OR sc IS NULL
+""")
+def f_code_quality_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("instruction"), F.lit("x = 1").alias("code"))
+    out = get_operator("CodeQualityScoreFilter", {
+        "serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id")
+
+
+@q("f_code_generic_score", """
+SELECT o_orderkey FROM orders WHERE o_totalprice >= 100000
+""")
+def f_code_generic_score(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = get_operator("CodeGenericScoreFilter", {
+        "score_threshold": 100000, "filter_method": "greater_equal",
+        "input_score_key": "o_totalprice"}).run(orders)
+    return out.select("o_orderkey")
+
+
+@q("f_code_filetype", """
+WITH s AS (SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN 'text'
+                  WHEN n_nationkey % 3 = 1 THEN 'json' ELSE 'python' END
+               AS filetype,
+             CASE WHEN n_nationkey % 2 = 0 THEN 'readme.txt'
+                  ELSE 'data.bin' END AS filename,
+             CASE WHEN n_nationkey < 10 THEN 600 ELSE 100 END AS line_count
+           FROM nation)
+SELECT n_nationkey FROM s
+WHERE NOT ((filetype IN ('text', 'json') AND line_count > 512)
+           OR (filetype = 'text' AND NOT (filename LIKE '%requirement%'
+               OR regexp_replace(filename, '\\.[^.]*$', '')
+                  IN ('readme', 'notes', 'todo', 'description', 'cmakelists'))))
+""")
+def f_code_filetype(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, "text")
+        .when(F.col("n_nationkey") % 3 == 1, "json")
+        .otherwise("python").alias("filetype"),
+        F.when(F.col("n_nationkey") % 2 == 0, "readme.txt")
+        .otherwise("data.bin").alias("filename"),
+        F.when(F.col("n_nationkey") < 10, 600).otherwise(100).alias("line_count"))
+    out = get_operator("CodeFileTypeContentFilter", {}).run(nat)
+    return out.select("n_nationkey")
+
+
+@q("x_composition_filter", """
+SELECT doc_id, 1 AS runable_label FROM documents WHERE doc_id < 30
+""")
+def x_composition_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.col("text").alias("composition_task"),
+        F.substring("text", 1, 20).alias("sub1"))
+    out = get_operator("CompositionTaskFilter", {
+        "serving": MockLLMServing(mode="echo")}).run(
+            docs, input_sub_tasks_keys=["sub1"])
+    return out.select("doc_id", "runable_label")
+
+
+@q("x_code_sandbox_filter", """
+SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+""")
+def x_code_sandbox_filter(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("x = 1"))
+        .otherwise(F.lit("raise ValueError('boom')")).alias("code"))
+    out = get_operator("CodeSandboxFilter", {}).run(nat)
+    return out.select("n_nationkey")
+
+
+@q("m_frame_sampler", """
+WITH s AS (SELECT doc_id, substr(text, 1, 37) AS t FROM documents
+           WHERE doc_id < 40),
+f AS (SELECT doc_id, t, unnest([0, 1, 2, 3]) AS frame_idx FROM s)
+SELECT doc_id, frame_idx,
+       substr(t, frame_idx * greatest(len(t) // 4, 1) + 1,
+              greatest(len(t) // 4, 1)) AS frame_s
+FROM f
+""")
+def m_frame_sampler(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", F.encode(F.substring("text", 1, 37), "utf-8").alias("content"))
+    out = get_operator("FrameSampler", {"n_frames": 4}).run(docs)
+    return out.select("doc_id", "frame_idx",
+                      F.decode("frame", "utf-8").alias("frame_s"))
+
+
+@q("m_media_features", """
+SELECT doc_id, 8 AS n_dims, 1.0 AS norm FROM documents WHERE doc_id < 40
+""")
+def m_media_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    out = get_operator("MediaFeatureExtractor", {"dim": 8}).run(docs)
+    sq = F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
+    return out.select("doc_id", F.size("features").alias("n_dims"),
+                      F.round(F.sqrt(sq), 4).alias("norm"))
+
+
+@q("x_retrieval_rag", """
+WITH s AS (SELECT doc_id, 'what is doc ' || doc_id AS question
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id, question,
+       'resp-' || left(md5('Context:' || chr(10)
+                           || 'the reference corpus chunk'
+                           || chr(10) || 'Question: ' || question), 12)
+         AS rag_answer
+FROM s
+""")
+def x_retrieval_rag(spark, sf_dir):
+    from dataflow_spark.serving import HashEmbeddingServing, MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        F.concat(F.lit("what is doc "), F.col("doc_id").cast("string"))
+        .alias("question"))
+    corpus = docs.sparkSession.createDataFrame(
+        [("the reference corpus chunk",)], ["text"]).coalesce(1)
+    out = get_operator("RetrievalGenerator", {
+        "serving": MockLLMServing(mode="hash"),
+        "embedder": HashEmbeddingServing(dim=8), "k": 3}).run(docs, corpus=corpus)
+    return out.select("doc_id", "question", "rag_answer")
+
+
+@q("g_prompted_pack", """
+WITH s1 AS (SELECT doc_id,
+              'resp-' || left(md5('Summarize: ' || text), 12) AS generated
+            FROM documents WHERE doc_id < 40)
+SELECT doc_id,
+       'resp-' || left(md5('Clean up: ' || generated), 12) AS generated
+FROM s1
+""")
+def g_prompted_pack(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    s = MockLLMServing(mode="hash")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = get_operator("PromptedGenerator", {
+        "serving": s, "prompt_template": "Summarize: {text}"}).run(docs)
+    out = get_operator("PromptedRefiner", {
+        "serving": s, "prompt_template": "Clean up: {generated}",
+        "input_key": "generated"}).run(out)
+    return out.select("doc_id", "generated")
+
+
+@q("g_chunked_prompted", """
+WITH c AS (SELECT doc_id, text,
+             generate_series(0, (greatest(len(text), 1) - 1) // 200) AS idxs
+           FROM documents WHERE doc_id < 30),
+e AS (SELECT doc_id, unnest(idxs) AS i, text FROM c),
+g AS (SELECT doc_id, i,
+        'resp-' || left(md5('Expand: ' || substr(text, i * 200 + 1, 200)), 12)
+          AS piece
+      FROM e)
+SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS generated
+FROM g GROUP BY doc_id
+""")
+def g_chunked_prompted(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    out = get_operator("ChunkedPromptedGenerator", {
+        "serving": MockLLMServing(mode="hash"),
+        "prompt_template": "Expand: {chunk}", "chunk_chars": 200,
+        "id_key": "doc_id"}).run(docs)
+    return out.select("doc_id", "generated")
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.

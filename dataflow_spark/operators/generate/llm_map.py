@@ -176,7 +176,9 @@ class ChunkedPromptedGenerator(Operator):
             lambda i: F.col(self.input_key).substr(i * n + 1, F.lit(n)),
         )
         exploded = df.select(self.id_key, F.posexplode(chunks).alias("_pos", "_chunk"))
-        gen = llm_map(exploded, self.serving, self.prompt_template, "_chunk", "_gen")
+        # the documented placeholder is {chunk}; the exploded column is _chunk
+        template = self.prompt_template.replace("{chunk}", "{_chunk}")
+        gen = llm_map(exploded, self.serving, template, "_chunk", "_gen")
         merged = (
             gen.groupBy(self.id_key)
             .agg(
@@ -191,4 +193,5 @@ class ChunkedPromptedGenerator(Operator):
                 ).alias(self.output_key)
             )
         )
-        return df.join(merged, self.id_key, "left")
+        out = df.join(merged, self.id_key, "left")
+        return out.drop("_row_id") if self.id_key == "_row_id" else out

@@ -136,7 +136,8 @@ class ReasoningPseudoAnswerGenerator(Operator):
         winner = (votes.withColumn("_rk", F.row_number().over(w))
                   .filter(F.col("_rk") == 1)
                   .select(self.id_key, F.col("_ans").alias(self.output_key)))
-        return df.join(winner, self.id_key, "left")
+        out = df.join(winner, self.id_key, "left")
+        return out.drop("_row_id") if self.id_key == "_row_id" else out
 
 
 @OPERATOR_REGISTRY.register()
