@@ -3225,6 +3225,136 @@ def e_question_category(spark, sf_dir):
     return out.select("doc_id", "primary_category", "secondary_category")
 
 
+@q("g_format_str_prompted", """
+SELECT n_nationkey,
+       'resp-' || left(md5('Combine ' || n_name || ' with key '
+                           || n_nationkey), 12) AS generated
+FROM nation
+""")
+def g_format_str_prompted(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        F.col("n_nationkey").cast("string").alias("key_s"))
+    out = get_operator("FormatStrPromptedGenerator", {
+        "serving": MockLLMServing(mode="hash"),
+        "format_str": "Combine %s with key %s",
+        "input_keys": ["n_name", "key_s"]}).run(nat)
+    return out.select("n_nationkey", "generated")
+
+
+@q("x_mineru_llm_input", """
+SELECT 'doc' AS name, true AS converted, true AS llm_ready
+UNION ALL SELECT 'page', true, true
+UNION ALL SELECT 'scan', false, false
+""")
+def x_mineru_llm_input(spark, sf_dir):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mineru_llm_q_")
+    with open(os.path.join(d, "doc.md"), "w") as f:
+        f.write("# Title\n![fig](img.png)\nbody")
+    with open(os.path.join(d, "page.html"), "w") as f:
+        f.write("<html><h1>H</h1><p>text</p></html>")
+    with open(os.path.join(d, "scan.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4")
+    src = spark.createDataFrame(
+        [(os.path.join(d, "doc.md"),), (os.path.join(d, "page.html"),),
+         (os.path.join(d, "scan.pdf"),)], ["source"]).coalesce(1)
+    out = get_operator("FileOrURLToMarkdownConverterLocal", {
+        "intermediate_dir": os.path.join(d, "out")}).run(src)
+    out = get_operator("MinerU2LLMInputOperator", {}).run(out)
+    return out.select(
+        F.regexp_extract(F.col("source"), r"([a-z]+)\.[a-z]+$", 1).alias("name"),
+        (F.col("text_path") != "").alias("converted"),
+        (F.col("llm_input_path") != "").alias("llm_ready"))
+
+
+@q("r_ner", """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'he met [ENT] today'
+            ELSE 'Just Plain words' END AS w
+FROM documents WHERE doc_id < 40
+""")
+def r_ner(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "he met John Smith today")
+        .otherwise("Just Plain words").alias("w"))
+    op = get_operator("NERRefiner", {"input_key": "w"})
+    return op.run(docs).select("doc_id", "w")
+
+
+_STREAM_QUERY_SEQ = [0]
+
+
+@q("q_stream_hourly", """
+SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S')
+         AS bucket,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""")
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming path of the hourly rollup: file stream ->
+    watermarked tumbling window -> memory sink (availableNow drains the
+    fixture and terminates); same unified-model code as the batch query."""
+    from dataflow_spark.streaming.batched import tumbling_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")  # single-file stream
+              .parquet(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_hourly_{_STREAM_QUERY_SEQ[0]}"
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events")
+
+
+@q("e_mmd", """
+WITH x AS (SELECT embedding FROM embeddings WHERE vec_id < 40 AND vec_id % 2 = 0),
+y AS (SELECT embedding FROM embeddings WHERE vec_id < 40 AND vec_id % 2 = 1),
+z AS (SELECT embedding FROM x UNION ALL SELECT embedding FROM y),
+dz AS (SELECT list_sum(list_transform(generate_series(1, len(a.embedding)),
+         i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))) AS d2
+       FROM z a CROSS JOIN z b),
+g AS (SELECT 1.0 / quantile_cont(d2, 0.5) AS gamma FROM dz WHERE d2 > 0),
+kxx AS (SELECT avg(exp(-g.gamma * list_sum(list_transform(
+          generate_series(1, len(a.embedding)),
+          i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))))) AS k
+        FROM x a CROSS JOIN x b CROSS JOIN g),
+kyy AS (SELECT avg(exp(-g.gamma * list_sum(list_transform(
+          generate_series(1, len(a.embedding)),
+          i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))))) AS k
+        FROM y a CROSS JOIN y b CROSS JOIN g),
+kxy AS (SELECT avg(exp(-g.gamma * list_sum(list_transform(
+          generate_series(1, len(a.embedding)),
+          i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))))) AS k
+        FROM x a CROSS JOIN y b CROSS JOIN g)
+SELECT (SELECT count(*) FROM x) AS n_x, (SELECT count(*) FROM y) AS n_y,
+       round(kxx.k + kyy.k - 2 * kxy.k, 9) AS mmd2
+FROM kxx, kyy, kxy
+""")
+def e_mmd(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.filter((F.col("vec_id") < 40) & (F.col("vec_id") % 2 == 0))
+    y = emb.filter((F.col("vec_id") < 40) & (F.col("vec_id") % 2 == 1))
+    out = get_operator("MMDDatasetEvaluator", {"max_rows": 1000}).run(x, other=y)
+    return out.select("n_x", "n_y", F.round("mmd2", 9).alias("mmd2"))
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.
