@@ -2009,7 +2009,7 @@ WHERE list_max(list_transform(ls, x -> len(x))) <= 300
 """)
 def f_code_length(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    op = get_operator("CodeLengthFilter", {
+    op = get_operator("CodeLengthSampleFilter", {
         "input_key": "text", "max_line_length": 300,
         "min_lines": 1, "max_lines": 50})
     return op.run(docs).select("doc_id")
@@ -3353,6 +3353,36 @@ def e_mmd(spark, sf_dir):
     y = emb.filter((F.col("vec_id") < 40) & (F.col("vec_id") % 2 == 1))
     out = get_operator("MMDDatasetEvaluator", {"max_rows": 1000}).run(x, other=y)
     return out.select("n_x", "n_y", F.round("mmd2", 9).alias("mmd2"))
+
+
+@q("f_code_doc_quality", r"""
+SELECT doc_id FROM documents
+WHERE len(text) >= 1
+  AND len(regexp_extract_all(text, '\w+')) BETWEEN 50 AND 100000
+""")
+def f_code_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("CodeDocumentQualityFilter", {
+        "input_key": "text",
+        "thresholds": {"min_num_words": 50}}).run(docs)
+    return out.select("doc_id")
+
+
+@q("x_perspective_filter", f"""
+WITH s AS (SELECT doc_id,
+  {_JUDGE_SC.format(prompt="'Return the toxicity probability in [0,1] of: ' || text")}
+    AS "PerspectiveScore"
+  FROM documents)
+SELECT doc_id, "PerspectiveScore" FROM s
+WHERE "PerspectiveScore" BETWEEN 0 AND 0.5
+""")
+def x_perspective_filter(spark, sf_dir):
+    from dataflow_spark.serving import MockLLMServing
+
+    docs = _t(spark, sf_dir, "documents")
+    out = get_operator("PerspectiveFilter", {
+        "serving": MockLLMServing(mode="hash")}).run(docs)
+    return out.select("doc_id", "PerspectiveScore")
 
 
 # Round-1 driver check covered these 50 names; the driver samples the
