@@ -3385,6 +3385,96 @@ def x_perspective_filter(spark, sf_dir):
     return out.select("doc_id", "PerspectiveScore")
 
 
+# ---------------------------------------------------------------------------
+# pipeline-level end-to-end rows: a reference user's ready-made pipeline
+# (dataflow_spark.pipelines) vs the composed SQL of all its stages
+# ---------------------------------------------------------------------------
+
+def _register_pipeline_queries():
+    # refine chain: RemoveExtraSpaces -> RemoveEmoji (no-op on the ASCII
+    # fixture) -> HtmlUrlRemover, applied before every filter predicate
+    refined = (r"regexp_replace(trim(regexp_replace(text, '\s+', ' ', 'g')),"
+               r" 'https?://[^\s]+', '', 'g')")
+    preds = [
+        f"len(list_filter({LW('text')}, x -> list_contains(['spam','viagra','casino'], x))) <= 0",
+        f"len({W('text')}) BETWEEN 20 AND 100000",
+        "NOT regexp_matches(trim(text), ':$')",
+        r"len(list_filter(regexp_split_to_array(text, '[.!?]+'), x -> trim(x) != '')) BETWEEN 3 AND 7500",
+        (r"len(string_split(text, chr(10))) = 0 OR "
+         r"len(list_filter(string_split(text, chr(10)), ln -> regexp_matches(trim(ln), '(\.\.\.|…)$')))::DOUBLE"
+         r" / len(string_split(text, chr(10))) <= 0.3"),
+        "text IS NOT NULL AND trim(text) != ''",
+        (f"len({W('text')}) > 0 AND "
+         f"(list_sum(list_transform({W('text')}, x -> len(x)))::DOUBLE / len({W('text')})) BETWEEN 3.0 AND 10.0"),
+        (f"len({W('text')}) = 0 OR "
+         f"(len(text) - len(translate(text, '#|…', '')))::DOUBLE / len({W('text')}) <= 0.4"),
+        "NOT regexp_matches(text, '&(amp|lt|gt|quot|apos|nbsp|#[0-9]{1,6});')",
+        (r"list_max(list_transform(regexp_split_to_array(text, '[.!?;:,]'),"
+         r" s -> len(list_filter(regexp_split_to_array(s, '\s+'), x -> x != '')))) <= 112"),
+        r"NOT regexp_matches(text, '[\x{FFFD}\x{0}-\x{8}\x{B}\x{C}\x{E}-\x{1F}]')",
+        "NOT regexp_matches(text, '(Copyright|Watermark|Confidential)')",
+        ("CASE WHEN len(text) > 0 THEN (len(text) - len(translate(text, '{}', '')))::DOUBLE / len(text)"
+         " ELSE 0.0 END <= 0.025"),
+        (f"len({W('text')}) = 0 OR "
+         f"len(list_filter({W('text')}, x -> x = upper(x) AND regexp_matches(x, '[A-Za-z]')))::DOUBLE"
+         f" / len({W('text')}) <= 0.2"),
+        "NOT contains(lower(text), 'lorem ipsum')",
+        f"len({LW('text')}) > 0 AND len(list_distinct({LW('text')}))::DOUBLE / len({LW('text')}) >= 0.1",
+        "len(text) >= 100",
+        (r"len(string_split(text, chr(10))) = 0 OR "
+         r"len(list_filter(string_split(text, chr(10)), ln -> regexp_matches(ln, '^\s*([-*•‣⁃]|[0-9]+[.)])')))::DOUBLE"
+         r" / len(string_split(text, chr(10))) <= 0.9"),
+        "len(list_filter(string_split(text, chr(10)), ln -> contains(lower(ln), 'javascript'))) <= 3",
+    ]
+    # the fixture's documents have < 3 sentence terminators, which the
+    # reference's SentenceNumberFilter(3,7500) would zero out — append a
+    # three-sentence coda on BOTH sides so the row set stays discriminative
+    pt_sql = ("WITH d AS (SELECT doc_id, text || ' One more. Two more. Three more.' AS text FROM documents),\n"
+              f"r AS (SELECT doc_id, {refined} AS text FROM d)\n"
+              "SELECT doc_id FROM r WHERE "
+              + "\n  AND ".join(f"({p})" for p in preds))
+
+    def pt_fn(spark, sf_dir):
+        from dataflow_spark.pipelines import text_pt_filter_pipeline
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit(" One more. Two more. Three more.")).alias("text"))
+        out = text_pt_filter_pipeline(dedup=False).forward(docs)
+        return out.select("doc_id")
+
+    q("x_pipeline_text_pt", pt_sql)(pt_fn)
+
+    hexval = ("round(list_aggregate(list_transform(generate_series(1, 8), "
+              "i -> (strpos('0123456789abcdef', substr(lower(md5(concat('{salt}', text))), i, 1)) - 1)"
+              " * power(16, 8 - i)), 'sum') / 4294967295.0, 6)")
+    sft_sql = f"""
+WITH k AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND trim(text) != ''
+             AND len({W('text')}) BETWEEN 5 AND 100000)
+SELECT doc_id,
+       {hexval.format(salt='SuperfilteringSampleEvaluator')} AS superfiltering_score,
+       {hexval.format(salt='DeitaQualitySampleEvaluator')} AS deita_quality_score
+FROM k
+"""
+
+    def sft_fn(spark, sf_dir):
+        from dataflow_spark.pipelines import text_sft_filter_pipeline
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        out = text_sft_filter_pipeline().forward(docs)
+        return out.select(
+            "doc_id",
+            F.round("superfiltering_score", 6).alias("superfiltering_score"),
+            F.round("deita_quality_score", 6).alias("deita_quality_score"))
+
+    q("x_pipeline_text_sft", sft_sql)(sft_fn)
+
+
+_register_pipeline_queries()
+
+
 # Round-1 driver check covered these 50 names; the driver samples the
 # contract in order, so list everything else (round-1-unchecked + new)
 # FIRST to maximize fresh oracle coverage per round.
