@@ -3271,6 +3271,41 @@ def x_mineru_llm_input(spark, sf_dir):
         (F.col("llm_input_path") != "").alias("llm_ready"))
 
 
+@q("x_mineru_api_flash", """
+SELECT 'api' AS variant, true AS converted
+UNION ALL SELECT 'flash', true
+""")
+def x_mineru_api_flash(spark, sf_dir):
+    """API / Flash converter variants share the Local engine for native
+    formats (HTML/MD); only the PDF backend seam differs — exercise both
+    registered names on an HTML fixture each."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mineru_var_q_")
+    with open(os.path.join(d, "page.html"), "w") as f:
+        f.write("<html><h1>H</h1><p>text</p></html>")
+    src = spark.createDataFrame(
+        [(os.path.join(d, "page.html"),)], ["source"]).coalesce(1)
+    api = get_operator("FileOrURLToMarkdownConverterAPI", {
+        "intermediate_dir": os.path.join(d, "out_api"), "api_key": "k"}).run(src)
+    flash = get_operator("FileOrURLToMarkdownConverterFlash", {
+        "intermediate_dir": os.path.join(d, "out_flash")}).run(src)
+    return (
+        api.select(F.lit("api").alias("variant"),
+                   (F.col("text_path") != "").alias("converted"))
+        .unionByName(
+            flash.select(F.lit("flash").alias("variant"),
+                         (F.col("text_path") != "").alias("converted"))))
+
+
+@q("e_task2vec_diversity")  # eigen-entropy: not SQL-expressible, rows-only
+def e_task2vec_diversity(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("Task2VecDatasetEvaluator", {
+        "embedding_key": "embedding", "max_rows": 2000})
+    return op.run(emb)
+
+
 @q("r_ner", """
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'he met [ENT] today'
