@@ -102,4 +102,39 @@ def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
     )
 
 
+def stream_dedup(df: DataFrame, keys: list[str] | str,
+                 ts_key: str = "ts", watermark: str = "2 hours",
+                 content_hash: bool = False) -> DataFrame:
+    """Exact dedup that works on both batch and streaming frames.
+
+    Streaming: watermark + ``dropDuplicatesWithinWatermark`` — the state
+    store only keeps keys newer than the watermark, so memory is bounded
+    by (event rate x watermark horizon), not by stream lifetime. Two
+    events with the same key arriving within the watermark dedup
+    exactly; beyond it the old state has been dropped (the documented
+    trade: bounded state for bounded-horizon dedup — on an unbounded
+    corpus an exact forever-dedup would need unbounded state on any
+    engine).
+
+    Batch: plain ``dropDuplicates`` on the same keys.
+
+    ``content_hash=True`` dedups on md5 of the (single) key column
+    instead of the raw value — the streaming twin of
+    ``HashDeduplicateFilter`` for long text payloads (state stores the
+    32-char digest, not the document).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if content_hash:
+        if len(key_list) != 1:
+            raise ValueError("content_hash dedup takes exactly one key column")
+        df = df.withColumn("_dd_hash", F.md5(F.col(key_list[0])))
+        key_list = ["_dd_hash"]
+    if df.isStreaming:
+        out = df.withWatermark(ts_key, watermark)
+        out = out.dropDuplicatesWithinWatermark(key_list)
+    else:
+        out = df.dropDuplicates(key_list)
+    return out.drop("_dd_hash") if content_hash else out
+
+
 StreamTransform = Callable[[DataFrame], DataFrame]

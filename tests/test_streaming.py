@@ -78,3 +78,52 @@ def test_running_user_stats_state(spark, events_dir, tmp_path):
             .agg(F.count("*").alias("n"),
                  F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("t")).collect()}
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from dataflow_spark.streaming.batched import stream_dedup
+
+    # duplicate user_id rows within the watermark horizon
+    rows = [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:05:00", "a-dup"),
+            (2, "2024-01-01 10:10:00", "b"), (2, "2024-01-01 10:12:00", "b-dup"),
+            (3, "2024-01-01 11:00:00", "c")]
+    src = spark.createDataFrame(rows, ["user_id", "ts_s", "payload"]).withColumn(
+        "ts", F.to_timestamp("ts_s")).drop("ts_s")
+    in_dir = str(tmp_path / "dd_in")
+    src.coalesce(1).write.parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = stream_dedup(stream, "user_id", ts_key="ts", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("dd_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select user_id from dd_stream").collect()
+    assert sorted(r["user_id"] for r in got) == [1, 2, 3]
+
+    # batch path: same helper, same keys
+    batch = stream_dedup(spark.read.parquet(in_dir), "user_id")
+    assert batch.count() == 3
+
+
+def test_stream_dedup_content_hash(spark, tmp_path):
+    from dataflow_spark.streaming.batched import stream_dedup
+
+    rows = [("same text", "2024-01-01 10:00:00"),
+            ("same text", "2024-01-01 10:30:00"),
+            ("other", "2024-01-01 10:40:00")]
+    src = spark.createDataFrame(rows, ["text", "ts_s"]).withColumn(
+        "ts", F.to_timestamp("ts_s")).drop("ts_s")
+    in_dir = str(tmp_path / "ddh_in")
+    src.coalesce(1).write.parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = stream_dedup(stream, "text", ts_key="ts", watermark="2 hours",
+                       content_hash=True)
+    assert "_dd_hash" not in out.columns
+    q = (out.writeStream.format("memory").queryName("ddh_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.sql("select text from ddh_stream").collect())
+    assert texts == ["other", "same text"]
