@@ -41,10 +41,10 @@ def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20,
+def connected_components(edges: DataFrame, max_iter: int = 50,
                          driver_max_edges: int = 2_000_000) -> DataFrame:
     """Connected components: adaptive driver union-find / distributed
-    min-label propagation.
+    large-star/small-star contraction.
 
     ``edges``: DataFrame[src: long, dst: long] (undirected). Returns
     DataFrame[id: long, component: long] where component = min node id
@@ -54,9 +54,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     rows whose bucket collided AND passed signature verification), so up
     to ``driver_max_edges`` the component step runs as an in-driver
     union-find over the already-materialized edge list — no per-iteration
-    shuffles. Above the bound it switches to the distributed
-    min-label-propagation loop (one shuffle per iteration, O(diameter)
-    iterations; each iteration localCheckpoints to truncate lineage).
+    shuffles. Above the bound it switches to distributed alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): O(log^2 n) rounds regardless
+    of graph diameter — unlike naive min-label propagation, a chain
+    component (the shape the oversized-bucket fallback in
+    ``_dedup_by_bands`` emits) converges in logarithmic rounds, not
+    linear. Each round localCheckpoints to truncate lineage.
     The edge list itself is always computed distributedly.
     """
     # one-job probe: fetch up to the bound + 1; small graphs (the common
@@ -96,40 +100,70 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         })
         return spark.createDataFrame(frame)
 
-    edges = edges.persist()
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (
-        sym.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
-        .withColumnRenamed("src", "id")
+    return _star_contraction(edges, max_iter)
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (a < b) pairs, self-loops dropped."""
+    return (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    labels = labels.withColumn("component", F.least(F.col("id"), F.col("component")))
-    for i in range(max_iter):
-        # propagate: my new label = min(my label, labels of my neighbors)
-        prop = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("dst", "id")
+
+
+def _star_contraction(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    fixpoint of min-rooted stars; labels read directly off the stars.
+
+    large-star (at every node u over its full neighborhood):
+        m = min(N(u) + {u}); connect every neighbor v > u to m.
+    small-star (at every node u over its smaller neighbors S):
+        m = min(S + {u}); connect u and every v in S to m.
+    Both preserve connectivity and strictly shrink star height; the
+    alternation converges in O(log^2 n) rounds on any graph (chains
+    included). Convergence is detected by an aggregate signature
+    (count + sum of edge hashes) going stable — one extra cheap round
+    instead of an exceptAll anti-join.
+    """
+    e = _canon_edges(edges.select(F.col("src").cast("long").alias("src"),
+                                  F.col("dst").cast("long").alias("dst")))
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star over symmetric neighborhoods
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         )
-        # keep old + new label in the checkpoint so the convergence test
-        # is a filter over cached rows, not another self-join
-        chk = (
-            labels.join(prop, "id", "left")
-            .withColumn(
-                "new_component",
-                F.least(F.col("component"), F.coalesce("nbr_component", "component")),
-            )
-            .select("id", "component", "new_component")
-            .localCheckpoint(eager=True)  # truncate lineage
+        e1 = _canon_edges(large)
+        # small-star: orient each edge at its larger endpoint
+        ori = e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ori.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select(F.col("u").alias("src"), F.col("m").alias("dst")))
         )
-        changed = (
-            chk.filter(F.col("new_component") != F.col("component")).limit(1).count()
-        )
-        labels = chk.select("id", F.col("new_component").alias("component"))
-        if changed == 0:
+        e = _canon_edges(small).localCheckpoint(eager=True)  # truncate lineage
+        # decimal sum: ANSI mode forbids long overflow on the hash sum
+        sig = tuple(e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))).first())
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # fixpoint edges are (component_min=a, member=b) stars
+    return (
+        e.select(F.col("b").alias("id"), F.col("a").alias("component"))
+        .union(e.select(F.col("a").alias("id"), F.col("a").alias("component")))
+        .distinct()
+    )
 
 
 class _BaseDedup(Operator):

@@ -120,3 +120,29 @@ def test_pair_expansion_modes_agree(spark):
         order_key="doc_id", threshold=0.5,
         pair_expansion="all").run(df).collect()}
     assert kept_star == kept_all
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Distributed large-star/small-star path (forced via
+    driver_max_edges=0) agrees with the driver union-find on chains
+    (the high-diameter shape min-label propagation struggles with),
+    cliques, stars, and a seeded random graph."""
+    import random
+
+    from dataflow_spark.operators.filters.dedup import connected_components
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 400)]          # diameter 300
+    clique = [(a, b) for a in range(500, 510) for b in range(a + 1, 510)]
+    star = [(600, v) for v in range(601, 640)]
+    rand = [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(120)]
+    edges = [(a, b) for a, b in chain + clique + star + rand if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    want = {r["id"]: r["component"]
+            for r in connected_components(df).collect()}          # driver path
+    got = {r["id"]: r["component"]
+           for r in connected_components(df, driver_max_edges=0).collect()}
+    assert got == want
+    # chain label is its min despite diameter >> round count
+    assert got[400] == 100
