@@ -100,6 +100,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros with integer division (ns ~1.7e18 exceeds double's 53-bit
         # mantissa, so float division would corrupt low digits)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # timestamp[us] without tz metadata reads as TIMESTAMP_NTZ, which
+        # withWatermark rejects and BIGINT casts refuse; normalize once here.
+        # Pin the session tz so the NTZ wall clock round-trips exactly and
+        # hour buckets align with the DuckDB oracle's naive timestamps.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
@@ -3337,12 +3344,17 @@ def q_stream_hourly(spark, sf_dir):
     from dataflow_spark.streaming.batched import tumbling_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id bigint, ts bigint, user_id bigint, "
-              "event_type string, value double, props string")
-    stream = (spark.readStream.schema(schema)
+    # Take the stream schema from a batch read of the same file, then apply
+    # the same ts normalization the batch path uses (nanos-long / ntz / ltz).
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (spark.readStream.schema(raw.schema)
               .option("pathGlobFilter", "events.parquet")  # single-file stream
-              .parquet(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+              .parquet(sf_dir))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_hourly_{_STREAM_QUERY_SEQ[0]}"

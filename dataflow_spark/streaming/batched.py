@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from dataflow_spark.core.pipeline import Pipeline
 
 
+def _event_time(df: DataFrame, ts_key: str) -> DataFrame:
+    """Normalize an event-time column so watermarks and gap math work
+    regardless of how the parquet was written.
+
+    Parquet ``timestamp[us]`` without timezone metadata reads back as
+    TIMESTAMP_NTZ in Spark 4, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and which cannot be cast
+    straight to BIGINT. One cast to TIMESTAMP (ltz) here fixes both
+    consumers; values are preserved (session timezone is UTC in tests).
+    """
+    dtype = dict(df.dtypes).get(ts_key)
+    if dtype == "timestamp_ntz":
+        df = df.withColumn(ts_key, F.col(ts_key).cast("timestamp"))
+    return df
+
+
 class BatchedRunner:
     """Run a pipeline with partition-count control (reference batch_size
     semantics -> repartition)."""
@@ -67,7 +83,7 @@ def tumbling_counts(events: DataFrame, ts_key: str = "ts", window: str = "1 hour
                     group_keys: list[str] | None = None) -> DataFrame:
     """Watermarked tumbling-window counts — works on both batch and
     streaming DataFrames (same code path, Spark's unified model)."""
-    df = events
+    df = _event_time(events, ts_key)
     if df.isStreaming:
         df = df.withWatermark(ts_key, watermark)
     keys = [F.window(F.col(ts_key), window).alias("win")] + [
@@ -90,9 +106,11 @@ def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
     order = [F.col(ts_key).asc()] + ([F.col(tie_breaker).asc()] if tie_breaker else [])
     w = Window.partitionBy(user_key).orderBy(*order)
     prev_ts = F.lag(F.col(ts_key)).over(w)
+    # unix_timestamp works on both TIMESTAMP and TIMESTAMP_NTZ (a direct
+    # BIGINT cast raises DATATYPE_MISMATCH on NTZ).
     new_session = (
         prev_ts.isNull()
-        | (F.col(ts_key).cast("long") - prev_ts.cast("long") > gap_minutes * 60)
+        | (F.unix_timestamp(F.col(ts_key)) - F.unix_timestamp(prev_ts) > gap_minutes * 60)
     ).cast("int")
     sess_n = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -124,6 +142,7 @@ def stream_dedup(df: DataFrame, keys: list[str] | str,
     32-char digest, not the document).
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    df = _event_time(df, ts_key)
     if content_hash:
         if len(key_list) != 1:
             raise ValueError("content_hash dedup takes exactly one key column")
