@@ -620,16 +620,175 @@ def d_ngram_hash(spark, sf_dir):
     return op.run(docs).select("doc_id")
 
 
-# near-dup sketches: engine-defined algorithms -> rows-only driver check
-q("d_minhash_lsh")(lambda spark, sf_dir: get_operator(
-    "MinHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id"}
+# near-dup sketches, full-fidelity oracles: the operators run with
+# hash_impl="md5" (md5 is bit-identical in Spark, Python, and DuckDB),
+# and the oracle SQL below recomputes the ENTIRE pipeline — signature,
+# banding, star-edge candidates, verification, connected components,
+# keep-min survivor — so the driver hash-checks the real LSH path.
+
+# shared tail: banded(id, band, h) -> star edges -> verified pairs ->
+# recursive-CTE connected components -> survivors (min id per component)
+def _cc_survivor_sql(verify_join: str, all_ids: str, id_col: str) -> str:
+    return f"""
+buckets AS (SELECT band, h, list_sort(list(_id)) AS ids
+            FROM banded GROUP BY band, h HAVING count(*) > 1),
+star AS (SELECT ids[1] AS src, unnest(ids[2:]) AS dst FROM buckets),
+pairs AS (SELECT DISTINCT src, dst FROM star),
+ver AS ({verify_join}),
+edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM ver WHERE src != dst),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+reach AS (SELECT DISTINCT u AS id, u AS lbl FROM sym
+          UNION
+          SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+SELECT t.{id_col} FROM ({all_ids}) t LEFT JOIN comp c ON t.{id_col} = c.id
+WHERE coalesce(c.component, t.{id_col}) = t.{id_col}
+"""
+
+
+def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 4,
+                        shingle_n: int = 5, threshold: float = 0.9,
+                        seed: int = 42) -> str:
+    from dataflow_spark.functions.hashing import MERSENNE_P, _perm_params
+
+    rows = num_perm // num_bands
+    params = "[" + ",".join(f"[{a},{b}]" for a, b in _perm_params(num_perm, seed)) + "]::BIGINT[][]"
+    zeros = "[" + ",".join("0" * 1 for _ in range(num_perm)) + "]::BIGINT[]"
+    n = shingle_n
+    verify = f"""
+  SELECT p.src, p.dst FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.src
+  JOIN sig sb ON sb.doc_id = p.dst
+  WHERE list_sum(list_transform(generate_series(1, {num_perm}),
+          i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {num_perm} >= {threshold}"""
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+sh AS (SELECT doc_id, len(t) AS lt,
+         CASE WHEN len(t) = 0 THEN NULL
+              WHEN len(t) < {n} THEN [t]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - {n - 1}), i -> substr(t, i, {n})))
+         END AS grams FROM d),
+hr AS (SELECT doc_id, lt, CASE WHEN lt = 0 THEN NULL ELSE
+         list_transform(grams, g ->
+           (('0x' || substr(md5(g), 1, 15))::UBIGINT % {MERSENNE_P})::BIGINT)
+       END AS hs FROM sh),
+sig AS (SELECT doc_id, CASE WHEN hs IS NULL THEN {zeros} ELSE
+          list_transform({params}, p ->
+            list_min(list_transform(hs, h -> (p[1] * h + p[2]) % {MERSENNE_P})))
+        END AS s FROM hr),
+banded AS (SELECT doc_id AS _id, b.band,
+             array_to_string(s[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS h
+           FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
+{_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id")}"""
+
+
+def _simhash_oracle_sql(num_bands: int = 4, shingle_n: int = 4,
+                        max_hamming: int = 3) -> str:
+    n = shingle_n
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(60))
+    pack = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k}::BIGINT ELSE 0 END)"
+                      for k in range(60))
+    band_rows = ", ".join(
+        f"({b}, (sim >> {b * width}) & {mask})" for b in range(num_bands))
+    verify = f"""
+  SELECT p.src, p.dst FROM pairs p
+  JOIN sim sa ON sa.doc_id = p.src
+  JOIN sim sb ON sb.doc_id = p.dst
+  WHERE bit_count(xor(sa.sim, sb.sim)) <= {max_hamming}"""
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < {n} THEN [t]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - {n - 1}), i -> substr(t, i, {n})))
+         END AS grams FROM d),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+hh AS (SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::UBIGINT::BIGINT AS h FROM g),
+bs AS (SELECT doc_id,
+         {sums}
+       FROM hh GROUP BY doc_id),
+sim AS (SELECT d.doc_id, coalesce({pack}, 0) AS sim
+        FROM d LEFT JOIN bs ON d.doc_id = bs.doc_id),
+banded AS (SELECT doc_id AS _id, b.band, (sim >> b.band * {width}) & {mask} AS h
+           FROM sim, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
+{_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id")}"""
+
+
+def _hyperplanes(num_planes: int = 16, dim: int = 64, seed: int = 42):
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((num_planes, dim))
+
+
+def _plane_lit(p) -> str:
+    return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _hyperplane_band_sql(src: str, id_expr: str, emb: str = "embedding",
+                         num_planes: int = 16, num_bands: int = 4,
+                         dim: int = 64, seed: int = 42) -> str:
+    """banded rows (_id, band, h) for non-null dim-length embeddings —
+    sign bits of dot products with the RandomState(seed) plane family,
+    packed exactly as functions/vector.py:hyperplane_bands_udf."""
+    planes = _hyperplanes(num_planes, dim, seed)
+    width = num_planes // num_bands
+    dots = ",\n    ".join(
+        f"list_dot_product(v, {_plane_lit(p)}) AS d{j}"
+        for j, p in enumerate(planes))
+    bands = []
+    for b in range(num_bands):
+        bits = " + ".join(
+            f"(CASE WHEN d{b * width + j} > 0 THEN {1 << (width - 1 - j)} ELSE 0 END)"
+            for j in range(width))
+        bands.append(f"SELECT _id, {b} AS band, {bits} AS h FROM dots")
+    return f"""
+ev AS (SELECT {id_expr} AS _id, list_transform({emb}, x -> x::DOUBLE) AS v
+       FROM {src} WHERE {emb} IS NOT NULL AND len({emb}) = {dim}),
+dots AS (SELECT _id, v,
+    {dots}
+  FROM ev),
+banded AS ({" UNION ALL ".join(bands)})"""
+
+
+def _semantic_oracle_sql(eps: float = 0.05) -> str:
+    thr = 1.0 - eps
+    cos = ("list_dot_product(va.v, vb.v) / (sqrt(list_dot_product(va.v, va.v))"
+           " * sqrt(list_dot_product(vb.v, vb.v)))")
+    verify = f"""
+  SELECT p.src, p.dst FROM pairs p
+  JOIN ev va ON va._id = p.src
+  JOIN ev vb ON vb._id = p.dst
+  WHERE sqrt(list_dot_product(va.v, va.v)) > 0
+    AND sqrt(list_dot_product(vb.v, vb.v)) > 0
+    AND {cos} >= {thr!r}"""
+    return f"""
+WITH RECURSIVE
+{_hyperplane_band_sql("embeddings", "vec_id")},
+{_cc_survivor_sql(verify, "SELECT vec_id FROM embeddings", "vec_id")}"""
+
+
+q("d_minhash_lsh", _minhash_oracle_sql())(lambda spark, sf_dir: get_operator(
+    "MinHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id",
+                                 "hash_impl": "md5"}
 ).run(_t(spark, sf_dir, "documents")).select("doc_id"))
 
-q("d_simhash")(lambda spark, sf_dir: get_operator(
-    "SimHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id"}
+q("d_simhash", _simhash_oracle_sql())(lambda spark, sf_dir: get_operator(
+    "SimHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id",
+                                 "hash_impl": "md5"}
 ).run(_t(spark, sf_dir, "documents")).select("doc_id"))
 
-q("d_semantic")(lambda spark, sf_dir: get_operator(
+q("d_semantic", _semantic_oracle_sql())(lambda spark, sf_dir: get_operator(
     "SemDeduplicateFilter", {"embedding_key": "embedding", "order_key": "vec_id",
                              "eps": 0.05}
 ).run(_t(spark, sf_dir, "embeddings")).select("vec_id"))
@@ -795,12 +954,33 @@ def s_knn_brute(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
-# approximate ANN: engine-defined bucketing -> rows-only check
-q("s_knn_lsh")(lambda spark, sf_dir: get_operator(
+# LSH ANN, full-fidelity oracle: identical hyperplane family (literal
+# RandomState(seed) planes in the SQL), band equi-join pruning, exact
+# cosine + top-k on the surviving candidates.
+def _knn_lsh_oracle_sql(k: int = 10) -> str:
+    cos = ("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+           " * sqrt(list_dot_product(c.v, c.v)))")
+    return f"""
+WITH
+{_hyperplane_band_sql("embeddings", "vec_id")},
+cand AS (SELECT DISTINCT cb._id AS nid, qb._id AS qid
+         FROM banded cb JOIN banded qb
+           ON cb.band = qb.band AND cb.h = qb.h
+         WHERE qb._id < 5 AND cb._id != qb._id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+         round({cos}, 4) AS cosine_sim,
+         row_number() OVER (PARTITION BY cand.qid
+                            ORDER BY {cos} DESC, cand.nid) AS rn
+  FROM cand JOIN ev q ON q._id = cand.qid JOIN ev c ON c._id = cand.nid)
+WHERE rn <= {k}"""
+
+
+q("s_knn_lsh", _knn_lsh_oracle_sql())(lambda spark, sf_dir: get_operator(
     "LSHKNN", {"id_key": "vec_id", "embedding_key": "embedding", "k": 10}
 ).run(_t(spark, sf_dir, "embeddings"),
       queries=_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5))
-  .select("query_id", "neighbor_id"))
+  .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")))
 
 
 # multimodal plumbing (deterministic fake decode) -> rows-only check
@@ -1130,7 +1310,11 @@ sel AS (
 )
 SELECT unnest(chosen) AS vec_id FROM sel WHERE it = 50
 """)(_coreset)
-q("s_knn_ivf")(_ivf_knn)
+# IVF entry probes ALL cells (n_probe == n_cells == 8): recall is exactly
+# 100%, so the expected output equals the exact brute-force top-k — the
+# oracle pins the whole IVF path (training, cell assignment, probe join,
+# per-query top-k) to the exact answer.
+q("s_knn_ivf", _ORACLES["s_knn_brute"])(_ivf_knn)
 q("x_conversation_roundtrip", """
 SELECT user_id AS conv_id, count(*) AS n_turns
 FROM events WHERE user_id < 20 GROUP BY user_id
@@ -1392,8 +1576,12 @@ def _cider(spark, sf_dir):
 
 
 def _vendi(spark, sf_dir):
+    # order-2 Vendi (Friedman & Dieng 2022 §3, Renyi q=2): closed form
+    # n^2 / ||K||_F^2 — fully distributed (no driver eigensolve, no
+    # sampling bound) and exactly SQL-expressible, unlike the q=1
+    # eigen-entropy variant which stays available via order=1.
     emb = _t(spark, sf_dir, "embeddings")
-    return get_operator("VendiDatasetEvaluator", {"max_rows": 500}).run(emb)
+    return get_operator("VendiDatasetEvaluator", {"order": 2}).run(emb)
 
 
 q("x_stemming", _stemming_oracle())(_stemming)
@@ -1430,7 +1618,20 @@ agg AS (SELECT doc_id, sum(cs) AS s FROM per_n GROUP BY doc_id)
 SELECT b2.doc_id, round(10.0 * coalesce(agg.s, 0) / 4, 4) AS cider
 FROM b2 LEFT JOIN agg ON b2.doc_id = agg.doc_id
 """)(_cider)
-q("e_vendi_diversity")(_vendi)
+q("e_vendi_diversity", """
+WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+p AS (SELECT CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                   AND sqrt(list_dot_product(b.v, b.v)) > 0
+              THEN list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+              ELSE 0 END AS cs
+      FROM e a CROSS JOIN e b)
+SELECT CAST(round(sqrt(count(*)), 0) AS BIGINT) AS n,
+       round(count(*) / sum(cs * cs), 4) AS vendi_score
+FROM p
+""")(_vendi)
 
 
 @q("e_perplexity_unigram", r"""
@@ -3305,11 +3506,27 @@ def x_mineru_api_flash(spark, sf_dir):
                          (F.col("text_path") != "").alias("converted"))))
 
 
-@q("e_task2vec_diversity")  # eigen-entropy: not SQL-expressible, rows-only
+@q("e_task2vec_diversity", """
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS j),
+e AS (SELECT vec_id AS id, j, embedding[j]::DOUBLE AS x
+      FROM embeddings, dims WHERE embedding IS NOT NULL),
+m AS (SELECT j, avg(x) AS mu, count(*) AS n FROM e GROUP BY j),
+cx AS (SELECT e.id, e.j, e.x - m.mu AS c, m.n FROM e JOIN m ON e.j = m.j),
+cov AS (SELECT a.j AS j, b.j AS k,
+               sum(a.c * b.c) / (max(a.n) - 1) AS cv, max(a.n) AS n
+        FROM cx a JOIN cx b ON a.id = b.id GROUP BY a.j, b.j),
+t AS (SELECT max(n) AS n,
+             sum(CASE WHEN j = k THEN cv END) AS tr,
+             sum(cv * cv) AS f2 FROM cov)
+SELECT n::BIGINT AS n, round(-ln(f2 / (tr * tr)), 4) AS task2vec_diversity FROM t
+""")
 def e_task2vec_diversity(spark, sf_dir):
+    # Renyi-2 spectral entropy of the covariance: -ln(||cov||_F^2/tr^2),
+    # distributed over all rows (no sample, no eigensolve) — see
+    # Task2VecDatasetEvaluator(order=2)
     emb = _t(spark, sf_dir, "embeddings")
     op = get_operator("Task2VecDatasetEvaluator", {
-        "embedding_key": "embedding", "max_rows": 2000})
+        "embedding_key": "embedding", "order": 2, "id_key": "vec_id"})
     return op.run(emb)
 
 

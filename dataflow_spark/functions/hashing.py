@@ -122,6 +122,99 @@ def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     return _minhash
 
 
+def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
+    """Oracle-replicable MinHash signature: md5-based shingle hashes.
+
+    Same banding/verify semantics as ``minhash64_udf`` but the shingle
+    hash is ``int(md5(gram)[:15], 16) % P`` — md5 produces identical
+    hex in Spark SQL, Python hashlib, and DuckDB, so an external SQL
+    oracle can recompute the exact signature. Shingling mirrors
+    ``char_shingles``: distinct char n-grams, whole string when
+    len < n, [0]*num_perm for empty/null. Permutation mins are one
+    numpy matrix reduce per row; only the md5 calls are per-gram.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    Bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def one(text: str):
+        if not text:
+            return [0] * num_perm
+        if len(text) < n:
+            grams = [text]
+        else:
+            grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+        hr = np.array(
+            [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
+             for g in grams], dtype=np.int64)
+        # A*hr + B < 2^62: exact in int64
+        return ((A * hr[None, :] + Bv) % MERSENNE_P).min(axis=1).tolist()
+
+    @pandas_udf("array<long>")
+    def _minhash(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(one)
+
+    return _minhash
+
+
+def simhash_md5_udf(n: int = 4):
+    """Oracle-replicable SimHash: md5-based 60-bit shingle hashes.
+
+    ``int(md5(gram)[:15], 16)`` gives 60 well-mixed bits; sign-sums run
+    over bits 0-59 (bits 60-63 of the result are always 0 — still a
+    valid simhash family, and every step is reproducible in DuckDB SQL).
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        if len(text) < n:
+            grams = [text]
+        else:
+            grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+        h = np.array(
+            [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+             for g in grams], dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        sums = (bits * 2 - 1).sum(axis=0)
+        out = np.uint64(0)
+        for k in np.nonzero(sums > 0)[0]:
+            out |= np.uint64(1) << np.uint64(k)
+        return int(out.astype(np.int64))
+
+    @pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(one)
+
+    return _simhash
+
+
+def band_keys_plain(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, h:string>> — band key is the comma-joined
+    signature slice itself (no hash), for oracle-replicable banding:
+    identical string keys in Spark, Python, and DuckDB
+    (``array_to_string(sig[a:b], ',')``)."""
+    out = []
+    for band in range(num_bands):
+        chunk = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+        out.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string"))).alias("h"),
+            )
+        )
+    return F.array(*out)
+
+
 def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     """array<struct<band:int, h:bigint>> — one LSH key per band.
 

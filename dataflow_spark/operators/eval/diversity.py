@@ -88,14 +88,38 @@ class VendiDatasetEvaluator(Operator):
     """
 
     def __init__(self, embedding_key: str = "embedding", max_rows: int = 2000,
-                 seed: int = 7):
+                 seed: int = 7, order: float = 1.0):
         self.embedding_key = embedding_key
         self.max_rows = max_rows
         self.seed = seed
+        #: Renyi order q of the Vendi family (Friedman & Dieng 2022 §3).
+        #: q=1 (default) is the eigen-entropy score, computed on a bounded
+        #: driver sample. q=2 has the closed form n^2 / ||K||_F^2 =
+        #: n^2 / sum_ij cos(x_i,x_j)^2 — no eigensolve, so it runs fully
+        #: distributed (self-join + sum) with no sampling bound: the
+        #: 100 TB-safe member of the family, and expressible in plain SQL.
+        self.order = order
         self.input_keys = (embedding_key,)
         self.output_keys = ("n", "vendi_score")
 
+    def _run_order2(self, df: DataFrame) -> DataFrame:
+        from dataflow_spark.functions import vector as V
+
+        vecs = df.select(F.col(self.embedding_key).alias("_v")) \
+                 .filter(F.col("_v").isNotNull())
+        a = vecs.select(F.col("_v").alias("_va"))
+        b = vecs.select(F.col("_v").alias("_vb"))
+        cos = F.coalesce(V.cosine(F.col("_va"), F.col("_vb")), F.lit(0.0))
+        agg = a.crossJoin(b).agg(
+            F.sum(cos * cos).alias("_fro2"),
+            F.count(F.lit(1)).alias("_n2"))
+        return agg.select(
+            F.round(F.sqrt(F.col("_n2")), 0).cast("long").alias("n"),
+            F.round(F.col("_n2") / F.col("_fro2"), 4).alias("vendi_score"))
+
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        if self.order == 2:
+            return self._run_order2(df)
         sample = (df.select(self.embedding_key)
                   .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
         X = np.array([r[0] for r in sample], dtype=np.float64)
@@ -202,14 +226,54 @@ class Task2VecDatasetEvaluator(Operator):
     """
 
     def __init__(self, embedding_key: str = "embedding", max_rows: int = 2000,
-                 seed: int = 7):
+                 seed: int = 7, order: float = 1.0, id_key: str | None = None):
         self.embedding_key = embedding_key
         self.max_rows = max_rows
         self.seed = seed
+        #: q=1 (default): eigen-entropy of the covariance spectrum on a
+        #: bounded driver sample. q=2: Renyi-2 closed form
+        #: -ln(||cov||_F^2 / tr(cov)^2) — no eigensolve, so it runs fully
+        #: distributed over ALL rows (dim x dim aggregation, map-side
+        #: combinable): the 100 TB-safe member, expressible in plain SQL.
+        self.order = order
+        self.id_key = id_key  # self-join key for order=2; synthesized if absent
         self.input_keys = (embedding_key,)
         self.output_keys = ("n", "task2vec_diversity")
 
+    def _run_order2(self, df: DataFrame) -> DataFrame:
+        if self.id_key:
+            e = df.select(F.col(self.id_key).alias("_id"),
+                          F.col(self.embedding_key).alias("_v"))
+        else:
+            e = df.select(F.monotonically_increasing_id().alias("_id"),
+                          F.col(self.embedding_key).alias("_v"))
+        e = e.filter(F.col("_v").isNotNull())
+        ex = e.select("_id", F.posexplode("_v").alias("_j", "_x")) \
+              .withColumn("_x", F.col("_x").cast("double"))
+        m = ex.groupBy("_j").agg(F.avg("_x").alias("_mu"),
+                                 F.count(F.lit(1)).alias("_n"))
+        cx = ex.join(F.broadcast(m), "_j").select(
+            "_id", "_j", (F.col("_x") - F.col("_mu")).alias("_cx"), "_n")
+        a, b = cx.alias("a"), cx.select("_id", "_j", "_cx").alias("b")
+        cov = (
+            a.join(b, "_id")
+            .groupBy(F.col("a._j").alias("_j"), F.col("b._j").alias("_k"))
+            .agg((F.sum(F.col("a._cx") * F.col("b._cx"))
+                  / (F.max(F.col("a._n")) - 1)).alias("_cv"),
+                 F.max(F.col("a._n")).alias("_n"))
+        )
+        t = cov.agg(
+            F.max("_n").alias("n"),
+            F.sum(F.when(F.col("_j") == F.col("_k"), F.col("_cv"))).alias("_tr"),
+            F.sum(F.col("_cv") * F.col("_cv")).alias("_f2"))
+        return t.select(
+            F.col("n").cast("long"),
+            F.round(-F.log(F.col("_f2") / (F.col("_tr") * F.col("_tr"))), 4)
+            .alias("task2vec_diversity"))
+
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        if self.order == 2:
+            return self._run_order2(df)
         sample = (df.select(self.embedding_key)
                   .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
         X = np.array([r[0] for r in sample], dtype=np.float64)

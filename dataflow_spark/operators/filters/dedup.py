@@ -345,7 +345,7 @@ class MinHashDeduplicateFilter(_NearDupBase):
     def __init__(self, input_key: str = "text", threshold: float = 0.9,
                  num_perm: int = 64, num_bands: int = 4, shingle_n: int = 5,
                  order_key: str | None = None, verify_jaccard: bool = True,
-                 pair_expansion: str = "star"):
+                 pair_expansion: str = "star", hash_impl: str = "fast"):
         super().__init__(input_key, order_key)
         self.pair_expansion = pair_expansion
         self.threshold = threshold
@@ -354,25 +354,37 @@ class MinHashDeduplicateFilter(_NearDupBase):
         self.rows_per_band = num_perm // num_bands
         self.shingle_n = shingle_n
         self.verify_jaccard = verify_jaccard
+        #: 'fast' = splitmix64 numpy rolling hash (production);
+        #: 'md5' = md5-based shingle hashes + plain band keys, bit-exactly
+        #: reproducible in external SQL engines (the oracle contract)
+        self.hash_impl = hash_impl
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
-        # vectorized numpy signature (see hashing.minhash64_udf); persist
-        # because the signature feeds both the band explode and the
-        # candidate-verify join — without caching the whole signature
-        # computation would re-run per consumer
-        sig = H.minhash64_udf(self.num_perm, self.shingle_n)(F.col(self.input_key))
-        with_sig = df.withColumn("_sig", sig).persist()
-        banded = with_sig.select(
-            "_nd_id",
-            F.explode(H.band_hashes(F.col("_sig"), self.num_bands, self.rows_per_band)).alias("bh"),
+        if self.hash_impl == "md5":
+            sig_udf = H.minhash_md5_udf(self.num_perm, self.shingle_n)
+            bander = lambda c: H.band_keys_plain(c, self.num_bands, self.rows_per_band)  # noqa: E731
+        else:
+            sig_udf = H.minhash64_udf(self.num_perm, self.shingle_n)
+            bander = lambda c: H.band_hashes(c, self.num_bands, self.rows_per_band)  # noqa: E731
+        # project-then-dedup: only (id, signature) flows through banding,
+        # verify, and components — the scan on this branch reads just
+        # [order_col, input_key]; full rows join back on survivors only.
+        # persist because the signature feeds both the band explode and
+        # the candidate-verify join.
+        sigs = (
+            df.select("_nd_id", self.input_key)
+            .withColumn("_sig", sig_udf(F.col(self.input_key)))
+            .select("_nd_id", "_sig")
+            .persist()
+        )
+        banded = sigs.select(
+            "_nd_id", F.explode(bander(F.col("_sig"))).alias("bh"),
         ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
         verify = None
         if self.verify_jaccard:
-            sigs = with_sig.select("_nd_id", "_sig")
-
             def verify(pairs: DataFrame) -> DataFrame:
                 est = (
                     pairs.join(sigs.withColumnRenamed("_nd_id", "src").withColumnRenamed("_sig", "_sig_a"), "src")
@@ -390,7 +402,7 @@ class MinHashDeduplicateFilter(_NearDupBase):
                 )
                 return est.filter(F.col("est_jaccard") >= self.threshold).select("src", "dst")
 
-        return self._dedup_by_bands(with_sig.drop("_sig"), banded, order_col, verify)
+        return self._dedup_by_bands(df, banded, order_col, verify)
 
 
 @OPERATOR_REGISTRY.register()
@@ -405,25 +417,31 @@ class SimHashDeduplicateFilter(_NearDupBase):
 
     def __init__(self, input_key: str = "text", max_hamming: int = 3,
                  shingle_n: int = 4, order_key: str | None = None,
-                 pair_expansion: str = "star"):
+                 pair_expansion: str = "star", hash_impl: str = "fast"):
         super().__init__(input_key, order_key)
         self.pair_expansion = pair_expansion
         self.max_hamming = max_hamming
         self.shingle_n = shingle_n
+        #: 'fast' = splitmix64 rolling hash; 'md5' = md5-based 60-bit
+        #: shingle hashes, reproducible in external SQL (oracle contract)
+        self.hash_impl = hash_impl
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
-        # vectorized pandas_udf: the pure-expression simhash64 is ~1000x
-        # slower (64-aggregate tree); see functions/hashing.py
-        with_sim = df.withColumn(
-            "_simhash", H.simhash64_udf(self.shingle_n)(F.col(self.input_key))
-        ).persist()  # feeds banding + Hamming verify; avoid recompute
-        banded = with_sim.select(
+        sim_udf = (H.simhash_md5_udf(self.shingle_n) if self.hash_impl == "md5"
+                   else H.simhash64_udf(self.shingle_n))
+        # project-then-dedup: only (id, simhash) feeds banding + Hamming
+        # verify; persist to avoid recomputing the signature per consumer
+        sims = (
+            df.select("_nd_id", self.input_key)
+            .withColumn("_simhash", sim_udf(F.col(self.input_key)))
+            .select("_nd_id", "_simhash")
+            .persist()
+        )
+        banded = sims.select(
             "_nd_id", F.explode(H.simhash_bands(F.col("_simhash"))).alias("bh")
         ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-
-        sims = with_sim.select("_nd_id", "_simhash")
 
         def verify(pairs: DataFrame) -> DataFrame:
             return (
@@ -433,7 +451,7 @@ class SimHashDeduplicateFilter(_NearDupBase):
                 .select("src", "dst")
             )
 
-        return self._dedup_by_bands(with_sim.drop("_simhash"), banded, order_col, verify)
+        return self._dedup_by_bands(df, banded, order_col, verify)
 
 
 @OPERATOR_REGISTRY.register()

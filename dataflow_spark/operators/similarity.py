@@ -29,15 +29,31 @@ class BruteForceKNN(Operator):
     on neighbor id).
     """
 
+    #: broadcast-safety bound on the query side: with queries=None the
+    #: whole corpus would be broadcast for self-kNN — a driver/executor
+    #: OOM at scale. Above the bound, refuse and point to LSHKNN/IVFKNN.
+    max_broadcast_queries = 1_000_000
+
     def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
-                 k: int = 10, include_self: bool = False):
+                 k: int = 10, include_self: bool = False,
+                 max_broadcast_queries: int | None = None):
         self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
         self.include_self = include_self
+        if max_broadcast_queries is not None:
+            self.max_broadcast_queries = max_broadcast_queries
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
 
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
-        q = (queries if queries is not None else df).select(
+        qsrc = queries if queries is not None else df
+        # limit-probe instead of count(): one cheap job, stops early
+        n_probe = len(qsrc.select(self.id_key).limit(self.max_broadcast_queries + 1).collect())
+        if n_probe > self.max_broadcast_queries:
+            raise ValueError(
+                f"BruteForceKNN would broadcast > {self.max_broadcast_queries} "
+                "query rows (self-kNN over a large corpus?); use LSHKNN or "
+                "IVFKNN, or raise max_broadcast_queries explicitly")
+        q = qsrc.select(
             F.col(self.id_key).alias("query_id"),
             F.col(self.embedding_key).alias("_q_emb"),
         )

@@ -146,3 +146,46 @@ def test_star_contraction_matches_union_find(spark):
     assert got == want
     # chain label is its min despite diameter >> round count
     assert got[400] == 100
+
+
+def test_minhash_md5_mode_matches_fast_semantics(spark):
+    """hash_impl='md5' (the oracle-replicable family) finds the same
+    obvious near-dup clusters as the production splitmix64 family."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to find some food for its cubs " * 3)
+    # near-dup with jaccard ~0.99 (one char dropped): solidly above the
+    # 0.9 LSH threshold for ANY hash family (at j~=0.9 band collision is
+    # a coin flip, so a word-swap pair would be family-dependent)
+    rows = [(1, base), (2, base[:-1]),
+            (3, "a completely different text about spark engines and "
+                "distributed computation at large scale " * 4)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for impl in ("fast", "md5"):
+        out = get_operator("MinHashDeduplicateFilter",
+                           {"input_key": "text", "order_key": "id",
+                            "hash_impl": impl}).run(df)
+        assert sorted(r["id"] for r in out.collect()) == [1, 3], impl
+
+
+def test_simhash_md5_mode_matches_fast_semantics(spark):
+    base = ("large scale distributed data processing with apache spark "
+            "query optimization and columnar storage " * 5)
+    rows = [(1, base), (2, base + "x"), (3, "entirely unrelated content "
+            "about cooking pasta with tomato sauce and fresh basil " * 5)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for impl in ("fast", "md5"):
+        out = get_operator("SimHashDeduplicateFilter",
+                           {"input_key": "text", "order_key": "id",
+                            "hash_impl": impl}).run(df)
+        assert sorted(r["id"] for r in out.collect()) == [1, 3], impl
+
+
+def test_minhash_md5_handles_empty_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "ab"), (4, "ab")], ["id", "text"])
+    out = get_operator("MinHashDeduplicateFilter",
+                       {"input_key": "text", "order_key": "id",
+                        "hash_impl": "md5"}).run(df)
+    # "" and None hash identically ([0]*perm) -> first (id 1) survives;
+    # "ab" dupes collapse to id 3
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]

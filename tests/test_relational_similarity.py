@@ -149,3 +149,53 @@ def test_stepstore_lineage(tmp_path, spark):
     assert store.last_step == 1
     assert store.read(spark).count() == 5
     assert [s["op"] for s in store.lineage()] == ["seed", "filter"]
+
+
+def test_brute_force_knn_broadcast_guard(spark):
+    import pytest
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(1), F.rand(2)).alias("embedding"))
+    op = get_operator("BruteForceKNN", {"k": 3, "max_broadcast_queries": 50})
+    with pytest.raises(ValueError, match="broadcast"):
+        op.run(df)  # self-kNN: query side = 100 rows > 50 bound
+    # under the bound: fine
+    small = df.filter(F.col("vec_id") < 10)
+    assert op.run(df, queries=small).count() == 30
+
+
+def test_vendi_order2_matches_eigen_definition(spark):
+    """VS_2 closed form n^2/||K||_F^2 equals 1/sum(eigenvalues^2)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    X = rng.standard_normal((20, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    out = get_operator("VendiDatasetEvaluator", {"order": 2}).run(df).first()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ev = np.linalg.eigvalsh((Xn @ Xn.T) / 20)
+    expected = 1.0 / (ev ** 2).sum()
+    assert out["n"] == 20
+    assert abs(out["vendi_score"] - expected) < 1e-3
+
+
+def test_task2vec_order2_matches_renyi2_definition(spark):
+    """-ln(||cov||_F^2/tr^2) equals Renyi-2 entropy of cov eigenvalues."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((30, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    out = get_operator("Task2VecDatasetEvaluator",
+                       {"order": 2, "id_key": "vec_id"}).run(df).first()
+    cov = np.cov(X, rowvar=False)
+    ev = np.linalg.eigvalsh(cov)
+    p = ev / ev.sum()
+    expected = -np.log((p ** 2).sum())
+    assert out["n"] == 30
+    assert abs(out["task2vec_diversity"] - expected) < 1e-3
