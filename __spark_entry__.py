@@ -3739,9 +3739,25 @@ FROM k
 _register_pipeline_queries()
 
 
-# Round-1 driver check covered these 50 names; the driver samples the
-# contract in order, so list everything else (round-1-unchecked + new)
-# FIRST to maximize fresh oracle coverage per round.
+# The driver samples the contract in order each round, so order the dict
+# to maximize fresh verification coverage:
+#   1. re-verify head: queries that failed or had no oracle in earlier
+#      rounds and were since fixed/oracled — proof-of-fix must land in
+#      the next CORRECTNESS file;
+#   2. never-driver-checked queries;
+#   3. everything already green in r1/r2 (lowest information value).
+_REVERIFY_HEAD = [
+    # r1 PARQUET_TYPE_ILLEGAL failures, fixed by the NTZ normalization
+    "q_events_hourly", "q_sessionize", "q_count_distinct_users",
+    "q_top_events",
+    # no_oracle in r2, full-fidelity oracles added this round
+    "d_minhash_lsh", "d_simhash", "d_semantic", "s_knn_lsh", "s_knn_ivf",
+    "e_vendi_diversity", "e_task2vec_diversity",
+    # regressed to 2 rows in r2 window (stream schema drift), fixed
+    "q_stream_hourly",
+]
+
+# Round-1 driver check covered these 50 names.
 _CHECKED_R1 = {
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "q_top_customers", "q_part_brand_agg", "q_distinct_segments",
@@ -3760,11 +3776,34 @@ _CHECKED_R1 = {
     "r_text_normalization", "r_remove_stopwords",
 }
 
+# Round-2 driver check covered these (CORRECTNESS_r02.json keys; green or
+# superseded-by-oracle this round).
+_CHECKED_R2 = {
+    "r_remove_repetition_punct", "d_exact_hash", "d_ccnet_norm",
+    "d_ngram_hash", "d_minhash_lsh", "d_simhash", "d_semantic", "t_langid",
+    "q_langid_accuracy", "t_token_count", "t_quality_score", "t_fingerprint",
+    "t_ngram_ratio", "t_lexical_diversity", "t_code_composition",
+    "q_doc_distribution", "s_knn_brute", "s_knn_lsh", "m_media_meta",
+    "m_media_headers", "g_embedding", "d_ngram_jaccard", "g_char_chunks",
+    "g_sentence_chunks", "x_sql_execution_filter", "x_sql_hardness",
+    "x_sql_generator", "e_bleu_token_f1", "x_kcenter_coreset", "s_knn_ivf",
+    "x_conversation_roundtrip", "g_text2qa", "x_code_sandbox",
+    "r_answer_extraction", "r_token_stats", "r_category_dist",
+    "e_bench_accuracy", "x_pii_anonymize", "x_pii_count", "x_kbc_clean",
+    "g_qa_extract", "e_code_metrics", "t_language_filter", "x_stemming",
+    "e_cider", "e_vendi_diversity", "e_perplexity_unigram",
+    "e_model_score_hash", "e_langkit_readability", "g_mathbook_extract",
+}
+
+_CHECKED = _CHECKED_R1 | _CHECKED_R2
+
 
 def _ordered(d: dict) -> dict:
-    fresh = {k: v for k, v in d.items() if k not in _CHECKED_R1}
-    fresh.update({k: v for k, v in d.items() if k in _CHECKED_R1})
-    return fresh
+    out = {k: d[k] for k in _REVERIFY_HEAD if k in d}
+    out.update({k: v for k, v in d.items()
+                if k not in out and k not in _CHECKED})
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
