@@ -102,7 +102,12 @@ _SCORERS = [
 
 for _name, _ref, _model, _out in _SCORERS:
     _cls = type(_name, (_ModelScoreEvaluator,), {
-        "__doc__": f"Model quality scorer (reference: dataflow/operators/{_ref}).",
+        "__doc__": (
+            f"Model quality scorer (reference: dataflow/operators/{_ref}). "
+            f"backend='hash' (default): deterministic md5 proxy score — "
+            f"plumbing contract only; backend='hf': real weights "
+            f"({_model}) as a broadcast-model pandas UDF (needs "
+            f"transformers/torch)."),
         "MODEL_ID": _model,
         "OUTPUT_KEY": _out,
     })

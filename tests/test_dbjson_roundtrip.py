@@ -76,3 +76,26 @@ def test_existing_system_columns_preserved(spark, user_df):
     packed = pack_data_column(df, pipeline_id="ignored")
     assert packed.select("pipeline_id").distinct().collect()[0][0] == "keep-me"
     assert SYSTEM_COLUMNS[0] == "pipeline_id"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, user_df, tmp_path):
+    """Real JDBC hop (Spark jdbc source -> embedded Derby -> jdbc read):
+    the exact production path of the ClickHouse/MyScale contract, with
+    Derby standing in as the JDBC-capable store."""
+    from dataflow_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/chdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    packed = pack_data_column(user_df, pipeline_id="p-jdbc", task_id=3)
+    (packed.write.format("jdbc").option("url", url)
+     .option("dbtable", "dataflow_rows").option("driver", driver)
+     .mode("overwrite").save())
+
+    back = read_jdbc(spark, url, "dataflow_rows", driver=driver)
+    restored = unpack_data_column(back, schema=user_df.schema)
+    got = {r.doc_id: (r.text, r.score, r.label)
+           for r in restored.select("doc_id", "text", "score", "label").collect()}
+    want = {r.doc_id: (r.text, r.score, r.label) for r in user_df.collect()}
+    assert got == want
+    sysr = restored.select("pipeline_id", "task_id").distinct().collect()
+    assert [(r.pipeline_id, r.task_id) for r in sysr] == [("p-jdbc", 3)]
