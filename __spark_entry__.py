@@ -1581,7 +1581,8 @@ def _vendi(spark, sf_dir):
     # sampling bound) and exactly SQL-expressible, unlike the q=1
     # eigen-entropy variant which stays available via order=1.
     emb = _t(spark, sf_dir, "embeddings")
-    return get_operator("VendiDatasetEvaluator", {"order": 2}).run(emb)
+    return get_operator("VendiDatasetEvaluator",
+                        {"order": 2, "id_key": "vec_id"}).run(emb)
 
 
 q("x_stemming", _stemming_oracle())(_stemming)

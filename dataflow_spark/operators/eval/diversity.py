@@ -88,10 +88,11 @@ class VendiDatasetEvaluator(Operator):
     """
 
     def __init__(self, embedding_key: str = "embedding", max_rows: int = 2000,
-                 seed: int = 7, order: float = 1.0):
+                 seed: int = 7, order: float = 1.0, id_key: str | None = None):
         self.embedding_key = embedding_key
         self.max_rows = max_rows
         self.seed = seed
+        self.id_key = id_key  # self-join key for order=2; synthesized if absent
         #: Renyi order q of the Vendi family (Friedman & Dieng 2022 §3).
         #: q=1 (default) is the eigen-entropy score, computed on a bounded
         #: driver sample. q=2 has the closed form n^2 / ||K||_F^2 =
@@ -105,17 +106,34 @@ class VendiDatasetEvaluator(Operator):
     def _run_order2(self, df: DataFrame) -> DataFrame:
         from dataflow_spark.functions import vector as V
 
-        vecs = df.select(F.col(self.embedding_key).alias("_v")) \
-                 .filter(F.col("_v").isNotNull())
-        a = vecs.select(F.col("_v").alias("_va"))
-        b = vecs.select(F.col("_v").alias("_vb"))
-        cos = F.coalesce(V.cosine(F.col("_va"), F.col("_vb")), F.lit(0.0))
-        agg = a.crossJoin(b).agg(
-            F.sum(cos * cos).alias("_fro2"),
-            F.count(F.lit(1)).alias("_n2"))
+        # sum_ij cos(x_i,x_j)^2 = tr((Xh Xh^T)^2) = ||Xh^T Xh||_F^2: the
+        # Frobenius norm of the dim x dim GRAM matrix — linear in n (one
+        # explode to (row, j, x) and a map-side-combinable (j,k) sum),
+        # not the naive n^2 cross join. Exactly equal, not approximate.
+        if self.id_key:
+            vecs = df.select(F.col(self.id_key).alias("_id"),
+                             V.normalize(F.col(self.embedding_key)).alias("_v"))
+        else:
+            # monotonically_increasing_id is NONDETERMINISTIC: re-evaluated
+            # per self-join side it silently mis-joins. Persist pins the
+            # generated ids before the join reuses them.
+            vecs = df.select(F.monotonically_increasing_id().alias("_id"),
+                             V.normalize(F.col(self.embedding_key)).alias("_v"))
+            vecs = vecs.persist()
+        vecs = vecs.filter(F.col("_v").isNotNull())
+        ex = vecs.select("_id", F.posexplode("_v").alias("_j", "_x"))
+        a, b = ex.alias("a"), ex.select("_id", "_j", "_x").alias("b")
+        gram = (
+            a.join(b, "_id")
+            .groupBy(F.col("a._j").alias("_j"), F.col("b._j").alias("_k"))
+            .agg(F.sum(F.col("a._x") * F.col("b._x")).alias("_g"))
+        )
+        n_frame = vecs.agg(F.count(F.lit(1)).alias("n"))
+        agg = gram.agg(F.sum(F.col("_g") * F.col("_g")).alias("_fro2")) \
+                  .crossJoin(n_frame)
         return agg.select(
-            F.round(F.sqrt(F.col("_n2")), 0).cast("long").alias("n"),
-            F.round(F.col("_n2") / F.col("_fro2"), 4).alias("vendi_score"))
+            F.col("n").cast("long"),
+            F.round(F.col("n") * F.col("n") / F.col("_fro2"), 4).alias("vendi_score"))
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         if self.order == 2:
@@ -245,8 +263,10 @@ class Task2VecDatasetEvaluator(Operator):
             e = df.select(F.col(self.id_key).alias("_id"),
                           F.col(self.embedding_key).alias("_v"))
         else:
+            # persist pins the nondeterministic generated ids before the
+            # self-join below reuses them (see Vendi order-2 note)
             e = df.select(F.monotonically_increasing_id().alias("_id"),
-                          F.col(self.embedding_key).alias("_v"))
+                          F.col(self.embedding_key).alias("_v")).persist()
         e = e.filter(F.col("_v").isNotNull())
         ex = e.select("_id", F.posexplode("_v").alias("_j", "_x")) \
               .withColumn("_x", F.col("_x").cast("double"))

@@ -174,7 +174,12 @@ def test_vendi_order2_matches_eigen_definition(spark):
     df = spark.createDataFrame(
         [(i, [float(x) for x in X[i]]) for i in range(20)],
         "vec_id long, embedding array<double>")
-    out = get_operator("VendiDatasetEvaluator", {"order": 2}).run(df).first()
+    out = get_operator("VendiDatasetEvaluator",
+                       {"order": 2, "id_key": "vec_id"}).run(df).first()
+    # fallback path (synthesized ids) must agree with the id_key path
+    out_noid = get_operator("VendiDatasetEvaluator",
+                            {"order": 2}).run(df.select("embedding")).first()
+    assert abs(out_noid["vendi_score"] - out["vendi_score"]) < 1e-6
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     ev = np.linalg.eigvalsh((Xn @ Xn.T) / 20)
     expected = 1.0 / (ev ** 2).sum()
