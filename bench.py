@@ -103,7 +103,8 @@ def main() -> None:
         sf1_dir = ensure_scaled_data(spark, src=sf_dir)
         scale_queries = [
             "q1_pricing_summary", "q5_regional_revenue", "q_events_hourly",
-            "d_exact_hash", "d_minhash_lsh", "s_knn_lsh",
+            "q_sessionize", "d_exact_hash", "d_minhash_lsh", "d_simhash",
+            "s_knn_lsh", "t_quality_score",
         ]
         s_timings: dict[str, object] = {}
         for name in scale_queries:
