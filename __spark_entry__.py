@@ -425,6 +425,40 @@ def q_top_events(spark, sf_dir):
     return top.run(ev).select("event_id", "event_type", "value")
 
 
+@q("q_session_windows", """
+WITH x AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def q_session_windows(spark, sf_dir):
+    """Native session_window aggregation (streaming-capable twin of the
+    lag-window sessionize): one row per (user, session)."""
+    from dataflow_spark.streaming.batched import session_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_agg(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events")
+
+
 @q("q_explode_words", f"""
 WITH w AS (SELECT unnest({LW('text')}) AS word FROM documents)
 SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 50

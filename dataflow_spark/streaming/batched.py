@@ -120,6 +120,34 @@ def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
     )
 
 
+def session_window_agg(events: DataFrame, user_key: str = "user_id",
+                       ts_key: str = "ts", gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session aggregation via Spark's native ``session_window``
+    — the streaming-capable twin of ``sessionize`` (which labels
+    individual events via a lag window, batch-only).
+
+    Returns one row per (user, session): [user, session_start,
+    session_end, n_events]. Works on batch and streaming frames with the
+    same code; streaming gets a watermark so session state is bounded by
+    the horizon (late events past it are dropped — the standard trade).
+    One shuffle on the grouping keys; sessions merge incrementally, no
+    per-user sort at scale.
+    """
+    df = _event_time(events, ts_key)
+    if df.isStreaming:
+        df = df.withWatermark(ts_key, watermark)
+    win = F.session_window(F.col(ts_key), gap)
+    return (
+        df.groupBy(win.alias("sw"), F.col(user_key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col(user_key),
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events")
+    )
+
+
 def stream_dedup(df: DataFrame, keys: list[str] | str,
                  ts_key: str = "ts", watermark: str = "2 hours",
                  content_hash: bool = False) -> DataFrame:

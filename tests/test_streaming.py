@@ -127,3 +127,55 @@ def test_stream_dedup_content_hash(spark, tmp_path):
     q.awaitTermination(120)
     texts = sorted(r["text"] for r in spark.sql("select text from ddh_stream").collect())
     assert texts == ["other", "same text"]
+
+
+def test_session_window_agg_matches_sessionize(spark):
+    """Native session_window sessions == lag-window sessionize sessions
+    (same strict > gap semantics, verified incl. the exact-gap boundary:
+    an event at last+gap MERGES, one past it splits)."""
+    import datetime as dt
+
+    from dataflow_spark.streaming.batched import session_window_agg, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=1800)),   # merges
+            (2, base), (2, base + dt.timedelta(seconds=1801)),   # splits
+            (3, base), (3, base + dt.timedelta(seconds=100)),
+            (3, base + dt.timedelta(seconds=5000))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    sw = session_window_agg(df, gap="30 minutes")
+    got = {(r.user_id, r.session_start, r.n_events) for r in sw.collect()}
+    assert (1, base, 2) in got
+    assert {(u, n) for u, _s, n in got if u == 2} == {(2, 1)}
+    assert sorted(n for u, _s, n in got if u == 3) == [1, 2]
+
+    n_sw = {r.user_id: r.n for r in
+            sw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sess = sessionize(df, gap_minutes=30)
+    n_lag = {r.user_id: r.n for r in
+             sess.groupBy("user_id").agg(
+                 F.countDistinct("session_id").alias("n")).collect()}
+    assert n_sw == n_lag
+
+
+def test_session_window_agg_streaming(spark, tmp_path):
+    """Same helper on a file stream: watermarked session state, availableNow."""
+    import datetime as dt
+
+    from dataflow_spark.streaming.batched import session_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base), (1, base + dt.timedelta(seconds=60)),
+            (2, base), (2, base + dt.timedelta(seconds=4000))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "events_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    agg = session_window_agg(stream, gap="30 minutes")
+    query = (agg.writeStream.format("memory").queryName("sess_stream")
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    out = {(r.user_id, r.n_events) for r in spark.table("sess_stream").collect()}
+    assert out == {(1, 2), (2, 1), (2, 1)} or out == {(1, 2), (2, 1)}
