@@ -75,7 +75,9 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)): Python reuses addresses after GC, so
+    # id() could serve cached DataFrames bound to a stopped session
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
