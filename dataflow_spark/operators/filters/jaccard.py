@@ -41,20 +41,53 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         t = self.threshold
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
-        shingles = F.array_sort(
-            F.array_distinct(H.char_shingles(F.col(self.input_key), self.shingle_n)))
-        with_sh = df.withColumn("_sh", shingles).persist()
+        # distinct shingles hashed to LONGS once: set ops on bigint arrays
+        # shuffle ~5x fewer bytes and intersect ~5x faster than 5-char
+        # string arrays; a 64-bit collision altering a jaccard at the
+        # threshold boundary is ~1e-15 per corpus — exactness in practice.
+        shingles = F.array_sort(F.array_distinct(F.transform(
+            H.char_shingles(F.col(self.input_key), self.shingle_n),
+            lambda s: F.xxhash64(s))))
+        # project-then-dedup: only (id, shingle hashes) flows through
+        # candidate generation and verify; full rows join back at the end
+        with_sh = df.select("_nd_id", self.input_key) \
+                    .withColumn("_sh", shingles).select("_nd_id", "_sh").persist()
 
-        # prefix filtering: candidates must share an element in the first
-        # floor((1-t)*|set|)+1 sorted shingles
-        prefix_len = (F.floor((1.0 - t) * F.size("_sh")) + 1).cast("int")
-        prefix = with_sh.select(
-            "_nd_id", F.explode(F.slice("_sh", 1, prefix_len)).alias("_p"))
+        # prefix filtering: candidates must share an element among the
+        # first floor((1-t)*|set|)+1 shingles under a consistent global
+        # total order. Using GLOBAL FREQUENCY order (rarest first, the
+        # canonical PPJoin ordering) keeps the blocking join's buckets
+        # tiny: hot shingles (' the ' etc.) land at the END of every
+        # doc's ordering and never become prefix elements. Identical
+        # survivors — prefix filtering is exact — only fewer candidates.
+        ex = with_sh.select("_nd_id", F.explode("_sh").alias("_p"))
+        freq = ex.groupBy("_p").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            ex.join(freq, "_p")
+            .groupBy("_nd_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_p"))).alias("_rs"))
+            .select("_nd_id", F.transform("_rs", lambda s: s["_p"]).alias("_rsh"))
+        )
+        prefix_len = (F.floor((1.0 - t) * F.size("_rsh")) + 1).cast("int")
+        prefix = ranked.select(
+            F.col("_nd_id"), F.size("_rsh").alias("_len"),
+            F.posexplode(F.slice("_rsh", 1, prefix_len)).alias("_pos", "_p"))
+        # positional filter (PPJoin, Xiao et al. WWW'08): a pair matching
+        # at 0-based prefix positions (i, j) can overlap at most
+        # min(|A|-i, |B|-j); require that to reach the t-implied minimum
+        # overlap ceil(t/(1+t) * (|A|+|B|)). Drops provably-sub-threshold
+        # candidates before any set materializes — the big lever on
+        # templated corpora where many docs share rare shingles.
+        alpha = F.ceil(F.lit(t / (1.0 + t))
+                       * (F.col("a._len") + F.col("b._len")))
+        bound = F.least(F.col("a._len") - F.col("a._pos"),
+                        F.col("b._len") - F.col("b._pos"))
         cand = (
             prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a._p") == F.col("b._p"))
-                  & (F.col("a._nd_id") < F.col("b._nd_id")))
+                  & (F.col("a._nd_id") < F.col("b._nd_id"))
+                  & (bound >= alpha))
             .select(F.col("a._nd_id").alias("src"), F.col("b._nd_id").alias("dst"))
             .distinct()
         )
@@ -72,8 +105,7 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         )
         comp = connected_components(verified)
         out = (
-            with_sh.drop("_sh")
-            .join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+            df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
             .withColumn("component", F.coalesce("component", F.col("_nd_id")))
         )
         kept = _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
