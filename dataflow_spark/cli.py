@@ -147,9 +147,41 @@ def _webui_index_html() -> str:
             f"<table border=1>{rows}</table></body></html>")
 
 
+def compile_pipeline_spec(spec: dict) -> dict:
+    """Pipeline-builder backend (reference webui/operator_pipeline.py:
+    48-130 assembles operator chains in Gradio; this is the same
+    capability as a JSON API).
+
+    spec = {"source_columns": [...],
+            "steps": [{"op": name, "args": {...}}, ...]}
+    Returns {"ok": true, "nodes": [...], "dot": "..."} or
+    {"ok": false, "error": "..."} with per-step diagnostics.
+    """
+    from dataflow_spark.core.pipeline import Pipeline, PipelineKeyError
+    from dataflow_spark.core.registry import get_operator
+
+    try:
+        steps = [get_operator(s["op"], s.get("args") or {})
+                 for s in spec.get("steps", [])]
+        pipe = Pipeline(steps)
+        nodes = pipe.compile(list(spec.get("source_columns") or []))
+        return {"ok": True, "nodes": nodes, "dot": pipe.graph()}
+    except PipelineKeyError as e:
+        return {"ok": False, "error": str(e), "kind": "key_validation"}
+    except Exception as e:  # noqa: BLE001 — surface builder errors as data
+        return {"ok": False, "error": f"{type(e).__name__}: {e}",
+                "kind": "construction"}
+
+
 def cmd_webui(args: argparse.Namespace) -> int:
-    """Minimal registry browser (reference webui/ is a Gradio app over
-    the same introspection surface: registry names + get_desc)."""
+    """Registry browser + pipeline-builder API (reference webui/ is a
+    Gradio app over the same two surfaces: registry introspection and
+    operator-chain assembly/validation).
+
+    GET  /        operator table (HTML)
+    GET  /ops     registry descriptions (JSON)
+    POST /compile pipeline spec -> key validation + DOT graph (JSON)
+    """
     import json
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
@@ -166,6 +198,23 @@ def cmd_webui(args: argparse.Namespace) -> int:
                            else (index, "text/html"))
             self.send_response(200)
             self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 — stdlib contract
+            if not self.path.startswith("/compile"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                spec = json.loads(self.rfile.read(n) or b"{}")
+                result = compile_pipeline_spec(spec)
+            except Exception as e:  # noqa: BLE001
+                result = {"ok": False, "error": str(e), "kind": "request"}
+            body = json.dumps(result).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
             self.end_headers()
             self.wfile.write(body)
 

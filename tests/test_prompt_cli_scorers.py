@@ -163,3 +163,87 @@ def test_cli_pdf2model_prepare(tmp_path, spark):
                  "--cache", str(tmp_path / "c")]) == 0
     rows = [json.loads(l) for l in out.read_text().splitlines()]
     assert rows and rows[0]["instruction"]
+
+
+def test_compile_pipeline_spec_ok():
+    from dataflow_spark.cli import compile_pipeline_spec
+
+    spec = {"source_columns": ["doc_id", "text"],
+            "steps": [
+                {"op": "RemoveExtraSpacesRefiner", "args": {"input_key": "text"}},
+                {"op": "WordNumberFilter", "args": {"input_key": "text",
+                                                    "min_words": 3}},
+                {"op": "LanguageIdEvaluator", "args": {"input_key": "text"}}]}
+    out = compile_pipeline_spec(spec)
+    assert out["ok"] and len(out["nodes"]) == 3
+    assert "digraph" in out["dot"]
+    assert out["nodes"][2]["writes"] == ["pred_lang"]
+
+
+def test_compile_pipeline_spec_key_error():
+    from dataflow_spark.cli import compile_pipeline_spec
+
+    out = compile_pipeline_spec({
+        "source_columns": ["doc_id"],
+        "steps": [{"op": "WordNumberFilter", "args": {"input_key": "text"}}]})
+    assert not out["ok"] and out["kind"] == "key_validation"
+    assert "text" in out["error"]
+
+
+def test_compile_pipeline_spec_bad_operator():
+    from dataflow_spark.cli import compile_pipeline_spec
+
+    out = compile_pipeline_spec({
+        "source_columns": ["text"], "steps": [{"op": "NoSuchOperator"}]})
+    assert not out["ok"] and out["kind"] == "construction"
+
+
+def test_webui_compile_endpoint_http():
+    """End-to-end HTTP: POST /compile against a live server thread."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    import dataflow_spark  # noqa: F401
+    from dataflow_spark import cli as climod
+
+    # reuse cmd_webui's handler by running the server on an OS-chosen port
+    import argparse
+    ns = argparse.Namespace(host="127.0.0.1", port=0)
+
+    # build the server the same way cmd_webui does, but capture it
+    captured = {}
+    real_httpserver = HTTPServer
+
+    class CapturingServer(real_httpserver):
+        def serve_forever(self, *a, **kw):
+            captured["srv"] = self
+            raise KeyboardInterrupt  # return immediately from cmd_webui
+
+    orig = climod.__dict__.get("HTTPServer")
+    try:
+        import http.server as hs
+        climod_http = hs.HTTPServer
+        hs.HTTPServer = CapturingServer  # cmd_webui imports from http.server
+        climod.cmd_webui(ns)
+    finally:
+        hs.HTTPServer = climod_http
+        if orig is not None:
+            climod.__dict__["HTTPServer"] = orig
+    srv = captured["srv"]
+    t = threading.Thread(target=real_httpserver.serve_forever, args=(srv,),
+                         daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        body = json.dumps({"source_columns": ["text"],
+                           "steps": [{"op": "LanguageIdEvaluator",
+                                      "args": {"input_key": "text"}}]}).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/compile",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["ok"] and out["nodes"][0]["op"] == "LanguageIdEvaluator"
+    finally:
+        srv.shutdown()
