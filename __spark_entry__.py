@@ -427,6 +427,29 @@ def q_top_events(spark, sf_dir):
     return top.run(ev).select("event_id", "event_type", "value")
 
 
+@q("q_sliding_counts", """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)
+        - k.k * INTERVAL 15 minutes AS wstart, event_type
+      FROM events, k)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
+""")
+def q_sliding_counts(spark, sf_dir):
+    """Hopping windows (1h window, 15m slide): each event counts in 4
+    overlapping buckets — Spark expands window instances natively; the
+    oracle unnests the 4 slide offsets per event."""
+    from dataflow_spark.streaming.batched import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_counts(ev, window="1 hour", slide="15 minutes",
+                          group_keys=["event_type"])
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type", "n_events")
+
+
 @q("q_session_windows", """
 WITH x AS (
   SELECT user_id, ts,

@@ -80,15 +80,20 @@ def stream_pipeline(stream_df: DataFrame, pipeline: Pipeline, output_path: str,
 
 def tumbling_counts(events: DataFrame, ts_key: str = "ts", window: str = "1 hour",
                     watermark: str = "2 hours",
-                    group_keys: list[str] | None = None) -> DataFrame:
-    """Watermarked tumbling-window counts — works on both batch and
-    streaming DataFrames (same code path, Spark's unified model)."""
+                    group_keys: list[str] | None = None,
+                    slide: str | None = None) -> DataFrame:
+    """Watermarked windowed counts — works on both batch and streaming
+    DataFrames (same code path, Spark's unified model).
+
+    ``slide=None`` gives tumbling windows; a slide shorter than the
+    window gives overlapping (hopping) windows — each event lands in
+    window/slide buckets, Spark expands them without a self-join."""
     df = _event_time(events, ts_key)
     if df.isStreaming:
         df = df.withWatermark(ts_key, watermark)
-    keys = [F.window(F.col(ts_key), window).alias("win")] + [
-        F.col(k) for k in (group_keys or [])
-    ]
+    win = (F.window(F.col(ts_key), window, slide) if slide
+           else F.window(F.col(ts_key), window))
+    keys = [win.alias("win")] + [F.col(k) for k in (group_keys or [])]
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
 
 

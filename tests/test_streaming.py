@@ -179,3 +179,20 @@ def test_session_window_agg_streaming(spark, tmp_path):
     query.awaitTermination()
     out = {(r.user_id, r.n_events) for r in spark.table("sess_stream").collect()}
     assert out == {(1, 2), (2, 1), (2, 1)} or out == {(1, 2), (2, 1)}
+
+
+def test_sliding_counts_overlap(spark):
+    """1h window / 15m slide: every event lands in exactly 4 windows."""
+    import datetime as dt
+
+    from dataflow_spark.streaming.batched import tumbling_counts
+
+    base = dt.datetime(2024, 1, 1, 10, 7)   # mid-bucket timestamp
+    df = spark.createDataFrame([(1, base)], "user_id long, ts timestamp")
+    out = tumbling_counts(df, window="1 hour", slide="15 minutes")
+    rows = sorted((r["win"].start, r.n_events) for r in out.collect())
+    assert len(rows) == 4
+    assert all(n == 1 for _s, n in rows)
+    starts = [s for s, _ in rows]
+    assert starts[0] == dt.datetime(2024, 1, 1, 9, 15)
+    assert starts[-1] == dt.datetime(2024, 1, 1, 10, 0)
