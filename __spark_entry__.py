@@ -427,6 +427,50 @@ def q_top_events(spark, sf_dir):
     return top.run(ev).select("event_id", "event_type", "value")
 
 
+@q("q_hash_sample", """
+SELECT doc_id FROM documents
+WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::UBIGINT
+       % 10000) < 1000
+""")
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling: same kept rows on any engine/run;
+    raising the rate only adds rows (monotone ablation samples)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("HashSampleFilter", {"key": "doc_id", "rate": 0.1,
+                                           "hash_impl": "md5"})
+    return op.run(docs).select("doc_id")
+
+
+@q("q_token_packing", """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+           AS n_tokens,
+         (('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 15))::UBIGINT
+          % 4)::BIGINT AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id,
+       shard::VARCHAR || '-' ||
+         CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)::VARCHAR AS pack_id
+FROM c
+""")
+def q_token_packing(spark, sf_dir):
+    """Token-budget training-shard assignment: 4 hash shards, 2048-token
+    bins by running-count start offset within each shard."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = get_operator("TokenCountEvaluator",
+                               {"input_key": "text"}).run(docs)
+    op = get_operator("SequencePackingOperator", {
+        "token_key": "n_words", "order_key": "doc_id", "budget": 2048,
+        "num_shards": 4, "hash_impl": "md5"})
+    return op.run(with_tokens).select("doc_id", "pack_id")
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

@@ -1,0 +1,109 @@
+"""Deterministic sampling & training-shard packing.
+
+Large-corpus pipeline primitives the reference lacks but any 100 TB
+training-data workflow needs (brief: training-data pipeline operations
+are first-class):
+
+  - ``HashSampleFilter`` — hash-bucket sampling: the SAME rows are kept
+    across runs, machines, and engines (unlike ``df.sample``, whose RNG
+    is partition-layout dependent). Rate changes are monotone: raising
+    the rate only ADDS rows, so a 1% dev sample is a subset of the 10%
+    eval sample — the property that makes hash sampling the standard
+    for corpus ablations.
+  - ``SequencePackingOperator`` — assign documents to fixed token-budget
+    training shards: hash-partition into independent shards, then
+    start-offset binning by running token count within each shard. No
+    global sort, no driver state; shard boundaries are deterministic
+    functions of the data.
+
+Both expose ``hash_impl='fast'`` (xxhash64, JVM-side) and
+``hash_impl='md5'`` (bit-identical in Spark SQL, Python, and external
+SQL engines — the oracle contract, same convention as the near-dup
+dedup family).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+
+def _bucket(col: Column, buckets: int, salt: str, hash_impl: str) -> Column:
+    """Uniform bucket id in [0, buckets) from a key column + salt."""
+    s = F.concat(F.lit(salt), col.cast("string"))
+    if hash_impl == "md5":
+        # first 15 md5 hex chars -> 60-bit int: reproducible anywhere
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(s)
+    return F.pmod(h, F.lit(buckets))
+
+
+@OPERATOR_REGISTRY.register()
+class HashSampleFilter(Operator):
+    """Keep rows whose key hashes into the first ``rate`` fraction of
+    ``buckets`` hash buckets — deterministic, engine-independent
+    sampling with monotone rates."""
+
+    def __init__(self, key: str = "doc_id", rate: float = 0.1,
+                 buckets: int = 10_000, salt: str = "sample",
+                 hash_impl: str = "fast"):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError("rate must be in [0, 1]")
+        self.key, self.rate, self.buckets = key, rate, buckets
+        self.salt, self.hash_impl = salt, hash_impl
+        self.input_keys = (key,)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        cut = int(self.rate * self.buckets)
+        b = _bucket(F.col(self.key), self.buckets, self.salt, self.hash_impl)
+        return df.filter(b < cut)
+
+
+@OPERATOR_REGISTRY.register()
+class SequencePackingOperator(Operator):
+    """Assign rows to fixed token-budget shards for training-data
+    export: ``pack_id = '<shard>-<bin>'``.
+
+    Rows hash-partition into ``num_shards`` independent shards (scale
+    knob: each shard's running sum is a within-partition window, so the
+    only shuffle is the hash partition itself); within a shard, rows are
+    ordered by ``order_key`` and binned by the START offset of their
+    running token count: bin = floor((cumsum - tokens) / budget).
+    Deterministic, single-pass, no driver state; a row larger than
+    ``budget`` occupies its start bin (start-offset semantics,
+    documented rather than split).
+    """
+
+    def __init__(self, token_key: str = "n_tokens", order_key: str = "doc_id",
+                 budget: int = 2048, num_shards: int = 1,
+                 salt: str = "pack", hash_impl: str = "fast",
+                 output_key: str = "pack_id"):
+        if budget <= 0 or num_shards <= 0:
+            raise ValueError("budget and num_shards must be positive")
+        self.token_key, self.order_key = token_key, order_key
+        self.budget, self.num_shards = budget, num_shards
+        self.salt, self.hash_impl = salt, hash_impl
+        self.output_key = output_key
+        self.input_keys = (token_key, order_key)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        shard = _bucket(F.col(self.order_key), self.num_shards, self.salt,
+                        self.hash_impl)
+        out = df.withColumn("_shard", shard)
+        w = Window.partitionBy("_shard").orderBy(F.col(self.order_key).asc()) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = F.sum(F.col(self.token_key).cast("long")).over(w)
+        bin_id = F.floor((cum - F.col(self.token_key)) / F.lit(self.budget))
+        return out.withColumn(
+            self.output_key,
+            F.concat_ws("-", F.col("_shard").cast("string"),
+                        bin_id.cast("string"))
+        ).drop("_shard")
