@@ -427,6 +427,64 @@ def q_top_events(spark, sf_dir):
     return top.run(ev).select("event_id", "event_type", "value")
 
 
+@q("q_pipeline_training_prep", r"""
+WITH r AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents),
+f AS (
+  SELECT doc_id, t FROM r
+  WHERE t IS NOT NULL AND trim(t) != ''
+    AND len(list_filter(regexp_split_to_array(t, '\s+'), x -> x != '')) >= 5),
+d AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+    FROM f) WHERE rn = 1),
+s AS (
+  SELECT doc_id, t FROM d
+  WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::UBIGINT
+         % 10000) < 5000),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(t, '\s+'), x -> x != ''))
+           AS n_tokens,
+         (('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 15))::UBIGINT
+          % 2)::BIGINT AS shard
+  FROM s),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok)
+SELECT doc_id,
+       shard::VARCHAR || '-' ||
+         CAST(floor((cum - n_tokens) / 1024.0) AS BIGINT)::VARCHAR AS pack_id
+FROM c
+""")
+def q_pipeline_training_prep(spark, sf_dir):
+    """Flagship training-data-prep chain as ONE Catalyst plan:
+    whitespace refine -> null/short filter -> exact dedup -> 50%
+    deterministic hash sample -> 2-shard 1024-token packing. Every stage
+    is an engine operator; the oracle replays the whole chain in SQL."""
+    from dataflow_spark import Pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = Pipeline([
+        get_operator("RemoveExtraSpacesRefiner", {"input_key": "text"}),
+        get_operator("ContentNullFilter", {"input_key": "text"}),
+        get_operator("WordNumberFilter", {"input_key": "text", "min_words": 5}),
+        get_operator("HashDeduplicateFilter", {"input_keys": "text",
+                                               "order_key": "doc_id"}),
+        get_operator("HashSampleFilter", {"key": "doc_id", "rate": 0.5,
+                                          "hash_impl": "md5"}),
+        get_operator("TokenCountEvaluator", {"input_key": "text"}),
+        get_operator("SequencePackingOperator", {
+            "token_key": "n_words", "order_key": "doc_id", "budget": 1024,
+            "num_shards": 2, "hash_impl": "md5"}),
+    ])
+    return pipe.forward(docs).select("doc_id", "pack_id")
+
+
 @q("q_hash_sample", """
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::UBIGINT
