@@ -109,7 +109,14 @@ def main() -> None:
         s_timings: dict[str, object] = {}
         for name in scale_queries:
             s_timings[name] = run_one(qs[name], sf1_dir)
-        base = {k: timings[k] for k in scale_queries}
+        # scale-only queries (not in HEADLINE) get a dedicated sf0.1 base
+        # run so their scaleup ratio is still meaningful
+        base: dict[str, object] = {}
+        for k in scale_queries:
+            b = timings.get(k)
+            if not isinstance(b, float):
+                b = run_one(qs[k], sf_dir)
+            base[k] = b if isinstance(b, float) else None
         result["scale_check"] = {
             "sf": 1.0, "factor_vs_headline": 10,
             "queries": s_timings,
@@ -120,6 +127,8 @@ def main() -> None:
                 if isinstance(s_timings[k], float)
                 and isinstance(base[k], float) and base[k] > 0 else None
                 for k in scale_queries},
+            "sf01_base": {k: base[k] for k in scale_queries
+                          if base[k] is not None},
         }
 
     print(json.dumps(result))
