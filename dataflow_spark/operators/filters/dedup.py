@@ -263,12 +263,43 @@ class _NearDupBase(_BaseDedup):
     #: in 'all' mode, buckets above this size fall back to chain edges
     max_bucket_size = 1000
 
+    @staticmethod
+    def _collapse_exact(sigs: DataFrame, key: Column) -> tuple[DataFrame, DataFrame]:
+        """Collapse rows with IDENTICAL signatures to one representative.
+
+        Degenerate-corpus armor: a billion byte-identical docs share one
+        signature, hence one LSH bucket — and the bucket's collect_list
+        would materialize every id in a single task (OOM at scale).
+        Collapsing first bounds every bucket by the number of DISTINCT
+        signatures. The running-frame window streams through arbitrarily
+        large groups via the external sorter (spills, never buffers the
+        group), unlike an array aggregation.
+
+        Returns (reps, exact_edges): ``reps`` = one row per distinct
+        signature (min ``_nd_id``); ``exact_edges`` = (rep, dup) pairs
+        linking collapsed rows. Survivors are IDENTICAL to banding the
+        full frame: identical signatures have identical band keys and
+        identical verify outcomes, so a dup's connectivity through its
+        rep equals its direct connectivity.
+        """
+        w = Window.partitionBy(key).orderBy(F.col("_nd_id").asc())
+        with_rep = sigs.withColumn("_rep", F.first("_nd_id").over(w))
+        reps = with_rep.filter(F.col("_nd_id") == F.col("_rep")).drop("_rep")
+        exact_edges = (
+            with_rep.filter(F.col("_nd_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("src"), F.col("_nd_id").alias("dst"))
+        )
+        return reps, exact_edges
+
     def _dedup_by_bands(self, df: DataFrame, banded: DataFrame,
-                        order_col: str, verify=None) -> DataFrame:
+                        order_col: str, verify=None,
+                        extra_edges: DataFrame | None = None) -> DataFrame:
         """``banded``: DataFrame[_nd_id, band struct col 'bands' exploded].
 
         verify: optional callable (cand_df with a_id/b_id) -> filtered
         cand_df, applied to candidate pairs before components.
+        extra_edges: pre-verified (src, dst) pairs unioned in after
+        verification (exact-signature collapse edges).
         """
         # one shuffle (groupBy bucket) + in-bucket edge expansion instead
         # of a two-sided self-join on (band, h): same components, half
@@ -316,6 +347,8 @@ class _NearDupBase(_BaseDedup):
         )
         if verify is not None:
             pairs = verify(pairs)
+        if extra_edges is not None:
+            pairs = pairs.union(extra_edges.select("src", "dst"))
         comp = connected_components(pairs)
         # keep-first without a window: the component label IS the min
         # order-id of the cluster (union-find min-root / min-label
@@ -379,7 +412,11 @@ class MinHashDeduplicateFilter(_NearDupBase):
             .select("_nd_id", "_sig")
             .persist()
         )
-        banded = sigs.select(
+        # exact-signature collapse: bounds bucket sizes on degenerate
+        # (mass-duplicate) corpora; survivors provably unchanged
+        reps, exact_edges = self._collapse_exact(
+            sigs, F.md5(F.concat_ws(",", F.transform("_sig", lambda x: x.cast("string")))))
+        banded = reps.select(
             "_nd_id", F.explode(bander(F.col("_sig"))).alias("bh"),
         ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
@@ -402,7 +439,8 @@ class MinHashDeduplicateFilter(_NearDupBase):
                 )
                 return est.filter(F.col("est_jaccard") >= self.threshold).select("src", "dst")
 
-        return self._dedup_by_bands(df, banded, order_col, verify)
+        return self._dedup_by_bands(df, banded, order_col, verify,
+                                    extra_edges=exact_edges)
 
 
 @OPERATOR_REGISTRY.register()
@@ -439,7 +477,10 @@ class SimHashDeduplicateFilter(_NearDupBase):
             .select("_nd_id", "_simhash")
             .persist()
         )
-        banded = sims.select(
+        # exact-signature collapse (see _collapse_exact): degenerate-
+        # corpus bucket armor, survivors unchanged
+        reps, exact_edges = self._collapse_exact(sims, F.col("_simhash"))
+        banded = reps.select(
             "_nd_id", F.explode(H.simhash_bands(F.col("_simhash"))).alias("bh")
         ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
 
@@ -451,7 +492,8 @@ class SimHashDeduplicateFilter(_NearDupBase):
                 .select("src", "dst")
             )
 
-        return self._dedup_by_bands(df, banded, order_col, verify)
+        return self._dedup_by_bands(df, banded, order_col, verify,
+                                    extra_edges=exact_edges)
 
 
 @OPERATOR_REGISTRY.register()
@@ -483,7 +525,14 @@ class SemDeduplicateFilter(_NearDupBase):
         # vectorized sign-bit band keys (functions/vector.py) — the
         # per-plane expression tree is CodegenFallback, ~1000x slower
         bands_udf = V.hyperplane_bands_udf(self.num_planes, self.num_bands, self.seed)
-        banded = df.select(
+        # exact-embedding collapse (see _collapse_exact): byte-identical
+        # vectors band once, dups link via rep edges
+        emb_rows = df.select("_nd_id", self.input_key)
+        reps, exact_edges = self._collapse_exact(
+            emb_rows,
+            F.md5(F.concat_ws(",", F.transform(self.input_key,
+                                               lambda x: x.cast("string")))))
+        banded = reps.select(
             "_nd_id",
             F.posexplode(bands_udf(F.col(self.input_key))).alias("band", "h"),
         )
@@ -499,4 +548,5 @@ class SemDeduplicateFilter(_NearDupBase):
                 .select("src", "dst")
             )
 
-        return self._dedup_by_bands(df, banded, order_col, verify)
+        return self._dedup_by_bands(df, banded, order_col, verify,
+                                    extra_edges=exact_edges)

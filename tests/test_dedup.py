@@ -189,3 +189,30 @@ def test_minhash_md5_handles_empty_and_short(spark):
     # "" and None hash identically ([0]*perm) -> first (id 1) survives;
     # "ab" dupes collapse to id 3
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_near_dup_degenerate_mass_duplicates(spark):
+    """5000 byte-identical docs + 2 distinct: exact-signature collapse
+    keeps every LSH bucket at distinct-signature size (no giant
+    collect_list task) and survivors are the 3 true representatives."""
+    rows = [(i, "exactly the same spam document body repeated verbatim " * 5)
+            for i in range(5000)]
+    rows += [(5000, "a unique document about distributed query engines " * 5),
+             (5001, "another unique document about columnar storage " * 5)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    for op_name in ("MinHashDeduplicateFilter", "SimHashDeduplicateFilter"):
+        out = get_operator(op_name, {"input_key": "text",
+                                     "order_key": "id"}).run(df)
+        ids = sorted(r["id"] for r in out.collect())
+        assert ids == [0, 5000, 5001], op_name
+
+
+def test_sem_dedup_degenerate_mass_duplicates(spark):
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(3000)]
+    rows += [(3000, [-4.0, 3.0, -2.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = get_operator("SemDeduplicateFilter",
+                       {"embedding_key": "embedding", "order_key": "id",
+                        "eps": 0.01}).run(df)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [0, 3000]
