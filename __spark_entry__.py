@@ -485,6 +485,36 @@ def q_pipeline_training_prep(spark, sf_dir):
     return pipe.forward(docs).select("doc_id", "pack_id")
 
 
+@q("q_corpus_profile", f"""
+WITH t AS (
+  SELECT lang, len(text) AS n_chars,
+         len({W('text')}) AS n_words
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       round(avg(n_words), 4) AS avg_words,
+       round(quantile_cont(n_words, 0.5), 4) AS median_words
+FROM t GROUP BY lang
+""")
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus distribution profile with EXACT distributed
+    percentiles (Spark `percentile` == SQL quantile_cont interpolation;
+    one shuffle on lang, sort-based percentile within groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.length("text").alias("n_chars"),
+        F.size(T.words(F.col("text"))).alias("n_words"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.expr("percentile(n_words, 0.5)"), 4).alias("median_words"))
+
+
 @q("q_hash_sample", """
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 15))::UBIGINT
