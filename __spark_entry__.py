@@ -485,6 +485,39 @@ def q_pipeline_training_prep(spark, sf_dir):
     return pipe.forward(docs).select("doc_id", "pack_id")
 
 
+_QSCORE_SQL = f"""round(
+  0.25 * least(len({W('text')})::DOUBLE / 100.0, 1.0)
++ 0.25 * least(coalesce(CASE WHEN len({LW('text')}) > 0 THEN
+      len(list_filter({LW('text')}, x -> list_contains({SW_SQL}, x)))::DOUBLE / len({LW('text')})
+    END, 0.0) / 0.3, 1.0)
++ 0.25 * (CASE WHEN regexp_matches(trim(text), '[.!?]$') THEN 1.0 ELSE 0.0 END)
++ 0.25 * coalesce(CASE WHEN len({W('text')}) > 0 THEN
+      len(list_filter({W('text')}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len({W('text')})
+    END, 0.0), 4)"""
+
+
+@q("q_quality_quota", f"""
+WITH s AS (SELECT doc_id, lang, {_QSCORE_SQL} AS q FROM documents)
+SELECT doc_id, lang, q AS quality_score FROM (
+  SELECT doc_id, lang, q,
+         row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+  FROM s) WHERE rn <= 25
+""")
+def q_quality_quota(spark, sf_dir):
+    """Per-language quality quota: keep the top 25 docs per language by
+    quality score (deterministic tie-break on doc_id) — the standard
+    stratified curation selection; one shuffle on lang."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = get_operator("QualityScoreEvaluator", {"input_key": "text"}).run(docs)
+    scored = scored.withColumn("q", F.round("quality_score", 4))
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 25)
+            .select("doc_id", "lang", F.col("q").alias("quality_score")))
+
+
 @q("q_corpus_profile", f"""
 WITH t AS (
   SELECT lang, len(text) AS n_chars,
