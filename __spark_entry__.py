@@ -518,6 +518,33 @@ def q_quality_quota(spark, sf_dir):
             .select("doc_id", "lang", F.col("q").alias("quality_score")))
 
 
+@q("q_salted_agg", """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+""")
+def q_salted_agg(spark, sf_dir):
+    """Skewed-key aggregation via the salted two-stage path (groupBy
+    keys+salt, then merge partials): identical results to a plain
+    groupBy, but a hot key spreads over n_salts reducers instead of one.
+    """
+    from dataflow_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], {
+        "n_events": ("count", None),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    })
+    return out.select("event_type", "n_events",
+                      F.round("sum_value", 4).alias("sum_value"),
+                      F.round("min_value", 4).alias("min_value"),
+                      F.round("max_value", 4).alias("max_value"))
+
+
 @q("q_corpus_profile", f"""
 WITH t AS (
   SELECT lang, len(text) AS n_chars,
@@ -647,6 +674,37 @@ def q_session_windows(spark, sf_dir):
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events")
+
+
+def _q_stream_sessions(spark, sf_dir):
+    """Structured Streaming twin of q_session_windows: file stream ->
+    watermarked session_window -> memory sink (availableNow drains the
+    fixture); same oracle as the batch query — the unified-model check."""
+    from dataflow_spark.streaming.batched import session_window_agg
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = session_window_agg(stream, gap="30 minutes", watermark="2 hours")
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"stream_sessions_{_STREAM_QUERY_SEQ[0]}"
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events")
+
+
+q("q_stream_sessions", _ORACLES["q_session_windows"])(_q_stream_sessions)
 
 
 @q("q_explode_words", f"""
