@@ -518,6 +518,37 @@ def q_quality_quota(spark, sf_dir):
             .select("doc_id", "lang", F.col("q").alias("quality_score")))
 
 
+@q("q_bucketed_join", """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""")
+def q_bucketed_join(spark, sf_dir):
+    """Join through BUCKETED tables (pay-one-shuffle-never pattern):
+    both sides written bucketBy(custkey) to external paths, then joined
+    on the bucket key — the zero-Exchange plan is asserted in
+    tests/test_bucketed.py; here the driver hash-checks the result."""
+    import hashlib as _h
+
+    from dataflow_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/dataflow_bucketed_{tag}"
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, f"cust_b_{tag}", "c_custkey", buckets=8,
+                   path=f"{base}/cust")
+    write_bucketed(orders, f"orders_b_{tag}", "o_custkey", buckets=8,
+                   path=f"{base}/orders")
+    j = read_bucketed(spark, f"cust_b_{tag}").join(
+        read_bucketed(spark, f"orders_b_{tag}"),
+        F.col("c_custkey") == F.col("o_custkey"))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
 @q("q_salted_agg", """
 SELECT event_type, count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
