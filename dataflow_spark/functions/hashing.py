@@ -122,6 +122,30 @@ def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     return _minhash
 
 
+def minhash_md5_one(text: str, num_perm: int = 64, n: int = 5,
+                    seed: int = 42) -> list[int]:
+    """Single-row md5-mode MinHash kernel (module-level so the oracle
+    contract is testable without a SparkSession)."""
+    import hashlib
+
+    import numpy as np
+
+    if not text:
+        return [0] * num_perm
+    params = _perm_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    Bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    if len(text) < n:
+        grams = [text]
+    else:
+        grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+    hr = np.array(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
+         for g in grams], dtype=np.int64)
+    # A*hr + B < 2^62: exact in int64
+    return ((A * hr[None, :] + Bv) % MERSENNE_P).min(axis=1).tolist()
+
+
 def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     """Oracle-replicable MinHash signature: md5-based shingle hashes.
 
@@ -162,6 +186,29 @@ def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     return _minhash
 
 
+def simhash_md5_one(text: str, n: int = 4) -> int:
+    """Single-row md5-mode SimHash kernel (module-level, Spark-free)."""
+    import hashlib
+
+    import numpy as np
+
+    if not text:
+        return 0
+    if len(text) < n:
+        grams = [text]
+    else:
+        grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+    h = np.array(
+        [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+         for g in grams], dtype=np.uint64)
+    bits = ((h[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    sums = (bits * 2 - 1).sum(axis=0)
+    out = np.uint64(0)
+    for k in np.nonzero(sums > 0)[0]:
+        out |= np.uint64(1) << np.uint64(k)
+    return int(out.astype(np.int64))
+
+
 def simhash_md5_udf(n: int = 4):
     """Oracle-replicable SimHash: md5-based 60-bit shingle hashes.
 
@@ -169,27 +216,10 @@ def simhash_md5_udf(n: int = 4):
     over bits 0-59 (bits 60-63 of the result are always 0 — still a
     valid simhash family, and every step is reproducible in DuckDB SQL).
     """
-    import hashlib
-
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     def one(text: str) -> int:
-        if not text:
-            return 0
-        if len(text) < n:
-            grams = [text]
-        else:
-            grams = set(text[i:i + n] for i in range(len(text) - n + 1))
-        h = np.array(
-            [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-             for g in grams], dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        sums = (bits * 2 - 1).sum(axis=0)
-        out = np.uint64(0)
-        for k in np.nonzero(sums > 0)[0]:
-            out |= np.uint64(1) << np.uint64(k)
-        return int(out.astype(np.int64))
+        return simhash_md5_one(text, n)
 
     @pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:

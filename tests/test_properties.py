@@ -98,3 +98,48 @@ def test_minhash_jaccard_estimate_quality():
     true_j = len(base & overlap) / len(base | overlap)
     est = float((sig(base) == sig(overlap)).mean())
     assert abs(est - true_j) < 0.15
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_md5_minhash_signature_matches_independent_reimpl(t):
+    """The oracle contract: the md5-mode signature must equal a from-
+    scratch Python computation (distinct 5-grams -> md5[:15] % P ->
+    affine min per permutation). Guards every DuckDB near-dup oracle."""
+    import hashlib
+
+    from dataflow_spark.functions.hashing import (MERSENNE_P, _perm_params,
+                                                  minhash_md5_one)
+
+    got = minhash_md5_one(t, num_perm=16, n=5)
+    params = _perm_params(16, 42)
+    if not t:
+        want = [0] * 16
+    else:
+        grams = {t[i:i + 5] for i in range(len(t) - 4)} if len(t) >= 5 else {t}
+        hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
+              for g in grams]
+        want = [min((a * h + b) % MERSENNE_P for h in hs) for a, b in params]
+    assert list(got) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=120))
+def test_md5_simhash_matches_independent_reimpl(t):
+    import hashlib
+
+    from dataflow_spark.functions.hashing import simhash_md5_one
+
+    got = simhash_md5_one(t, n=4)
+    if not t:
+        want = 0
+    else:
+        grams = {t[i:i + 4] for i in range(len(t) - 3)} if len(t) >= 4 else {t}
+        hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+              for g in grams]
+        want = 0
+        for k in range(60):
+            s = sum(1 if (h >> k) & 1 else -1 for h in hs)
+            if s > 0:
+                want |= 1 << k
+    assert got == want
