@@ -549,6 +549,52 @@ def q_bucketed_join(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
 
 
+@q("q_pivot_status", """
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_f,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS st_o,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS st_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts by priority x status (df.groupBy().pivot()
+    with explicit values — no extra distinct-discovery job)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"))
+
+
+@q("q_ntile_quality", f"""
+WITH s AS (SELECT doc_id, lang, {_QSCORE_SQL} AS q FROM documents)
+SELECT lang, quartile, count(*) AS n_docs,
+       round(min(q), 4) AS min_q, round(max(q), 4) AS max_q
+FROM (SELECT lang, q,
+             ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS quartile
+      FROM s)
+GROUP BY lang, quartile
+""")
+def q_ntile_quality(spark, sf_dir):
+    """Quality quartiles per language (ntile window; deterministic
+    ordering on rounded score + doc_id)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = get_operator("QualityScoreEvaluator", {"input_key": "text"}).run(docs)
+    scored = scored.withColumn("q", F.round("quality_score", 4))
+    w = Window.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return (scored.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("lang", "quartile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.min("q"), 4).alias("min_q"),
+                 F.round(F.max("q"), 4).alias("max_q")))
+
+
 @q("q_salted_agg", """
 SELECT event_type, count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
