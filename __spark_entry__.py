@@ -549,6 +549,42 @@ def q_bucketed_join(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
 
 
+@q("q_grouping_sets", """
+SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""")
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through spark.sql over a temp view — partial-
+    aggregate expansion planned by Catalyst, one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+@q("q_region_nation_list", """
+SELECT r_name, list_sort(list(n_name)) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_region_nation_list(spark, sf_dir):
+    """Deterministic array aggregation: sorted nation list per region
+    (sort_array(collect_list) — order-insensitive under shuffle)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"))
+
+
 @q("q_pivot_status", """
 SELECT o_orderpriority,
        CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_f,
