@@ -427,6 +427,85 @@ def q_top_events(spark, sf_dir):
     return top.run(ev).select("event_id", "event_type", "value")
 
 
+@q("q_asof_join", """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, max(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT v.event_id, v.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(p.pval, 4) AS last_purchase
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+""")
+def q_asof_join(spark, sf_dir):
+    """As-of join: for every 'view' event, the user's most recent
+    'purchase' value at-or-before the view. Union + running-last window:
+    one shuffle on user_id, no range explosion (timeseries.py)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pval")))
+    op = get_operator("AsofJoinOperator", {
+        "ts_key": "ts", "by": ["user_id"], "value_keys": ["pval"]})
+    out = op.run(views, other=purchases)
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("pval_asof", 4).alias("last_purchase"))
+
+
+@q("q_range_join", """
+SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN (VALUES ('low', 0.0, 99999.99), ('mid', 100000.0, 249999.99),
+             ('high', 250000.0, 1000000.0)) AS b(band, lo, hi)
+  ON o.o_totalprice BETWEEN b.lo AND b.hi
+GROUP BY 1
+""")
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join: orders bucketed into price
+    bands. Bucketized equi-join (timeseries.py), not a
+    BroadcastNestedLoop inequality join."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 99999.99), ("mid", 100000.0, 249999.99),
+         ("high", 250000.0, 1000000.0)],
+        "band string, lo double, hi double")
+    op = get_operator("RangeJoinOperator", {
+        "point_key": "o_totalprice", "lo_key": "lo", "hi_key": "hi",
+        "bucket_width": 100000.0})
+    return (op.run(orders, other=bands)
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@q("q_hypertable_rollup", """
+SELECT 'hour' AS granularity,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       count(*), round(sum(value), 2)
+FROM events GROUP BY 2
+""")
+def q_hypertable_rollup(spark, sf_dir):
+    """Multi-granularity continuous-aggregate rollup (hour + day) in one
+    scan — TimescaleDB-style hypertable rollup as a GROUPING-SETS-shaped
+    explode + single aggregate (timeseries.py)."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("HypertableRollup", {
+        "ts_key": "ts", "granularities": ["hour", "day"],
+        "aggs": [F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")]})
+    return op.run(ev).select(
+        "granularity",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_events", "sum_value")
+
+
 @q("q_pipeline_training_prep", r"""
 WITH r AS (
   SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t

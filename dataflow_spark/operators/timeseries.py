@@ -1,0 +1,221 @@
+"""Time-series verbs the reference lacks but a 100 TB event store needs:
+as-of join, range (interval-containment) join, and multi-granularity
+hypertable rollup.
+
+The reference has no two-table or time-bucket operators (its pipelines
+are linear, SURVEY.md §2.5); these extend the relational pack
+(relational.py) with the time-series joins every training-data/event
+pipeline ends up hand-rolling. All three are pure DataFrame
+compositions — no Python row boundary, no driver loop — designed so the
+expensive part is exactly one keyed shuffle:
+
+  - AsofJoinOperator: union + running ``last(ignorenulls)`` window.
+    The naive formulations are a range self-join (quadratic blowup per
+    key) or a per-left-row subquery (driver loop). The union trick is
+    the classic scalable as-of: tag both sides, sort within key by
+    (ts, side), and carry the latest right payload forward. ONE shuffle
+    on the key, linear work, no candidate explosion even when a key has
+    millions of rows on both sides.
+  - RangeJoinOperator: bucketized interval join. Left rows land in one
+    bucket; right intervals explode to the buckets they cover; the join
+    becomes an equi-join on bucket (+ keys) with an exact containment
+    filter after. Each matching pair meets in exactly one bucket (the
+    left row's), so no dedup pass is needed. Avoids the
+    BroadcastNestedLoopJoin Spark would otherwise plan for a pure
+    inequality join — the difference between O(n·m) and O(n + Σ spans)
+    at 100 TB.
+  - HypertableRollup: one scan, G time granularities. Each row explodes
+    to (granularity, bucket) pairs and a single groupBy aggregates all
+    resolutions at once — same expansion GROUPING SETS would plan, kept
+    in the DataFrame API. Partial aggregation (map-side combine) still
+    applies, so the shuffle carries one partial row per (gran, bucket,
+    partition), not raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+
+@OPERATOR_REGISTRY.register()
+class AsofJoinOperator(Operator):
+    """For every left row, attach the payload of the temporally nearest
+    right row in ``direction`` ("backward": latest right.ts <= left.ts;
+    "forward": earliest right.ts >= left.ts), matching on optional
+    equi-keys ``by``.
+
+    ``tolerance_seconds`` nulls the payload when the matched row is
+    further than the tolerance (pandas ``merge_asof`` semantics: the row
+    survives, the payload doesn't).
+
+    Right-side rows with equal (by, ts) are ambiguous under as-of
+    semantics on any engine; pre-aggregate the right side to unique
+    (by, ts) for deterministic output.
+    """
+
+    def __init__(self, ts_key: str = "ts", by: Sequence[str] = (),
+                 value_keys: Sequence[str] = ("value",),
+                 direction: str = "backward",
+                 tolerance_seconds: float | None = None,
+                 suffix: str = "_asof"):
+        if direction not in ("backward", "forward"):
+            raise ValueError("direction must be 'backward' or 'forward'")
+        self.ts_key = ts_key
+        self.by = list(by)
+        self.value_keys = list(value_keys)
+        self.direction = direction
+        self.tolerance_seconds = tolerance_seconds
+        self.suffix = suffix
+        self.input_keys = (ts_key, *self.by)
+        self.output_keys = tuple(f"{v}{suffix}" for v in self.value_keys)
+
+    def run(self, df: DataFrame, other: DataFrame | None = None, **kw: Any) -> DataFrame:
+        if other is None:
+            raise ValueError("AsofJoinOperator requires other=DataFrame (the right side)")
+        ts, by = self.ts_key, self.by
+
+        # Payload struct: carried as ONE nullable column so a legitimately
+        # NULL value inside the matched right row is preserved (per-column
+        # last(ignorenulls) would skip past the true as-of match).
+        payload = F.struct(
+            F.col(ts).alias("_r_ts"),
+            *[F.col(v).alias(v) for v in self.value_keys],
+        ).alias("_asof_payload")
+
+        left = df.withColumn("_asof_side", F.lit(1)).withColumn(
+            "_asof_payload", F.lit(None).cast(
+                other.select(payload).schema["_asof_payload"].dataType))
+        right = (other.select(*by, F.col(ts), payload)
+                 .withColumn("_asof_side", F.lit(0)))
+        # align schemas: right lacks the left's other columns
+        for c in df.columns:
+            if c not in right.columns:
+                right = right.withColumn(c, F.lit(None).cast(dict(df.dtypes)[c]))
+        right = right.select(*left.columns)
+
+        u = left.unionByName(right)
+        if self.direction == "backward":
+            # right rows sort BEFORE left rows at equal ts (side 0 < 1)
+            # so ts-equality counts as a match; running last() looks back.
+            w = (Window.partitionBy(*by).orderBy(F.col(ts).asc(), F.col("_asof_side").asc())
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            matched = F.last("_asof_payload", ignorenulls=True).over(w)
+        else:
+            # left rows sort BEFORE right rows at equal ts; running first()
+            # looks forward.
+            w = (Window.partitionBy(*by).orderBy(F.col(ts).asc(), F.col("_asof_side").desc())
+                 .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            matched = F.first("_asof_payload", ignorenulls=True).over(w)
+
+        out = u.withColumn("_m", matched).filter(F.col("_asof_side") == 1)
+        if self.tolerance_seconds is not None:
+            gap = F.abs(F.unix_timestamp(F.col(ts))
+                        - F.unix_timestamp(F.col("_m._r_ts")))
+            out = out.withColumn(
+                "_m", F.when(gap <= F.lit(self.tolerance_seconds), F.col("_m")))
+        for v in self.value_keys:
+            out = out.withColumn(f"{v}{self.suffix}", F.col(f"_m.{v}"))
+        return out.drop("_asof_side", "_asof_payload", "_m")
+
+
+@OPERATOR_REGISTRY.register()
+class RangeJoinOperator(Operator):
+    """Interval-containment join: keep (left, right) pairs where
+    ``left[point_key]`` lies in ``[right[lo_key], right[hi_key]]``
+    (inclusive), optionally also matching equi-keys ``by``.
+
+    ``bucket_width`` chunks the number line: left rows hash to one
+    bucket, right intervals explode to every bucket they overlap, and
+    Catalyst plans a plain shuffled (or broadcast) equi-join on
+    (bucket, *by) with the exact BETWEEN as a post-filter. A matching
+    pair meets only in the left row's bucket, so results need no dedup.
+    Pick ``bucket_width`` near the typical interval span: much smaller
+    multiplies the right-side explosion, much larger degrades to a few
+    giant buckets (AQE skew-split recovers, but the filter then rejects
+    most candidates).
+    """
+
+    def __init__(self, point_key: str, lo_key: str, hi_key: str,
+                 by: Sequence[str] = (), bucket_width: float = 1.0,
+                 how: str = "inner"):
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be > 0")
+        if how not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
+        self.point_key, self.lo_key, self.hi_key = point_key, lo_key, hi_key
+        self.by = list(by)
+        self.bucket_width = float(bucket_width)
+        self.how = how
+        self.input_keys = (point_key,)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, other: DataFrame | None = None, **kw: Any) -> DataFrame:
+        if other is None:
+            raise ValueError("RangeJoinOperator requires other=DataFrame (the intervals)")
+        w = F.lit(self.bucket_width)
+        left = df.withColumn("_rj_bucket",
+                             F.floor(F.col(self.point_key) / w).cast("long"))
+        right = (
+            other.withColumn(
+                "_rj_bucket",
+                F.explode(F.sequence(
+                    F.floor(F.col(self.lo_key) / w).cast("long"),
+                    F.floor(F.col(self.hi_key) / w).cast("long"))))
+        )
+        on = ["_rj_bucket", *self.by]
+        contained = F.col(self.point_key).between(F.col(self.lo_key),
+                                                  F.col(self.hi_key))
+        if self.how == "inner":
+            return left.join(right, on).filter(contained).drop("_rj_bucket")
+        # left join: keep unmatched left rows with null interval columns
+        joined = left.join(right, on, "left").filter(
+            contained | F.col(self.lo_key).isNull())
+        return joined.drop("_rj_bucket")
+
+
+@OPERATOR_REGISTRY.register()
+class HypertableRollup(Operator):
+    """Multi-granularity time rollup in one pass: aggregate ``aggs`` at
+    every granularity in ``granularities`` (date_trunc units: "minute",
+    "hour", "day", "week", "month", ...) over one scan of the events.
+
+    Output: (granularity string, bucket_start timestamp, *agg columns).
+    The per-row explosion to G (granularity, bucket) pairs happens
+    before partial aggregation, so the shuffle carries combined partials
+    — the same plan shape SQL GROUPING SETS produces. This is the batch
+    twin of a TimescaleDB-style continuous aggregate; pair with
+    ``streaming.tumbling_counts`` for the incremental path.
+    """
+
+    def __init__(self, ts_key: str = "ts", granularities: Sequence[str] = ("hour", "day"),
+                 aggs: Sequence[Column] | None = None,
+                 group_keys: Sequence[str] = ()):
+        self.ts_key = ts_key
+        self.granularities = list(granularities)
+        self.aggs = list(aggs) if aggs is not None else None
+        self.group_keys = list(group_keys)
+        self.input_keys = (ts_key, *self.group_keys)
+        self.output_keys = ("granularity", "bucket_start")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(F.lit(g).alias("granularity"),
+                     F.date_trunc(g, F.col(self.ts_key)).alias("bucket_start"))
+            for g in self.granularities
+        ])
+        exploded = df.select(
+            F.explode(pairs).alias("_gb"),
+            *[F.col(c) for c in df.columns if c != self.ts_key],
+        ).select(F.col("_gb.granularity").alias("granularity"),
+                 F.col("_gb.bucket_start").alias("bucket_start"),
+                 *[c for c in df.columns if c != self.ts_key])
+        aggs = self.aggs or [F.count(F.lit(1)).alias("n_events")]
+        return (exploded
+                .groupBy("granularity", "bucket_start", *self.group_keys)
+                .agg(*aggs))

@@ -1,0 +1,178 @@
+"""Time-series pack: as-of join, range join, hypertable rollup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.operators.timeseries import (
+    AsofJoinOperator, HypertableRollup, RangeJoinOperator)
+
+
+def _ts(minute):
+    return dt.datetime(2020, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(10), 200.0), (2, _ts(5), 50.0)],
+        "k long, ts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(10), "b"), (1, _ts(25), "c"),
+         (2, _ts(0), "d"), (3, _ts(7), "e")],
+        "k long, ts timestamp, tag string")
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = AsofJoinOperator(ts_key="ts", by=["k"], value_keys=["px"]).run(
+        trades, other=quotes)
+    got = {(r.k, r.tag): r.px_asof for r in out.collect()}
+    assert got == {
+        (1, "a"): 100.0,   # latest quote <= 00:05 is 00:00
+        (1, "b"): 200.0,   # ts-equality matches
+        (1, "c"): 200.0,
+        (2, "d"): None,    # quote arrives later
+        (3, "e"): None,    # key never quoted
+    }
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = AsofJoinOperator(ts_key="ts", by=["k"], value_keys=["px"],
+                           direction="forward").run(trades, other=quotes)
+    got = {(r.k, r.tag): r.px_asof for r in out.collect()}
+    assert got == {
+        (1, "a"): 200.0,   # earliest quote >= 00:05 is 00:10
+        (1, "b"): 200.0,
+        (1, "c"): None,    # nothing after 00:25
+        (2, "d"): 50.0,
+        (3, "e"): None,
+    }
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    out = AsofJoinOperator(ts_key="ts", by=["k"], value_keys=["px"],
+                           tolerance_seconds=6 * 60).run(trades, other=quotes)
+    got = {(r.k, r.tag): r.px_asof for r in out.collect()}
+    # (1,'c') at 00:25 matched 00:10 but the 15-min gap exceeds tolerance
+    assert got[(1, "c")] is None
+    assert got[(1, "a")] == 100.0  # 5-min gap survives
+
+
+def test_asof_null_payload_preserved(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 7.0), (1, _ts(5), None)], "k long, ts timestamp, px double")
+    out = AsofJoinOperator(ts_key="ts", by=["k"], value_keys=["px"]).run(
+        left, other=right)
+    # the as-of match is the 00:05 row whose px is genuinely NULL —
+    # must not skip back to 00:00
+    assert out.collect()[0].px_asof is None
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    pd = pytest.importorskip("pandas")
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    lt = sorted(rng.randint(0, 10_000, 300).tolist())
+    rt = sorted(rng.randint(0, 10_000, 100).tolist())
+    lk = rng.randint(0, 5, 300)
+    rk = rng.randint(0, 5, 100)
+    ldf = pd.DataFrame({"k": lk, "ts": pd.to_datetime(lt, unit="s"),
+                        "i": range(300)})
+    rdf = (pd.DataFrame({"k": rk, "ts": pd.to_datetime(rt, unit="s"),
+                         "v": rng.rand(100)})
+           .drop_duplicates(["k", "ts"]))
+    expected = pd.merge_asof(ldf.sort_values("ts"), rdf.sort_values("ts"),
+                             on="ts", by="k")
+    out = AsofJoinOperator(ts_key="ts", by=["k"], value_keys=["v"]).run(
+        spark.createDataFrame(ldf), other=spark.createDataFrame(rdf))
+    got = out.toPandas().sort_values("i")
+    exp = expected.sort_values("i")
+    assert np.allclose(got["v_asof"].fillna(-1).to_numpy(),
+                       exp["v"].fillna(-1).to_numpy())
+
+
+def test_range_join_inner(spark):
+    pts = spark.createDataFrame(
+        [(1, 3.0), (2, 10.0), (3, 25.0), (4, 99.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 9.9), ("mid", 10.0, 24.9), ("high", 25.0, 50.0)],
+        "band string, lo double, hi double")
+    out = RangeJoinOperator("v", "lo", "hi", bucket_width=10.0).run(
+        pts, other=bands)
+    got = {(r.id, r.band) for r in out.collect()}
+    assert got == {(1, "low"), (2, "mid"), (3, "high")}
+
+
+def test_range_join_boundary_inclusive_and_no_dup(spark):
+    pts = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    # interval spans many buckets; the pair must appear exactly once
+    bands = spark.createDataFrame([("wide", 0.0, 100.0)],
+                                  "band string, lo double, hi double")
+    out = RangeJoinOperator("v", "lo", "hi", bucket_width=5.0).run(
+        pts, other=bands)
+    assert out.count() == 1
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    pts = spark.createDataFrame([(1, 3.0), (2, 999.0)], "id long, v double")
+    bands = spark.createDataFrame([("low", 0.0, 9.9)],
+                                  "band string, lo double, hi double")
+    out = RangeJoinOperator("v", "lo", "hi", bucket_width=10.0,
+                            how="left").run(pts, other=bands)
+    got = {(r.id, r.band) for r in out.collect()}
+    assert got == {(1, "low"), (2, None)}
+
+
+def test_range_join_with_by_keys(spark):
+    pts = spark.createDataFrame(
+        [(1, "us", 5.0), (2, "eu", 5.0)], "id long, region string, v double")
+    bands = spark.createDataFrame(
+        [("us-low", "us", 0.0, 9.0)], "band string, region string, lo double, hi double")
+    out = RangeJoinOperator("v", "lo", "hi", by=["region"],
+                            bucket_width=10.0).run(pts, other=bands)
+    got = {(r.id, r.band) for r in out.collect()}
+    assert got == {(1, "us-low")}
+
+
+def test_hypertable_rollup(spark):
+    events = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1, 0, 5), 1.0),
+         (dt.datetime(2020, 1, 1, 0, 50), 2.0),
+         (dt.datetime(2020, 1, 1, 3, 0), 4.0),
+         (dt.datetime(2020, 1, 2, 0, 0), 8.0)],
+        "ts timestamp, value double")
+    out = HypertableRollup(
+        ts_key="ts", granularities=["hour", "day"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")],
+    ).run(events)
+    rows = {(r.granularity, r.bucket_start.isoformat()): (r.n, r.sv)
+            for r in out.collect()}
+    assert rows[("hour", "2020-01-01T00:00:00")] == (2, 3.0)
+    assert rows[("hour", "2020-01-01T03:00:00")] == (1, 4.0)
+    assert rows[("day", "2020-01-01T00:00:00")] == (3, 7.0)
+    assert rows[("day", "2020-01-02T00:00:00")] == (1, 8.0)
+    # G granularities x distinct buckets
+    assert out.count() == 5
+
+
+def test_hypertable_rollup_group_keys(spark):
+    events = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1, 0, 5), "a"), (dt.datetime(2020, 1, 1, 0, 6), "b")],
+        "ts timestamp, et string")
+    out = HypertableRollup(ts_key="ts", granularities=["hour"],
+                           group_keys=["et"]).run(events)
+    assert out.count() == 2
+
+
+def test_registry_names():
+    from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+    for n in ("AsofJoinOperator", "RangeJoinOperator", "HypertableRollup"):
+        assert OPERATOR_REGISTRY.get(n) is not None
