@@ -42,6 +42,20 @@ def LW(c: str) -> str:  # lowercase words
     return rf"list_transform({W(c)}, x -> lower(x))"
 
 
+def NG(c: str, n: int) -> str:
+    """Distinct non-empty word n-grams — mirror of
+    operators/filters/decontaminate._gram_hashes (pre-hash gram set;
+    joining on raw gram strings is set-equivalent to joining on their
+    md5 hashes)."""
+    w = W(c)
+    return (
+        f"list_filter(list_distinct(CASE WHEN len({w}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({w}) - {n} + 1), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({w}, ' ')] END), g -> g != '')"
+    )
+
+
 MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
@@ -809,6 +823,101 @@ def q_token_packing(spark, sf_dir):
         "token_key": "n_words", "order_key": "doc_id", "budget": 2048,
         "num_shards": 4, "hash_impl": "md5"})
     return op.run(with_tokens).select("doc_id", "pack_id")
+
+
+@q("x_decontaminate", f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bg AS (SELECT DISTINCT unnest({NG('text', 3)}) AS g FROM bench),
+cg AS (SELECT doc_id, unnest({NG('text', 3)}) AS g FROM corpus),
+bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""")
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training docs sharing any word
+    3-gram with the held-out benchmark split (strict GPT-3-style rule;
+    benchmark gram set broadcast, corpus side one explode + anti-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    op = get_operator("BenchmarkDecontaminationFilter",
+                      {"n": 3, "hash_impl": "md5"})
+    return op.run(corpus, benchmark=bench).select("doc_id")
+
+
+@q("x_contamination_report", f"""
+WITH corpus AS (SELECT doc_id, {NG('text', 3)} AS grams
+                FROM documents WHERE doc_id % 50 != 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bg AS (SELECT DISTINCT unnest({NG('text', 3)}) AS g FROM bench),
+cg AS (SELECT doc_id, unnest(grams) AS g FROM corpus),
+m AS (SELECT cg.doc_id, count(*) AS matched FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id)
+SELECT c.doc_id,
+       coalesce(m.matched, 0) AS matched_ngrams,
+       len(c.grams) AS total_ngrams,
+       CASE WHEN len(c.grams) > 0
+            THEN round(coalesce(m.matched, 0) / len(c.grams), 6)
+            ELSE 0.0 END AS overlap_frac
+FROM corpus c LEFT JOIN m USING (doc_id)
+""")
+def x_contamination_report(spark, sf_dir):
+    """Per-doc contamination scores against the benchmark split:
+    matched/total word 3-grams and overlap fraction."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    op = get_operator("ContaminationScoreEvaluator",
+                      {"n": 3, "hash_impl": "md5"})
+    out = op.run(corpus, benchmark=bench)
+    return out.select(
+        "doc_id", "matched_ngrams",
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.round("overlap_frac", 6).alias("overlap_frac"))
+
+
+@q("q_domain_mixture", """
+WITH w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+                              ('src2', 0.2), ('src3', 0.1)),
+c AS (SELECT source, count(*)::DOUBLE AS cnt FROM documents GROUP BY source),
+j AS (SELECT c.source, cnt, wt / (SELECT sum(wt) FROM w) AS share
+      FROM c JOIN w USING (source)),
+r AS (SELECT source,
+             least(1.0, share * (SELECT min(cnt / share) FROM j) / cnt)
+               AS rate
+      FROM j)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE (('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::UBIGINT
+       % 10000) < floor(rate * 10000)
+""")
+def q_domain_mixture(spark, sf_dir):
+    """Domain-mixture downsampling: keep each source at the deterministic
+    hash rate that realizes target weights 40/30/20/10 over src0..src3
+    (largest downsample-only total); unlisted sources are dropped."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("DomainMixtureSampler", {
+        "weights": {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        "hash_impl": "md5"})
+    return op.run(docs).select("doc_id", "source")
+
+
+@q("d_incremental_hash", """
+WITH existing AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+fresh AS (SELECT doc_id, md5(text) AS h FROM new
+          WHERE md5(text) NOT IN (SELECT h FROM existing))
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM fresh) WHERE rn = 1
+""")
+def d_incremental_hash(spark, sf_dir):
+    """Incremental dedup: new batch (doc_id%3!=0) anti-joined against the
+    existing corpus digest set (doc_id%3=0), then in-batch keep-first."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    op = get_operator("IncrementalHashDedupFilter", {"order_key": "doc_id"})
+    return op.run(new, existing=existing).select("doc_id")
 
 
 @q("q_sliding_counts", """

@@ -18,6 +18,7 @@ from dataflow_spark.operators import pdf2vqa, chemistry  # noqa: F401
 from dataflow_spark.operators.filters import threshold  # noqa: F401
 from dataflow_spark.operators import reasoning_filters, mineru  # noqa: F401
 from dataflow_spark.operators import sampling, timeseries  # noqa: F401
+from dataflow_spark.operators.filters import decontaminate  # noqa: F401
 
 # Reference-exact names whose engine operator is named differently:
 # pipelines written against OpenDCAI/DataFlow resolve without edits.

@@ -1,0 +1,159 @@
+"""Benchmark decontamination: word n-gram overlap against an eval set.
+
+The standard guard for training corpora: any document sharing enough
+word n-grams with a benchmark/eval set is dropped before training (the
+exact-match n-gram rule used for GPT-3/Llama-style training sets). The
+reference has no decontamination operator — this is part of the
+training-data-pipeline surface the engine adds as first-class.
+
+Scale design (100 TB corpus vs MB-scale benchmark):
+  - The benchmark side reduces to its DISTINCT gram-hash set and is
+    broadcast — benchmarks are a few thousand questions, so the
+    broadcast is KBs-to-MBs even at 13-grams.
+  - The corpus side is one explode (linear in corpus tokens) joined
+    map-side against the broadcast set; only MATCHED (doc, gram) rows
+    survive, so the follow-up per-doc aggregate shuffles contaminated
+    docs only, not the corpus.
+  - The default filter path (`max_matches=0`, no scores kept) is a
+    semi-join -> distinct contaminated-id set -> left_anti join: the
+    anti-join's build side holds just the contaminated ids, which AQE
+    turns into a broadcast join when (as is typical) contamination is
+    rare.
+  - ``hash_impl='fast'`` joins on xxhash64(gram) (JVM, codegen'd);
+    ``'md5'`` joins on md5 hex — bit-identical in Spark, Python, and
+    external SQL engines, the oracle contract used by the driver
+    correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions import hashing as H
+
+
+def _gram_hashes(col: Column, n: int, hash_impl: str) -> Column:
+    """array of hashed distinct non-empty word n-grams of ``col``.
+
+    Shingling mirrors ``hashing.word_shingles``: texts shorter than
+    ``n`` words contribute their whole word sequence as one gram, so a
+    verbatim short benchmark answer still matches a verbatim copy.
+    """
+    g = F.array_distinct(H.word_shingles(col, n))
+    g = F.filter(g, lambda s: s != "")
+    if hash_impl == "md5":
+        return F.transform(g, lambda s: F.md5(s))
+    return F.transform(g, lambda s: F.xxhash64(s))
+
+
+@OPERATOR_REGISTRY.register()
+class ContaminationScoreEvaluator(Operator):
+    """Per-doc benchmark-overlap scores: ``matched_ngrams``,
+    ``total_ngrams``, ``overlap_frac``.
+
+    ``run(df, benchmark=bench_df)`` — ``benchmark`` supplies the eval
+    texts in column ``bench_key``. Scorer twin of
+    :class:`BenchmarkDecontaminationFilter` (engine convention: scorer
+    once, filter derived).
+    """
+
+    def __init__(self, input_key: str = "text", bench_key: str = "text",
+                 n: int = 8, id_key: str = "doc_id",
+                 hash_impl: str = "fast", broadcast_benchmark: bool = True):
+        if n <= 0:
+            raise ValueError("n must be positive")
+        self.input_key, self.bench_key, self.n = input_key, bench_key, n
+        self.id_key, self.hash_impl = id_key, hash_impl
+        self.broadcast_benchmark = broadcast_benchmark
+        self.input_keys = (input_key, id_key)
+        self.output_keys = ("matched_ngrams", "total_ngrams", "overlap_frac")
+
+    def _bench_grams(self, benchmark: DataFrame) -> DataFrame:
+        bg = benchmark.select(
+            F.explode(_gram_hashes(F.col(self.bench_key), self.n,
+                                   self.hash_impl)).alias("_g")
+        ).distinct()
+        return F.broadcast(bg) if self.broadcast_benchmark else bg
+
+    def run(self, df: DataFrame, benchmark: DataFrame | None = None,
+            **kw: Any) -> DataFrame:
+        if benchmark is None:
+            raise ValueError("ContaminationScoreEvaluator needs benchmark=")
+        bg = self._bench_grams(benchmark)
+        docs = df.withColumn(
+            "_grams", _gram_hashes(F.col(self.input_key), self.n, self.hash_impl))
+        matched = (
+            docs.select(self.id_key, F.explode("_grams").alias("_g"))
+            .join(bg, "_g")
+            .groupBy(self.id_key)
+            .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+        )
+        total = F.size("_grams")
+        return (
+            docs.withColumn("total_ngrams", total).drop("_grams")
+            .join(matched, self.id_key, "left")
+            .withColumn("matched_ngrams",
+                        F.coalesce(F.col("matched_ngrams"), F.lit(0)))
+            .withColumn(
+                "overlap_frac",
+                F.when(F.col("total_ngrams") > 0,
+                       F.col("matched_ngrams") / F.col("total_ngrams"))
+                .otherwise(F.lit(0.0)),
+            )
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class BenchmarkDecontaminationFilter(Operator):
+    """Drop docs overlapping the benchmark: contaminated when
+    ``matched_ngrams > max_matches`` or (if set)
+    ``overlap_frac > max_frac``.
+
+    Defaults (``max_matches=0``, ``max_frac=None``) give the strict
+    any-overlap rule and take a counting-free semi-join/anti-join path.
+    ``keep_scores=True`` retains the evaluator's three score columns on
+    the survivors.
+    """
+
+    def __init__(self, input_key: str = "text", bench_key: str = "text",
+                 n: int = 8, id_key: str = "doc_id", max_matches: int = 0,
+                 max_frac: float | None = None, keep_scores: bool = False,
+                 hash_impl: str = "fast", broadcast_benchmark: bool = True):
+        self.scorer = ContaminationScoreEvaluator(
+            input_key=input_key, bench_key=bench_key, n=n, id_key=id_key,
+            hash_impl=hash_impl, broadcast_benchmark=broadcast_benchmark)
+        self.max_matches, self.max_frac = max_matches, max_frac
+        self.keep_scores = keep_scores
+        self.input_keys = (input_key, id_key)
+        self.output_keys = self.scorer.output_keys if keep_scores else ()
+
+    def run(self, df: DataFrame, benchmark: DataFrame | None = None,
+            **kw: Any) -> DataFrame:
+        if benchmark is None:
+            raise ValueError("BenchmarkDecontaminationFilter needs benchmark=")
+        s = self.scorer
+        if self.max_matches == 0 and self.max_frac is None and not self.keep_scores:
+            # strict any-overlap: no counting needed — semi-join the
+            # exploded grams, collapse to contaminated ids, anti-join
+            bg = s._bench_grams(benchmark)
+            bad = (
+                df.select(
+                    s.id_key,
+                    F.explode(_gram_hashes(F.col(s.input_key), s.n,
+                                           s.hash_impl)).alias("_g"))
+                .join(bg, "_g", "left_semi")
+                .select(s.id_key)
+                .distinct()
+            )
+            return df.join(bad, s.id_key, "left_anti")
+        scored = s.run(df, benchmark=benchmark)
+        contaminated = F.col("matched_ngrams") > F.lit(self.max_matches)
+        if self.max_frac is not None:
+            contaminated = contaminated | (F.col("overlap_frac") > F.lit(self.max_frac))
+        out = scored.filter(~contaminated)
+        return out if self.keep_scores else out.drop(*s.output_keys)

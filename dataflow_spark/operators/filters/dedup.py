@@ -216,6 +216,34 @@ class HashDeduplicateFilter(_BaseDedup):
 
 
 @OPERATOR_REGISTRY.register()
+class IncrementalHashDedupFilter(HashDeduplicateFilter):
+    """Dedup a NEW batch against an EXISTING corpus, then within itself:
+    ``run(new_df, existing=corpus_df)``.
+
+    The daily-increment pattern for a 100 TB corpus: yesterday's corpus
+    never re-shuffles — only its content digests ship, as the build side
+    of a left_anti join (in production the digest table is written once,
+    bucketed by hash, so the anti-join is a bucket-local probe). The
+    in-batch keep-first is the same single window-over-hash as
+    :class:`HashDeduplicateFilter`.
+    """
+
+    def run(self, df: DataFrame, existing: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        if existing is None:
+            raise ValueError("IncrementalHashDedupFilter needs existing=")
+        h = self._hash()
+        seen = existing.select(self._hash().alias("_seen_h")).distinct()
+        df, order_col = self._ordered(df)
+        fresh = (
+            df.withColumn("_seen_h", h)
+            .join(seen, "_seen_h", "left_anti")
+            .drop("_seen_h")
+        )
+        return self._finish(_keep_first(fresh, h, order_col), order_col)
+
+
+@OPERATOR_REGISTRY.register()
 class CCNetDeduplicateFilter(_BaseDedup):
     """CCNet-style dedup: normalize (lowercase, strip digits/punct/space
     runs) then exact-hash. Reference: text_pt/filter/ccnet_deduplicate_filter.py:78.

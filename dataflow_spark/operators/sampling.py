@@ -107,3 +107,65 @@ class SequencePackingOperator(Operator):
             F.concat_ws("-", F.col("_shard").cast("string"),
                         bin_id.cast("string"))
         ).drop("_shard")
+
+
+@OPERATOR_REGISTRY.register()
+class DomainMixtureSampler(Operator):
+    """Downsample per-domain so the output matches target mixture
+    weights — the corpus-mixing step of a training-data pipeline
+    ("50% web, 30% books, 20% code").
+
+    Given ``weights = {group_value: w}``, shares are normalized over the
+    listed groups and the largest feasible downsample-only total is
+    ``T = min_g(count_g / share_g)``; each group is then kept at
+    ``rate_g = share_g * T / count_g`` (the binding group keeps
+    everything) via the same deterministic monotone hash-bucket rule as
+    :class:`HashSampleFilter`. Groups absent from ``weights`` are
+    dropped — the mixture defines the corpus.
+
+    Scale: one groupBy-count over the corpus (tiny result: one row per
+    group), a scalar min via a 1-row cross join, and a broadcast join of
+    the per-group rate back onto the corpus — the filter itself is a
+    pure Column predicate; no driver collect, no second shuffle of the
+    corpus.
+    """
+
+    def __init__(self, group_key: str = "source",
+                 weights: dict[str, float] | None = None,
+                 key: str = "doc_id", buckets: int = 10_000,
+                 salt: str = "mix", hash_impl: str = "fast"):
+        if not weights:
+            raise ValueError("weights must be a non-empty {group: weight} dict")
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("weights must be positive")
+        self.group_key, self.weights, self.key = group_key, dict(weights), key
+        self.buckets, self.salt, self.hash_impl = buckets, salt, hash_impl
+        self.input_keys = (group_key, key)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        wsum = sum(self.weights.values())
+        share = F.create_map(
+            *[F.lit(x) for kv in self.weights.items()
+              for x in (kv[0], kv[1] / wsum)])
+        counts = (
+            df.groupBy(self.group_key)
+            .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+            .withColumn("_share", share[F.col(self.group_key)])
+            .filter(F.col("_share").isNotNull())
+        )
+        t = counts.select(F.min(F.col("_cnt") / F.col("_share")).alias("_T"))
+        rates = (
+            counts.crossJoin(F.broadcast(t))
+            .select(
+                self.group_key,
+                F.least(F.lit(1.0),
+                        F.col("_share") * F.col("_T") / F.col("_cnt"))
+                .alias("_rate"))
+        )
+        b = _bucket(F.col(self.key), self.buckets, self.salt, self.hash_impl)
+        return (
+            df.join(F.broadcast(rates), self.group_key)
+            .filter(b < F.floor(F.col("_rate") * self.buckets))
+            .drop("_rate")
+        )
