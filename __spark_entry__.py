@@ -920,6 +920,157 @@ def d_incremental_hash(spark, sf_dir):
     return op.run(new, existing=existing).select("doc_id")
 
 
+@q("r_segment_dedup", f"""
+WITH d AS (SELECT doc_id, {W('text')} AS w FROM documents),
+seg AS (SELECT doc_id, i AS pos, array_to_string(w[(i-1)*10+1:i*10], ' ') AS s
+        FROM d, unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+c AS (SELECT doc_id, pos, s,
+             count(*) OVER (PARTITION BY s) AS n,
+             row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+      FROM seg),
+k AS (SELECT doc_id, pos, s FROM c WHERE n < 2 OR rn = 1)
+SELECT d.doc_id, coalesce(string_agg(k.s, ' ' ORDER BY k.pos), '') AS text
+FROM d LEFT JOIN k USING (doc_id) GROUP BY d.doc_id
+""")
+def r_segment_dedup(spark, sf_dir):
+    """CCNet/C4-style corpus-wide segment dedup: 10-word windows, any
+    window occurring twice corpus-wide keeps only its first occurrence
+    (doc order, position); docs are reassembled in order. Only the
+    duplicated tail of the count aggregate joins back (broadcast-able)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("CorpusSegmentDedup", {
+        "mode": "words", "segment_words": 10, "keep": "first",
+        "hash_impl": "md5"})
+    return op.run(docs).select("doc_id", "text")
+
+
+@q("t_gopher_repetition", f"""
+WITH d AS (SELECT doc_id, {LW('text')} AS lw FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(lw) = 0 THEN []
+             WHEN len(lw) >= 2 THEN list_transform(
+                 generate_series(1, len(lw) - 1),
+                 i -> array_to_string(lw[i:i+1], ' '))
+             ELSE [array_to_string(lw, ' ')] END AS grams,
+        CASE WHEN len(lw) = 0 THEN [] ELSE list_transform(
+                 generate_series(1, CAST(ceil(len(lw) / 10.0) AS BIGINT)),
+                 i -> array_to_string(lw[(i-1)*10+1:i*10], ' ')) END AS segs
+      FROM d),
+gr AS (SELECT doc_id, gram, count(*) AS c, count(*) * len(gram) AS cover
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, max(cover) AS top,
+               sum(CASE WHEN c > 1 THEN cover ELSE 0 END) AS dup,
+               sum(cover) AS total
+        FROM gr GROUP BY doc_id)
+SELECT g.doc_id,
+  CASE WHEN len(segs) > 0
+       THEN round(1.0 - len(list_distinct(segs)) * 1.0 / len(segs), 6)
+       ELSE 0.0 END AS dup_segment_frac,
+  CASE WHEN coalesce(total, 0) > 0 THEN round(top * 1.0 / total, 6)
+       ELSE 0.0 END AS top_ngram_char_frac,
+  CASE WHEN coalesce(total, 0) > 0 THEN round(dup * 1.0 / total, 6)
+       ELSE 0.0 END AS dup_ngram_char_frac
+FROM g LEFT JOIN agg USING (doc_id)
+""")
+def t_gopher_repetition(spark, sf_dir):
+    """Gopher repetition scores per doc: duplicated 10-word-window
+    fraction, top word-2-gram character coverage, duplicated-2-gram
+    character coverage (one Arrow-batched pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("GopherRepetitionEvaluator",
+                      {"n": 2, "segment_words": 10})
+    out = op.run(docs)
+    return out.select(
+        "doc_id",
+        F.round("dup_segment_frac", 6).alias("dup_segment_frac"),
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+        F.round("dup_ngram_char_frac", 6).alias("dup_ngram_char_frac"))
+
+
+@q("q_split_assign", """
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::UBIGINT
+              % 10000) AS b
+      FROM documents)
+""")
+def q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by hash bucket —
+    same row, same split, on any engine or run."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("SplitAssignOperator", {"hash_impl": "md5"})
+    return op.run(docs).select("doc_id", "split")
+
+
+@q("q_pipeline_corpus_curation", f"""
+WITH corpus AS (SELECT doc_id, text, source FROM documents
+                WHERE doc_id % 50 != 0),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bg AS (SELECT DISTINCT unnest({NG('text', 3)}) AS g FROM bench),
+cg AS (SELECT doc_id, unnest({NG('text', 3)}) AS g FROM corpus),
+bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+clean AS (SELECT doc_id, text, source FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+d AS (SELECT doc_id, {W('text')} AS w FROM clean),
+seg AS (SELECT doc_id, i AS pos, array_to_string(w[(i-1)*10+1:i*10], ' ') AS s
+        FROM d, unnest(generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+cc AS (SELECT doc_id, pos, s, count(*) OVER (PARTITION BY s) AS n,
+              row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+       FROM seg),
+k AS (SELECT doc_id, pos, s FROM cc WHERE n < 2 OR rn = 1),
+re AS (SELECT d.doc_id, coalesce(string_agg(k.s, ' ' ORDER BY k.pos), '') AS text
+       FROM d LEFT JOIN k USING (doc_id) GROUP BY d.doc_id),
+kept AS (SELECT re.doc_id, c2.source FROM re JOIN clean c2 USING (doc_id)
+         WHERE len({W('re.text')}) >= 5),
+w2(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+mix_c AS (SELECT source, count(*)::DOUBLE AS cnt FROM kept GROUP BY source),
+j AS (SELECT mix_c.source, cnt, wt / (SELECT sum(wt) FROM w2) AS share
+      FROM mix_c JOIN w2 USING (source)),
+r AS (SELECT source,
+             least(1.0, share * (SELECT min(cnt / share) FROM j) / cnt) AS rate
+      FROM j),
+sampled AS (SELECT kept.doc_id, kept.source FROM kept JOIN r USING (source)
+            WHERE (('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                   % 10000) < floor(rate * 10000))
+SELECT doc_id, source,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             (('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::UBIGINT
+              % 10000) AS b
+      FROM sampled)
+""")
+def q_pipeline_corpus_curation(spark, sf_dir):
+    """Flagship corpus-curation chain as ONE Catalyst plan: benchmark
+    decontamination -> corpus-wide segment dedup -> min-length filter ->
+    domain-mixture downsampling -> train/val/test split assignment.
+    Every stage is an engine operator; the oracle replays the whole
+    chain in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    corpus = (docs.filter(F.col("doc_id") % 50 != 0)
+              .select("doc_id", "text", "source"))
+    out = get_operator("BenchmarkDecontaminationFilter",
+                       {"n": 3, "hash_impl": "md5"}).run(
+        corpus, benchmark=bench)
+    out = get_operator("CorpusSegmentDedup", {
+        "mode": "words", "segment_words": 10, "keep": "first",
+        "hash_impl": "md5"}).run(out)
+    out = get_operator("WordNumberFilter",
+                       {"input_key": "text", "min_words": 5}).run(out)
+    out = get_operator("DomainMixtureSampler", {
+        "weights": {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        "hash_impl": "md5"}).run(out)
+    out = get_operator("SplitAssignOperator", {"hash_impl": "md5"}).run(out)
+    return out.select("doc_id", "source", "split")
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

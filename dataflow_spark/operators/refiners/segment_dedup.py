@@ -1,0 +1,125 @@
+"""Corpus-wide segment (line/paragraph) deduplication — CCNet/C4 style.
+
+C4 removed any three-sentence span occurring more than once in the
+dataset; CCNet dedups paragraphs corpus-wide keeping one occurrence.
+This operator does the Spark-native version: segment every document
+(newline/delimiter split, or fixed word windows for unstructured text),
+count segment occurrences across the WHOLE corpus, drop duplicated
+segments (all of them, or all but the first), and reassemble documents
+in original segment order.
+
+Scale design (100 TB):
+  - Segments explode once (linear in corpus size); occurrence counting
+    is one shuffle on the segment hash.
+  - Only DUPLICATED segment hashes ship back: the count aggregate is
+    filtered to ``n >= min_dup`` before the join, so the join's build
+    side holds the duplicated tail, not the corpus — AQE broadcasts it
+    when (as is typical) duplication is sparse.
+  - Reassembly is one shuffle on the doc id; all expressions are
+    JVM-side Column ops, no Python boundary.
+  - ``hash_impl='md5'`` gives the engine-independent oracle contract,
+    ``'fast'`` (xxhash64) the production path.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+
+def word_windows(col: Column, k: int) -> Column:
+    """array<string>: consecutive non-overlapping k-word windows (last
+    one may be shorter); empty text -> empty array."""
+    from dataflow_spark.functions.text import words
+
+    w = words(col)
+    n_win = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    idx = F.sequence(F.lit(0), n_win - 1)
+    return F.when(F.size(w) > 0,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i * k + 1, k)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+@OPERATOR_REGISTRY.register()
+class CorpusSegmentDedup(Operator):
+    """Remove segments duplicated across the corpus and reassemble docs.
+
+    ``mode='lines'`` splits on ``delimiter`` (default newline; empty
+    segments are normalized away); ``mode='words'`` uses non-overlapping
+    ``segment_words``-word windows — for corpora without line structure.
+    ``keep='first'`` keeps the earliest occurrence by (doc order,
+    position) — CCNet semantics; ``keep='none'`` drops every occurrence
+    — C4 semantics. A segment is duplicated when it occurs at least
+    ``min_dup`` times corpus-wide.
+    """
+
+    def __init__(self, input_key: str = "text", id_key: str = "doc_id",
+                 mode: str = "lines", delimiter: str = "\n",
+                 segment_words: int = 10, keep: str = "first",
+                 min_dup: int = 2, hash_impl: str = "fast",
+                 order_key: str | None = None):
+        if mode not in ("lines", "words"):
+            raise ValueError("mode must be 'lines' or 'words'")
+        if keep not in ("first", "none"):
+            raise ValueError("keep must be 'first' or 'none'")
+        if min_dup < 2:
+            raise ValueError("min_dup must be >= 2")
+        self.input_key, self.id_key, self.mode = input_key, id_key, mode
+        self.delimiter, self.segment_words = delimiter, segment_words
+        self.keep, self.min_dup, self.hash_impl = keep, min_dup, hash_impl
+        self.order_key = order_key or id_key
+        self.input_keys = (input_key, id_key)
+        self.output_keys = (input_key,)
+
+    def _segments(self, col: Column) -> Column:
+        if self.mode == "words":
+            return word_windows(col, self.segment_words)
+        parts = F.split(col, _re.escape(self.delimiter))
+        return F.filter(parts, lambda s: F.trim(s) != "")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        id_c, order_c = self.id_key, self.order_key
+        joiner = " " if self.mode == "words" else self.delimiter
+        h = (F.md5(F.col("_seg")) if self.hash_impl == "md5"
+             else F.xxhash64(F.col("_seg")))
+
+        base = df.withColumn("_segs", self._segments(F.col(self.input_key)))
+        key_cols = [id_c] if order_c == id_c else [id_c, order_c]
+        segs = (
+            base.select(*key_cols, F.posexplode("_segs")
+                        .alias("_pos", "_seg"))
+            .withColumn("_h", h)
+        )
+        occ = F.struct(F.col(order_c).alias("o"), F.col("_pos").alias("p"))
+        dups = (
+            segs.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_n"), F.min(occ).alias("_keeper"))
+            .filter(F.col("_n") >= self.min_dup)
+            .select("_h", "_keeper")
+        )
+        joined = segs.join(dups, "_h", "left")
+        keep_cond = F.col("_keeper").isNull()
+        if self.keep == "first":
+            keep_cond = keep_cond | (occ == F.col("_keeper"))
+        rebuilt = (
+            joined.filter(keep_cond)
+            .groupBy(id_c)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda s: s.getField("_seg")),
+                joiner).alias("_new_text"))
+        )
+        return (
+            base.drop("_segs")
+            .join(rebuilt, id_c, "left")
+            .withColumn(self.input_key,
+                        F.coalesce(F.col("_new_text"), F.lit("")))
+            .drop("_new_text")
+        )

@@ -110,6 +110,44 @@ class SequencePackingOperator(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class SplitAssignOperator(Operator):
+    """Assign deterministic train/val/test (or any) split labels by hash
+    bucket: ``splits = {"train": 0.9, "val": 0.05, "test": 0.05}``.
+
+    The same row lands in the same split on every engine and run
+    (md5 mode is bit-identical across Spark/Python/SQL); the last split
+    absorbs bucket-rounding remainders so every row gets a label. Pure
+    Column expression — no shuffle, no UDF.
+    """
+
+    def __init__(self, key: str = "doc_id",
+                 splits: dict[str, float] | None = None,
+                 buckets: int = 10_000, salt: str = "split",
+                 hash_impl: str = "fast", output_key: str = "split"):
+        self.splits = dict(splits or
+                           {"train": 0.9, "val": 0.05, "test": 0.05})
+        if len(self.splits) < 2:
+            raise ValueError("need at least two splits")
+        if any(w <= 0 for w in self.splits.values()):
+            raise ValueError("split fractions must be positive")
+        self.key, self.buckets, self.salt = key, buckets, salt
+        self.hash_impl, self.output_key = hash_impl, output_key
+        self.input_keys = (key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        total = sum(self.splits.values())
+        b = _bucket(F.col(self.key), self.buckets, self.salt, self.hash_impl)
+        names = list(self.splits)
+        expr, acc = None, 0.0
+        for name in names[:-1]:
+            acc += self.splits[name] / total
+            cond = b < int(acc * self.buckets)
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        return df.withColumn(self.output_key, expr.otherwise(names[-1]))
+
+
+@OPERATOR_REGISTRY.register()
 class DomainMixtureSampler(Operator):
     """Downsample per-domain so the output matches target mixture
     weights — the corpus-mixing step of a training-data pipeline

@@ -201,6 +201,83 @@ class NgramRepetitionEvaluator(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class GopherRepetitionEvaluator(Operator):
+    """Gopher-style within-doc repetition scores (Rae et al. 2021 §A1.1),
+    three columns per row:
+
+      - ``dup_segment_frac``: fraction of ``segment_words``-word windows
+        that are within-doc duplicates (the line-level rule, adapted to
+        corpora without line structure);
+      - ``top_ngram_char_frac``: characters covered by the single most
+        repeated word n-gram (count x gram length) over total n-gram
+        characters — ties resolved by maximal character coverage;
+      - ``dup_ngram_char_frac``: characters covered by all n-grams
+        occurring more than once, over total n-gram characters.
+
+    Words are lowercased whitespace tokens (same convention as
+    :class:`NgramRepetitionEvaluator`); a doc shorter than ``n`` words
+    contributes its whole word sequence as one gram; empty docs score 0.
+    One Arrow-batched pandas_udf computes all three in a single pass
+    (the HOF-lambda Column form is CodegenFallback and re-evaluates the
+    gram array per score — measured slower, same rationale as
+    NgramRepetitionEvaluator).
+    """
+
+    def __init__(self, input_key: str = "text", n: int = 2,
+                 segment_words: int = 10):
+        if n <= 0 or segment_words <= 0:
+            raise ValueError("n and segment_words must be positive")
+        self.input_key, self.n, self.segment_words = input_key, n, segment_words
+        self.input_keys = (input_key,)
+        self.output_keys = ("dup_segment_frac", "top_ngram_char_frac",
+                            "dup_ngram_char_frac")
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        import re
+        from collections import Counter
+
+        from pyspark.sql.functions import pandas_udf
+
+        n, k = self.n, self.segment_words
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def one(text):
+            if text is None:
+                return (None, None, None)
+            w = [x for x in ws_re.split(text.lower()) if x]
+            if not w:
+                return (0.0, 0.0, 0.0)
+            segs = [" ".join(w[i * k:(i + 1) * k])
+                    for i in range((len(w) + k - 1) // k)]
+            dup_seg = 1.0 - len(set(segs)) / len(segs)
+            if len(w) >= n:
+                grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            else:
+                grams = [" ".join(w)]
+            cnt = Counter(grams)
+            cover = {g: c * len(g) for g, c in cnt.items()}
+            total = sum(cover.values())
+            if total == 0:
+                return (dup_seg, 0.0, 0.0)
+            top = max(cover.values()) / total
+            dup = sum(v for g, v in cover.items() if cnt[g] > 1) / total
+            return (dup_seg, top, dup)
+
+        @pandas_udf("dup_segment_frac double, top_ngram_char_frac double, "
+                    "dup_ngram_char_frac double")
+        def rep(s: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                s.map(one).tolist(),
+                columns=["dup_segment_frac", "top_ngram_char_frac",
+                         "dup_ngram_char_frac"], index=s.index)
+
+        out = df.withColumn("_rep", rep(F.col(self.input_key)))
+        for c in self.output_keys:
+            out = out.withColumn(c, F.col("_rep").getField(c))
+        return out.drop("_rep")
+
+
+@OPERATOR_REGISTRY.register()
 class LanguageFilter(Operator):
     """Keep rows whose predicted language is in ``allowed_languages``.
 
