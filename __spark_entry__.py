@@ -1071,6 +1071,20 @@ def q_pipeline_corpus_curation(spark, sf_dir):
     return out.select("doc_id", "source", "split")
 
 
+@q("x_percentile_filter", """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.7) FROM documents)
+""")
+def x_percentile_filter(spark, sf_dir):
+    """Corpus-percentile selection: keep docs at/above the exact 70th
+    percentile of n_chars (the 'keep the best 30%' curation step; one
+    single-column aggregate broadcast back, predicate stays columnar)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PercentileThresholdFilter",
+                      {"score_key": "n_chars", "q": 0.7})
+    return op.run(docs).select("doc_id", "n_chars")
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

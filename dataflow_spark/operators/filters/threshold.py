@@ -54,6 +54,43 @@ class _EvaluatorThresholdFilter(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class PercentileThresholdFilter(Operator):
+    """Keep rows by their score's CORPUS percentile rather than an
+    absolute band: ``keep='top'`` with ``q=0.7`` keeps rows scoring at
+    or above the exact 70th percentile ("keep the best 30%") — the
+    data-dependent selection step of a curation pipeline, where absolute
+    score scales drift between corpora but quantile targets don't.
+
+    Scale: the threshold is one exact ``percentile`` aggregate over the
+    score column alone (column-pruned scan, sort-based single-column
+    agg), broadcast back via a 1-row cross join; the filter itself stays
+    a pure Column predicate. ``approx=True`` swaps in
+    ``approx_percentile`` (t-digest, no global sort) for the 100 TB
+    path where an exact quantile is an unnecessary luxury.
+    """
+
+    def __init__(self, score_key: str, q: float = 0.7, keep: str = "top",
+                 approx: bool = False, accuracy: int = 10_000):
+        if not 0.0 < q < 1.0:
+            raise ValueError("q must be in (0, 1)")
+        if keep not in ("top", "bottom"):
+            raise ValueError("keep must be 'top' or 'bottom'")
+        self.score_key, self.q, self.keep = score_key, q, keep
+        self.approx, self.accuracy = approx, accuracy
+        self.input_keys = (score_key,)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        fn = (f"approx_percentile({self.score_key}, {self.q}, {self.accuracy})"
+              if self.approx else f"percentile({self.score_key}, {self.q})")
+        th = df.select(F.expr(fn).cast("double").alias("_pth"))
+        out = df.crossJoin(F.broadcast(th))
+        pred = (F.col(self.score_key) >= F.col("_pth") if self.keep == "top"
+                else F.col(self.score_key) <= F.col("_pth"))
+        return out.filter(pred).drop("_pth")
+
+
+@OPERATOR_REGISTRY.register()
 class NgramFilter(_EvaluatorThresholdFilter):
     """Keep text whose n-gram uniqueness ratio is in range — higher
     score = less repetition (general_text/filter/ngram_filter.py:45)."""
