@@ -1085,6 +1085,29 @@ def x_percentile_filter(spark, sf_dir):
     return op.run(docs).select("doc_id", "n_chars")
 
 
+@q("s_centroid_sim", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT label, i, avg(v[i]) AS m
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY label, i),
+c AS (SELECT label, list(m ORDER BY i) AS cent FROM d GROUP BY label)
+SELECT vec_id, label,
+       round(list_dot_product(v, cent)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(cent, cent))), 4) AS centroid_sim
+FROM e JOIN c USING (label)
+""")
+def s_centroid_sim(spark, sf_dir):
+    """Per-label centroid cosine similarity (embedding-space outlier
+    signal): centroids from one (label, dim) aggregate broadcast back;
+    cosine stays columnar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("CentroidSimilarityEvaluator", {"group_key": "label"})
+    out = op.run(emb)
+    return out.select("vec_id", "label",
+                      F.round("centroid_sim", 4).alias("centroid_sim"))
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

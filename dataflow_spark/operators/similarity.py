@@ -76,6 +76,50 @@ class BruteForceKNN(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class CentroidSimilarityEvaluator(Operator):
+    """Add each row's cosine similarity to its group's embedding
+    centroid (``group_key=None`` uses one global centroid) — the
+    embedding-space outlier signal of a curation pipeline: rows far from
+    their domain centroid are mislabeled/noise candidates. Compose with
+    ``PercentileThresholdFilter(score_key='centroid_sim',
+    keep='bottom')`` to select or drop the tail.
+
+    Scale: centroids come from one posexplode + (group, dim) avg — the
+    aggregate result is |groups| x dim rows, reassembled into arrays and
+    broadcast back; no driver collect, corpus shuffles only its exploded
+    dims once. Cosine stays a Column expression.
+    """
+
+    def __init__(self, embedding_key: str = "embedding",
+                 group_key: str | None = None,
+                 output_key: str = "centroid_sim"):
+        self.embedding_key, self.group_key = embedding_key, group_key
+        self.output_key = output_key
+        self.input_keys = ((embedding_key, group_key) if group_key
+                           else (embedding_key,))
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        emb = V.to_double_array(F.col(self.embedding_key))
+        grp = [self.group_key] if self.group_key else []
+        dims = df.select(*grp, F.posexplode(emb).alias("_i", "_v"))
+        cent = (
+            dims.groupBy(*grp, "_i").agg(F.avg("_v").alias("_m"))
+            .groupBy(*grp)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                lambda s: s.getField("_m")).alias("_centroid"))
+        )
+        joined = (df.join(F.broadcast(cent), on=grp) if grp
+                  else df.crossJoin(F.broadcast(cent)))
+        return (
+            joined.withColumn(self.output_key,
+                              V.cosine(emb, F.col("_centroid")))
+            .drop("_centroid")
+        )
+
+
+@OPERATOR_REGISTRY.register()
 class IVFKNN(Operator):
     """IVF (inverted-file) ANN: KMeans-partition the corpus, search only
     the ``n_probe`` nearest cells per query.

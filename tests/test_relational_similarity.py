@@ -204,3 +204,33 @@ def test_task2vec_order2_matches_renyi2_definition(spark):
     expected = -np.log((p ** 2).sum())
     assert out["n"] == 30
     assert abs(out["task2vec_diversity"] - expected) < 1e-3
+
+
+class TestCentroidSimilarity:
+    def test_group_centroid(self, spark):
+        from dataflow_spark.core.registry import get_operator
+
+        rows = [
+            (1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "a"),
+            (3, [2.0, 2.0], "b"), (4, [4.0, 4.0], "b"),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        op = get_operator("CentroidSimilarityEvaluator",
+                          {"group_key": "label"})
+        out = {r["vec_id"]: r["centroid_sim"] for r in op.run(df).collect()}
+        # group a centroid = [.5,.5]: both members at 45 degrees
+        assert abs(out[1] - 0.7071067811865475) < 1e-9
+        assert abs(out[2] - 0.7071067811865475) < 1e-9
+        # group b members are collinear with their centroid
+        assert abs(out[3] - 1.0) < 1e-9
+        assert abs(out[4] - 1.0) < 1e-9
+
+    def test_global_centroid_and_schema(self, spark):
+        from dataflow_spark.core.registry import get_operator
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"])
+        out = get_operator("CentroidSimilarityEvaluator", {}).run(df)
+        assert set(out.columns) == {"vec_id", "embedding", "centroid_sim"}
+        assert all(abs(r["centroid_sim"] - 1.0) < 1e-9
+                   for r in out.collect())
