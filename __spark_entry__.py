@@ -1108,6 +1108,69 @@ def s_centroid_sim(spark, sf_dir):
                       F.round("centroid_sim", 4).alias("centroid_sim"))
 
 
+@q("t_tfidf_keywords", f"""
+WITH toks AS (SELECT doc_id, unnest({LW('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ((SELECT n FROM n) + 1.0) / (dfq.df + 1.0) AS score
+      FROM tf JOIN dfq USING (term)),
+r AS (SELECT doc_id, term,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM s),
+k AS (SELECT doc_id, list(term ORDER BY rn) AS keywords
+      FROM r WHERE rn <= 5 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.keywords, []) AS keywords
+FROM documents d LEFT JOIN k USING (doc_id)
+""")
+def t_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc (linear smoothed idf (N+1)/(df+1)
+    so the ranking is bit-identical across engines; ties break by
+    term)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("TfIdfKeywordsEvaluator", {"k": 5})
+    return op.run(docs).select("doc_id", "keywords")
+
+
+@q("e_unigram_kl", f"""
+WITH p AS (SELECT unnest({LW('text')}) AS term FROM documents WHERE lang = 'en'),
+q AS (SELECT unnest({LW('text')}) AS term FROM documents WHERE lang = 'de'),
+cpt AS (SELECT term, count(*) AS c FROM p GROUP BY term),
+cqt AS (SELECT term, count(*) AS c FROM q GROUP BY term),
+j AS (SELECT coalesce(cpt.c, 0) AS cp, coalesce(cqt.c, 0) AS cq
+      FROM cpt FULL OUTER JOIN cqt USING (term)),
+t AS (SELECT sum(cp)::DOUBLE AS tp, sum(cq)::DOUBLE AS tq,
+             count(*)::DOUBLE AS v FROM j)
+SELECT round(sum(((cp + 0.5) / (tp + 0.5 * v))
+             * ln(((cp + 0.5) / (tp + 0.5 * v))
+                  / ((cq + 0.5) / (tq + 0.5 * v)))), 6) AS kl_divergence
+FROM j, t
+""")
+def e_unigram_kl(spark, sf_dir):
+    """Domain-shift monitor: add-0.5-smoothed KL divergence between the
+    unigram word distributions of the English and German slices."""
+    docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    de = docs.filter(F.col("lang") == "de")
+    op = get_operator("UnigramKLDivergenceEvaluator", {})
+    return op.run(en, other=de).select(
+        F.round("kl_divergence", 6).alias("kl_divergence"))
+
+
+@q("r_truncate_words", f"""
+SELECT doc_id, array_to_string(({W('text')})[1:64], ' ') AS text
+FROM documents
+""")
+def r_truncate_words(spark, sf_dir):
+    """Deterministic 64-word cap per doc (whitespace-normalized) — the
+    length guard before token-budget packing."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("TruncateWordsRefiner", {"max_words": 64})
+    return op.run(docs).select("doc_id", "text")
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

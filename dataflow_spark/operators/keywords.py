@@ -1,0 +1,160 @@
+"""Corpus-statistics text operators: TF-IDF keywords, distribution
+divergence, token truncation.
+
+Training-corpus analysis/curation primitives beyond the reference's
+per-row scorers (its evaluators never aggregate corpus-wide term
+statistics; SURVEY.md §2.6-2.7):
+
+  - ``TfIdfKeywordsEvaluator`` — top-k salient terms per document from
+    corpus-wide document frequencies.
+  - ``UnigramKLDivergenceEvaluator`` — KL(P||Q) between the word
+    distributions of two frames (domain-shift / mixture-drift monitor).
+  - ``TruncateWordsRefiner`` — deterministic length cap for token-budget
+    pipelines.
+
+All three are pure DataFrame compositions (explode + aggregate + join)
+— no Python boundary, no driver collect except the 1-row divergence
+result the caller materializes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator, RefineOperator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions import text as T
+
+
+@OPERATOR_REGISTRY.register()
+class TfIdfKeywordsEvaluator(Operator):
+    """Add ``keywords``: the top-k terms per doc by tf x (N+1)/(df+1).
+
+    The idf factor is the LINEAR smoothed ratio, not its logarithm:
+    ranking is monotone-identical per term-frequency class, and integer
+    ratios keep the score bit-identical across engines (log would hang
+    the ordering on libm's last ulp — the oracle contract would be
+    flaky). Ties break by term asc.
+
+    Scale: one explode + (doc, term) count, one term-level df aggregate
+    (vocabulary-sized, broadcast back), one top-k window per doc, one
+    join back to the input — every stage shuffles on a uniform key.
+    """
+
+    def __init__(self, input_key: str = "text", id_key: str = "doc_id",
+                 k: int = 5, lowercase: bool = True,
+                 output_key: str = "keywords"):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.input_key, self.id_key, self.k = input_key, id_key, k
+        self.lowercase, self.output_key = lowercase, output_key
+        self.input_keys = (input_key, id_key)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = T.words(F.col(self.input_key))
+        if self.lowercase:
+            w = F.transform(w, lambda x: F.lower(x))
+        toks = df.select(self.id_key, F.explode(w).alias("_term"))
+        tf = toks.groupBy(self.id_key, "_term").agg(
+            F.count(F.lit(1)).alias("_tf"))
+        dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+        n_docs = df.select(
+            F.count(F.lit(1)).cast("double").alias("_n"))
+        scored = (
+            tf.join(F.broadcast(dfreq), "_term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("_score",
+                        F.col("_tf") * (F.col("_n") + 1.0)
+                        / (F.col("_df") + 1.0))
+        )
+        win = Window.partitionBy(self.id_key).orderBy(
+            F.col("_score").desc(), F.col("_term").asc())
+        top = (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= self.k)
+            .groupBy(self.id_key)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "_term"))),
+                lambda s: s.getField("_term")).alias(self.output_key))
+        )
+        return (
+            df.join(top, self.id_key, "left")
+            .withColumn(self.output_key,
+                        F.coalesce(F.col(self.output_key),
+                                   F.array().cast("array<string>")))
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class UnigramKLDivergenceEvaluator(Operator):
+    """1-row result: smoothed KL(P||Q) between the unigram word
+    distributions of ``df`` (P) and ``other`` (Q) — the standard
+    domain-shift / mixture-drift check between two corpus slices.
+
+    Add-alpha smoothing over the JOINT vocabulary keeps Q(w) > 0:
+    p_w = (c_p + a) / (C_p + a|V|). Pure aggregate plan: two word-count
+    aggregations, one full outer join on the term, one sum.
+    """
+
+    def __init__(self, input_key: str = "text", alpha: float = 0.5,
+                 lowercase: bool = True, output_key: str = "kl_divergence"):
+        if alpha <= 0:
+            raise ValueError("alpha must be positive")
+        self.input_key, self.alpha = input_key, alpha
+        self.lowercase, self.output_key = lowercase, output_key
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def _counts(self, df: DataFrame, name: str) -> DataFrame:
+        w = T.words(F.col(self.input_key))
+        if self.lowercase:
+            w = F.transform(w, lambda x: F.lower(x))
+        return (df.select(F.explode(w).alias("_term"))
+                .groupBy("_term").agg(F.count(F.lit(1)).alias(name)))
+
+    def run(self, df: DataFrame, other: DataFrame | None = None,
+            **kw: Any) -> DataFrame:
+        if other is None:
+            raise ValueError("UnigramKLDivergenceEvaluator needs other=")
+        a = float(self.alpha)
+        joint = (
+            self._counts(df, "_cp")
+            .join(self._counts(other, "_cq"), "_term", "full_outer")
+            .select(F.coalesce("_cp", F.lit(0)).alias("_cp"),
+                    F.coalesce("_cq", F.lit(0)).alias("_cq"))
+        )
+        tot = joint.select(
+            F.sum("_cp").cast("double").alias("_tp"),
+            F.sum("_cq").cast("double").alias("_tq"),
+            F.count(F.lit(1)).cast("double").alias("_v"))
+        return (
+            joint.crossJoin(F.broadcast(tot))
+            .select(
+                (((F.col("_cp") + a) / (F.col("_tp") + a * F.col("_v")))
+                 * F.log(((F.col("_cp") + a) / (F.col("_tp") + a * F.col("_v")))
+                         / ((F.col("_cq") + a) / (F.col("_tq") + a * F.col("_v"))))
+                 ).alias("_kl_term"))
+            .agg(F.sum("_kl_term").alias(self.output_key))
+        )
+
+
+@OPERATOR_REGISTRY.register()
+class TruncateWordsRefiner(RefineOperator):
+    """Cap each doc at its first ``max_words`` whitespace words
+    (whitespace-normalized output) — the deterministic length guard
+    before token-budget packing."""
+
+    def __init__(self, input_key: str = "text", max_words: int = 512):
+        if max_words <= 0:
+            raise ValueError("max_words must be positive")
+        super().__init__(input_key)
+        self.max_words = max_words
+
+    def refine_expr(self, col):
+        return F.concat_ws(" ", F.slice(T.words(col), 1, self.max_words))
