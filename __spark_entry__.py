@@ -1171,6 +1171,58 @@ def r_truncate_words(spark, sf_dir):
     return op.run(docs).select("doc_id", "text")
 
 
+@q("q_rolling_features", """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 4) AS rolling_sum,
+       round(avg(value) OVER w, 4) AS rolling_avg,
+       count(*) OVER w AS rolling_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def q_rolling_features(spark, sf_dir):
+    """Trailing 1-hour per-user rolling features (sum/avg/count of
+    value): RANGE window over unix seconds — one shuffle on user_id,
+    sliding frame within partitions."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("RollingAggregateOperator", {"window_seconds": 3600})
+    out = op.run(ev)
+    return out.select(
+        "event_id", "user_id",
+        F.round("rolling_sum", 4).alias("rolling_sum"),
+        F.round("rolling_avg", 4).alias("rolling_avg"),
+        "rolling_count")
+
+
+@q("q_funnel", """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'click', (SELECT count(*) FROM s3)
+UNION ALL
+SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+""")
+def q_funnel(spark, sf_dir):
+    """Ordered-step funnel signup -> view -> click -> purchase: users
+    completing each prefix, each step strictly after the previous one's
+    first completion (min-time forward pass, co-partitioned joins)."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("FunnelAnalysisOperator", {
+        "steps": ["signup", "view", "click", "purchase"]})
+    return op.run(ev)
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

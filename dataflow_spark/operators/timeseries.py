@@ -219,3 +219,102 @@ class HypertableRollup(Operator):
         return (exploded
                 .groupBy("granularity", "bucket_start", *self.group_keys)
                 .agg(*aggs))
+
+
+@OPERATOR_REGISTRY.register()
+class RollingAggregateOperator(Operator):
+    """Per-key trailing-time-window features: sum/avg/count of
+    ``value_key`` over the last ``window_seconds`` (inclusive) at each
+    event — the moving-average/rate feature-engineering verb.
+
+    A RANGE window over unix seconds, partitioned by the key: one
+    shuffle on the key, then a sorted sliding frame within each
+    partition — linear work however long the history, no self-join.
+    Sub-second precision is truncated to whole seconds (unix_timestamp)
+    so window membership is engine-independent.
+    """
+
+    AGGS = ("sum", "avg", "count")
+
+    def __init__(self, ts_key: str = "ts", key: str = "user_id",
+                 value_key: str = "value", window_seconds: int = 3600,
+                 aggs: Sequence[str] = ("sum", "avg", "count"),
+                 output_prefix: str = "rolling_"):
+        if window_seconds <= 0:
+            raise ValueError("window_seconds must be positive")
+        bad = set(aggs) - set(self.AGGS)
+        if bad:
+            raise ValueError(f"unsupported aggs {sorted(bad)}; "
+                             f"choose from {self.AGGS}")
+        self.ts_key, self.key, self.value_key = ts_key, key, value_key
+        self.window_seconds, self.aggs = window_seconds, list(aggs)
+        self.output_prefix = output_prefix
+        self.input_keys = (ts_key, key, value_key)
+        self.output_keys = tuple(f"{output_prefix}{a}" for a in self.aggs)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        w = (Window.partitionBy(self.key)
+             .orderBy(F.unix_timestamp(F.col(self.ts_key)))
+             .rangeBetween(-self.window_seconds, 0))
+        v = F.col(self.value_key)
+        exprs = {"sum": F.sum(v), "avg": F.avg(v),
+                 "count": F.count(F.lit(1))}
+        out = df
+        for a in self.aggs:
+            out = out.withColumn(f"{self.output_prefix}{a}",
+                                 exprs[a].over(w))
+        return out
+
+
+@OPERATOR_REGISTRY.register()
+class FunnelAnalysisOperator(Operator):
+    """Ordered-step funnel over an event log: how many users complete
+    each prefix of ``steps`` (each step strictly after the previous
+    one's first completion; optionally within ``within_seconds``).
+
+    Output: one row per step — (step int, step_name, n_users).
+
+    Scale: step i is ``filter(type == step_i)`` joined to step i-1's
+    per-user first-completion times — K tiny aggregates co-partitioned
+    on the user key, never a sequence self-join. The classic min-time
+    forward pass: first(step_i) = min ts of step_i events after
+    first(step_{i-1}).
+    """
+
+    def __init__(self, steps: Sequence[str], user_key: str = "user_id",
+                 ts_key: str = "ts", type_key: str = "event_type",
+                 within_seconds: int | None = None):
+        if len(steps) < 2:
+            raise ValueError("a funnel needs at least two steps")
+        self.steps = list(steps)
+        self.user_key, self.ts_key, self.type_key = user_key, ts_key, type_key
+        self.within_seconds = within_seconds
+        self.input_keys = (user_key, ts_key, type_key)
+        self.output_keys = ("step", "step_name", "n_users")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        u, t, ty = self.user_key, self.ts_key, self.type_key
+        ts_sec = F.unix_timestamp(F.col(t))
+        prev = (df.filter(F.col(ty) == self.steps[0])
+                .groupBy(u).agg(F.min(ts_sec).alias("_t")))
+        levels = [prev]
+        for step in self.steps[1:]:
+            ev = df.filter(F.col(ty) == step).select(
+                u, ts_sec.alias("_ts"))
+            cond = F.col("_ts") > F.col("_t")
+            if self.within_seconds is not None:
+                cond = cond & (F.col("_ts") <= F.col("_t") + self.within_seconds)
+            prev = (ev.join(levels[-1].select(u, "_t"), u)
+                    .filter(cond)
+                    .groupBy(u).agg(F.min("_ts").alias("_t")))
+            levels.append(prev)
+        counts = None
+        for i, lv in enumerate(levels):
+            # global agg (not groupBy): an empty level still yields its
+            # 0-count row, so the funnel always has len(steps) rows
+            c = lv.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(self.steps[i]).alias("step_name"),
+                "n_users")
+            counts = c if counts is None else counts.unionByName(c)
+        return counts

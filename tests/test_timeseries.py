@@ -176,3 +176,89 @@ def test_registry_names():
 
     for n in ("AsofJoinOperator", "RangeJoinOperator", "HypertableRollup"):
         assert OPERATOR_REGISTRY.get(n) is not None
+
+
+class TestRollingAggregate:
+    def test_trailing_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.core.registry import get_operator
+
+        rows = [  # user 1: events at t=0, 1800, 3600, 7300
+            (1, 1, "1970-01-01 00:00:00", 1.0),
+            (2, 1, "1970-01-01 00:30:00", 2.0),
+            (3, 1, "1970-01-01 01:00:00", 4.0),
+            (4, 1, "1970-01-01 02:01:40", 8.0),
+            (5, 2, "1970-01-01 00:00:00", 100.0),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"]) \
+            .withColumn("ts", F.to_timestamp("ts"))
+        op = get_operator("RollingAggregateOperator", {"window_seconds": 3600})
+        out = {r["event_id"]: r for r in op.run(df).collect()}
+        assert out[1]["rolling_sum"] == 1.0 and out[1]["rolling_count"] == 1
+        assert out[2]["rolling_sum"] == 3.0
+        # t=3600 window [0, 3600] inclusive: all three events
+        assert out[3]["rolling_sum"] == 7.0 and out[3]["rolling_count"] == 3
+        # t=7300 window [3700, 7300]: only itself
+        assert out[4]["rolling_sum"] == 8.0 and out[4]["rolling_count"] == 1
+        # other users never leak in
+        assert out[5]["rolling_sum"] == 100.0
+
+    def test_validation(self):
+        import pytest
+
+        from dataflow_spark.core.registry import get_operator
+
+        with pytest.raises(ValueError):
+            get_operator("RollingAggregateOperator", {"window_seconds": 0})
+        with pytest.raises(ValueError):
+            get_operator("RollingAggregateOperator", {"aggs": ["median"]})
+
+
+class TestFunnel:
+    def test_ordered_steps(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.core.registry import get_operator
+
+        rows = [
+            # user 1 completes a->b->c in order
+            (1, "a", 10), (1, "b", 20), (1, "c", 30),
+            # user 2 does b before a: reaches step a only
+            (2, "b", 5), (2, "a", 10),
+            # user 3 completes a->b but c precedes b
+            (3, "a", 1), (3, "c", 2), (3, "b", 3),
+            # user 4 never signs up
+            (4, "b", 1), (4, "c", 2),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_type", "sec"]) \
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        op = get_operator("FunnelAnalysisOperator",
+                          {"steps": ["a", "b", "c"]})
+        out = {r["step_name"]: r["n_users"] for r in op.run(df).collect()}
+        assert out == {"a": 3, "b": 2, "c": 1}
+
+    def test_within_seconds(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.core.registry import get_operator
+
+        rows = [(1, "a", 0), (1, "b", 5000),  # too late for 1h limit
+                (2, "a", 0), (2, "b", 1000)]
+        df = spark.createDataFrame(rows, ["user_id", "event_type", "sec"]) \
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        op = get_operator("FunnelAnalysisOperator",
+                          {"steps": ["a", "b"], "within_seconds": 3600})
+        out = {r["step_name"]: r["n_users"] for r in op.run(df).collect()}
+        assert out == {"a": 2, "b": 1}
+
+    def test_empty_level_yields_zero_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.core.registry import get_operator
+
+        df = spark.createDataFrame([(1, "a", 1)], ["user_id", "event_type", "sec"]) \
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        op = get_operator("FunnelAnalysisOperator", {"steps": ["a", "zz"]})
+        out = {r["step_name"]: r["n_users"] for r in op.run(df).collect()}
+        assert out == {"a": 1, "zz": 0}
