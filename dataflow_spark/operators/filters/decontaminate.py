@@ -19,36 +19,73 @@ Scale design (100 TB corpus vs MB-scale benchmark):
     anti-join's build side holds just the contaminated ids, which AQE
     turns into a broadcast join when (as is typical) contamination is
     rare.
-  - ``hash_impl='fast'`` joins on xxhash64(gram) (JVM, codegen'd);
-    ``'md5'`` joins on md5 hex — bit-identical in Spark, Python, and
-    external SQL engines, the oracle contract used by the driver
-    correctness gate.
+  - ``hash_impl='fast'`` joins on xxhash64(gram) (JVM, codegen'd —
+    narrow shuffle keys); ``'md5'``/``'raw'`` join on the raw gram
+    string — the engine-neutral oracle contract the driver correctness
+    gate replays in SQL (set-equivalent to hashing first, minus the
+    hash compute).
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
-from dataflow_spark.functions import hashing as H
 
 
-def _gram_hashes(col: Column, n: int, hash_impl: str) -> Column:
-    """array of hashed distinct non-empty word n-grams of ``col``.
+def _grams_udf(n: int):
+    """Vectorized word-n-gram generator: text -> sorted array<string> of
+    distinct non-empty grams.
 
-    Shingling mirrors ``hashing.word_shingles``: texts shorter than
-    ``n`` words contribute their whole word sequence as one gram, so a
-    verbatim short benchmark answer still matches a verbatim copy.
+    Shingling mirrors ``hashing.word_shingles`` (ASCII ``\\s+`` split,
+    empties dropped; texts shorter than ``n`` words contribute their
+    whole word sequence as one gram, so a verbatim short benchmark
+    answer still matches a verbatim copy). Arrow-batched pandas_udf
+    rather than the Column HOF form: the higher-order-function lambda
+    tree is CodegenFallback in Spark (interpreted per gram) — measured
+    ~8x slower at sf0.1.
     """
-    g = F.array_distinct(H.word_shingles(col, n))
-    g = F.filter(g, lambda s: s != "")
-    if hash_impl == "md5":
-        return F.transform(g, lambda s: F.md5(s))
-    return F.transform(g, lambda s: F.xxhash64(s))
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def one(t):
+        if not t:
+            return []
+        w = [x for x in ws_re.split(t) if x]
+        if not w:
+            return []
+        if len(w) < n:
+            return [" ".join(w)]
+        return sorted(set(" ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
+
+    @pandas_udf("array<string>")
+    def grams(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return grams
+
+
+def _join_key(hash_impl: str) -> Column:
+    """Candidate-join key over the exploded gram column ``_g``.
+
+    ``'fast'`` narrows the shuffle to xxhash64(gram) (JVM, codegen'd);
+    ``'md5'``/``'raw'`` join on the gram string itself — set-equivalent
+    to joining on any injective-in-practice hash of it, and exactly the
+    engine-neutral contract an external SQL oracle replays (hashing
+    first would only add compute).
+    """
+    if hash_impl == "fast":
+        return F.xxhash64(F.col("_g"))
+    return F.col("_g")
 
 
 @OPERATOR_REGISTRY.register()
@@ -74,10 +111,12 @@ class ContaminationScoreEvaluator(Operator):
         self.output_keys = ("matched_ngrams", "total_ngrams", "overlap_frac")
 
     def _bench_grams(self, benchmark: DataFrame) -> DataFrame:
-        bg = benchmark.select(
-            F.explode(_gram_hashes(F.col(self.bench_key), self.n,
-                                   self.hash_impl)).alias("_g")
-        ).distinct()
+        bg = (
+            benchmark.select(
+                F.explode(_grams_udf(self.n)(F.col(self.bench_key))).alias("_g"))
+            .select(_join_key(self.hash_impl).alias("_k"))
+            .distinct()
+        )
         return F.broadcast(bg) if self.broadcast_benchmark else bg
 
     def run(self, df: DataFrame, benchmark: DataFrame | None = None,
@@ -86,10 +125,11 @@ class ContaminationScoreEvaluator(Operator):
             raise ValueError("ContaminationScoreEvaluator needs benchmark=")
         bg = self._bench_grams(benchmark)
         docs = df.withColumn(
-            "_grams", _gram_hashes(F.col(self.input_key), self.n, self.hash_impl))
+            "_grams", _grams_udf(self.n)(F.col(self.input_key)))
         matched = (
             docs.select(self.id_key, F.explode("_grams").alias("_g"))
-            .join(bg, "_g")
+            .select(self.id_key, _join_key(self.hash_impl).alias("_k"))
+            .join(bg, "_k")
             .groupBy(self.id_key)
             .agg(F.count(F.lit(1)).alias("matched_ngrams"))
         )
@@ -144,9 +184,9 @@ class BenchmarkDecontaminationFilter(Operator):
             bad = (
                 df.select(
                     s.id_key,
-                    F.explode(_gram_hashes(F.col(s.input_key), s.n,
-                                           s.hash_impl)).alias("_g"))
-                .join(bg, "_g", "left_semi")
+                    F.explode(_grams_udf(s.n)(F.col(s.input_key))).alias("_g"))
+                .select(s.id_key, _join_key(s.hash_impl).alias("_k"))
+                .join(bg, "_k", "left_semi")
                 .select(s.id_key)
                 .distinct()
             )

@@ -128,3 +128,36 @@ class TestIncrementalDedup:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             get_operator("IncrementalHashDedupFilter", {}).run(df)
+
+
+class TestNullSafety:
+    def test_null_text_rows_survive(self, spark):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        df = spark.createDataFrame([(1, "alpha beta gamma delta"),
+                                    (2, None)], schema)
+        bench = spark.createDataFrame([("nothing shared here at all",)],
+                                      ["text"])
+        scored = get_operator("ContaminationScoreEvaluator",
+                              {"n": 3}).run(df, benchmark=bench)
+        out = {r["doc_id"]: r for r in scored.collect()}
+        assert out[2]["total_ngrams"] == 0
+        assert out[2]["overlap_frac"] == 0.0
+        kept = get_operator("BenchmarkDecontaminationFilter",
+                            {"n": 3}).run(df, benchmark=bench)
+        assert kept.count() == 2
+
+    def test_segment_dedup_null_text(self, spark):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        df = spark.createDataFrame([(1, "keep me"), (2, None)], schema)
+        out = {r["doc_id"]: r["text"]
+               for r in get_operator("CorpusSegmentDedup",
+                                     {"mode": "lines"}).run(df).collect()}
+        assert out == {1: "keep me", 2: ""}
