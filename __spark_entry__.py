@@ -1223,6 +1223,23 @@ def q_funnel(spark, sf_dir):
     return op.run(ev)
 
 
+@q("q_zscore_outliers", """
+WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT event_id, event_type, round((value - mu) / sd, 4) AS z_score
+FROM events JOIN s USING (event_type)
+WHERE sd > 0 AND abs((value - mu) / sd) > 2
+""")
+def q_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 2): one tiny (group, mean,
+    std) aggregate broadcast back, score and predicate stay columnar."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("GroupZScoreEvaluator", {"group_key": "event_type"})
+    out = op.run(ev).filter(F.abs(F.col("z_score")) > 2)
+    return out.select("event_id", "event_type",
+                      F.round("z_score", 4).alias("z_score"))
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

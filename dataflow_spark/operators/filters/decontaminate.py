@@ -28,6 +28,7 @@ Scale design (100 TB corpus vs MB-scale benchmark):
 
 from __future__ import annotations
 
+import re as _re
 from typing import Any
 
 import pandas as pd
@@ -39,37 +40,38 @@ from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 
 
-def _grams_udf(n: int):
-    """Vectorized word-n-gram generator: text -> sorted array<string> of
-    distinct non-empty grams.
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
 
-    Shingling mirrors ``hashing.word_shingles`` (ASCII ``\\s+`` split,
+
+def word_ngrams(text: str | None, n: int) -> list[str]:
+    """Single-row gram kernel (module-level so properties are testable
+    without a SparkSession): sorted distinct non-empty word n-grams.
+
+    Mirrors ``hashing.word_shingles`` semantics: ASCII ``\\s+`` split,
     empties dropped; texts shorter than ``n`` words contribute their
     whole word sequence as one gram, so a verbatim short benchmark
-    answer still matches a verbatim copy). Arrow-batched pandas_udf
-    rather than the Column HOF form: the higher-order-function lambda
-    tree is CodegenFallback in Spark (interpreted per gram) — measured
-    ~8x slower at sf0.1.
+    answer still matches a verbatim copy.
     """
-    import re
+    if not text:
+        return []
+    w = [x for x in _WS_RE.split(text) if x]
+    if not w:
+        return []
+    if len(w) < n:
+        return [" ".join(w)]
+    return sorted(set(" ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
 
+
+def _grams_udf(n: int):
+    """Vectorized ``word_ngrams``: Arrow-batched pandas_udf rather than
+    the Column HOF form — the higher-order-function lambda tree is
+    CodegenFallback in Spark (interpreted per gram), measured ~8x
+    slower at sf0.1."""
     from pyspark.sql.functions import pandas_udf
-
-    ws_re = re.compile(r"\s+", re.ASCII)
-
-    def one(t):
-        if not t:
-            return []
-        w = [x for x in ws_re.split(t) if x]
-        if not w:
-            return []
-        if len(w) < n:
-            return [" ".join(w)]
-        return sorted(set(" ".join(w[i:i + n]) for i in range(len(w) - n + 1)))
 
     @pandas_udf("array<string>")
     def grams(s: pd.Series) -> pd.Series:
-        return s.map(one)
+        return s.map(lambda t: word_ngrams(t, n))
 
     return grams
 

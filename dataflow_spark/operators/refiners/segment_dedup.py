@@ -35,28 +35,31 @@ from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 
 
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def word_segments(text: str | None, k: int) -> list[str]:
+    """Single-row segment kernel (module-level so properties are
+    testable without a SparkSession): ordered consecutive
+    non-overlapping k-word windows (last may be shorter); empty/null
+    text -> empty list. ASCII ``\\s+`` split, empties dropped (mirror
+    of functions/text.words)."""
+    if not text:
+        return []
+    w = [x for x in _WS_RE.split(text) if x]
+    return [" ".join(w[i * k:(i + 1) * k])
+            for i in range((len(w) + k - 1) // k)]
+
+
 def word_windows_udf(k: int):
-    """Vectorized segmenter: text -> ordered array<string> of
-    consecutive non-overlapping k-word windows (last may be shorter);
-    empty/null text -> empty array. ASCII ``\\s+`` split, empties
-    dropped (mirror of functions/text.words). Arrow-batched pandas_udf
-    — the Column HOF form (sequence + slice + concat_ws per window) is
-    CodegenFallback-interpreted, measured ~8x slower at sf0.1.
-    """
+    """Vectorized ``word_segments``: Arrow-batched pandas_udf — the
+    Column HOF form (sequence + slice + concat_ws per window) is
+    CodegenFallback-interpreted, measured ~8x slower at sf0.1."""
     from pyspark.sql.functions import pandas_udf
-
-    ws_re = _re.compile(r"\s+", _re.ASCII)
-
-    def one(t):
-        if not t:
-            return []
-        w = [x for x in ws_re.split(t) if x]
-        return [" ".join(w[i * k:(i + 1) * k])
-                for i in range((len(w) + k - 1) // k)]
 
     @pandas_udf("array<string>")
     def windows(s: pd.Series) -> pd.Series:
-        return s.map(one)
+        return s.map(lambda t: word_segments(t, k))
 
     return windows
 

@@ -122,3 +122,35 @@ class AggregateOperator(Operator):
         else:
             g = df.groupBy(*self.group_by)
         return g.agg(*self.aggs)
+
+
+@OPERATOR_REGISTRY.register()
+class GroupZScoreEvaluator(Operator):
+    """Add ``z_score``: the value's deviation from its group mean in
+    group sample-stddev units (``group_key=None`` normalizes against
+    the whole frame) — the per-domain numeric-outlier signal; compose
+    with a filter on |z| or with PercentileThresholdFilter.
+
+    One tiny (group, mean, std) aggregate broadcast back; the score is
+    a pure Column expression. Groups with zero/undefined stddev (single
+    row or constant values) get null, never a division blow-up.
+    """
+
+    def __init__(self, value_key: str = "value",
+                 group_key: str | None = None,
+                 output_key: str = "z_score"):
+        self.value_key, self.group_key = value_key, group_key
+        self.output_key = output_key
+        self.input_keys = ((value_key, group_key) if group_key
+                           else (value_key,))
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        grp = [self.group_key] if self.group_key else []
+        v = F.col(self.value_key).cast("double")
+        stats = df.groupBy(*grp).agg(
+            F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd"))
+        joined = (df.join(F.broadcast(stats), on=grp) if grp
+                  else df.crossJoin(F.broadcast(stats)))
+        z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))
+        return joined.withColumn(self.output_key, z).drop("_mu", "_sd")

@@ -234,3 +234,27 @@ class TestCentroidSimilarity:
         assert set(out.columns) == {"vec_id", "embedding", "centroid_sim"}
         assert all(abs(r["centroid_sim"] - 1.0) < 1e-9
                    for r in out.collect())
+
+
+class TestGroupZScore:
+    def test_group_normalization(self, spark):
+        from dataflow_spark.core.registry import get_operator
+
+        rows = [(1, "a", 0.0), (2, "a", 10.0),
+                (3, "b", 100.0), (4, "b", 100.0)]
+        df = spark.createDataFrame(rows, ["id", "grp", "value"])
+        op = get_operator("GroupZScoreEvaluator", {"group_key": "grp"})
+        out = {r["id"]: r["z_score"] for r in op.run(df).collect()}
+        # group a: mean 5, sample std ~7.071 -> z = -/+ 0.7071
+        assert abs(out[1] + 0.7071067811865475) < 1e-9
+        assert abs(out[2] - 0.7071067811865475) < 1e-9
+        # constant group: std 0 -> null, no division blow-up
+        assert out[3] is None and out[4] is None
+
+    def test_global_mode(self, spark):
+        from dataflow_spark.core.registry import get_operator
+
+        df = spark.createDataFrame([(1, 0.0), (2, 2.0)], ["id", "value"])
+        out = {r["id"]: r["z_score"]
+               for r in get_operator("GroupZScoreEvaluator", {}).run(df).collect()}
+        assert abs(out[1] + 0.7071067811865475) < 1e-9
