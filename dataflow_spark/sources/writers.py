@@ -64,3 +64,34 @@ def write_xlsx(df: DataFrame, path: str, limit: int = 100_000) -> None:
             "write_xlsx requires the optional openpyxl package; "
             "use write_any(..., fmt='parquet'/'csv') instead") from e
     df.limit(limit).toPandas().to_excel(path, index=False)
+
+
+def export_training_corpus(df: DataFrame, path: str,
+                           partition_by: list[str] | None = None,
+                           cluster_by: list[str] | None = None,
+                           mode: str = "overwrite", **options) -> None:
+    """Curated-corpus export layout for the 100 TB read path:
+
+    - directory-partitioned by the low-cardinality routing columns
+      (``partition_by``, e.g. split/source/lang) so downstream jobs
+      prune whole directories at planning time (PartitionFilters);
+    - range-clustered by ``cluster_by`` (e.g. the doc id) inside each
+      partition: repartitionByRange + sortWithinPartitions gives every
+      written file a tight, non-overlapping min/max on the cluster key,
+      so parquet row-group statistics skip non-matching ranges on
+      point/range lookups.
+
+    One range shuffle total; the write itself is parallel per task.
+    """
+    from pyspark.sql import functions as F
+
+    partition_by = list(partition_by or [])
+    cluster_by = list(cluster_by or [])
+    out = df
+    keys = [F.col(c) for c in (partition_by + cluster_by)]
+    if keys:
+        out = out.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).parquet(path)

@@ -52,3 +52,43 @@ def test_xlsx_write_gated(spark, tmp_path):
     else:
         write_xlsx(df, str(tmp_path / "x.xlsx"))
         assert (tmp_path / "x.xlsx").exists()
+
+
+def test_export_training_corpus_prunes_and_clusters(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.core.registry import get_operator
+    from dataflow_spark.sources.writers import export_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labeled = get_operator("SplitAssignOperator", {}).run(docs)
+    out = str(tmp_path / "corpus")
+    export_training_corpus(labeled, out, partition_by=["split"],
+                           cluster_by=["doc_id"])
+
+    # directory partitioning exists
+    assert glob.glob(f"{out}/split=train/*.parquet")
+
+    # planning-time partition pruning: only the train directory is read
+    back = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+
+    # range clustering: per partition dir, file-level doc_id min/max
+    # ranges never overlap (row-group stats can skip)
+    for d in glob.glob(f"{out}/split=*"):
+        ranges = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            if t:
+                ranges.append((min(t), max(t)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
+
+    # nothing lost in the export
+    assert spark.read.parquet(out).count() == docs.count()
