@@ -1531,7 +1531,15 @@ def d_ngram_hash(spark, sf_dir):
 
 # shared tail: banded(id, band, h) -> star edges -> verified pairs ->
 # recursive-CTE connected components -> survivors (min id per component)
-def _cc_survivor_sql(verify_join: str, all_ids: str, id_col: str) -> str:
+def _cc_survivor_sql(verify_join: str, all_ids: str, id_col: str,
+                     assign: bool = False) -> str:
+    final = (
+        f"""SELECT t.{id_col}, coalesce(c.component, t.{id_col}) AS cluster_id
+FROM ({all_ids}) t LEFT JOIN comp c ON t.{id_col} = c.id"""
+        if assign else
+        f"""SELECT t.{id_col} FROM ({all_ids}) t LEFT JOIN comp c ON t.{id_col} = c.id
+WHERE coalesce(c.component, t.{id_col}) = t.{id_col}"""
+    )
     return f"""
 buckets AS (SELECT band, h, list_sort(list(_id)) AS ids
             FROM banded GROUP BY band, h HAVING count(*) > 1),
@@ -1545,14 +1553,13 @@ reach AS (SELECT DISTINCT u AS id, u AS lbl FROM sym
           UNION
           SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id),
 comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
-SELECT t.{id_col} FROM ({all_ids}) t LEFT JOIN comp c ON t.{id_col} = c.id
-WHERE coalesce(c.component, t.{id_col}) = t.{id_col}
+{final}
 """
 
 
 def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 4,
                         shingle_n: int = 5, threshold: float = 0.9,
-                        seed: int = 42) -> str:
+                        seed: int = 42, assign: bool = False) -> str:
     from dataflow_spark.functions.hashing import MERSENNE_P, _perm_params
 
     rows = num_perm // num_bands
@@ -1586,7 +1593,7 @@ sig AS (SELECT doc_id, CASE WHEN hs IS NULL THEN {zeros} ELSE
 banded AS (SELECT doc_id AS _id, b.band,
              array_to_string(s[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS h
            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
-{_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id")}"""
+{_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id", assign)}"""
 
 
 def _simhash_oracle_sql(num_bands: int = 4, shingle_n: int = 4,
@@ -1690,6 +1697,18 @@ q("d_simhash", _simhash_oracle_sql())(lambda spark, sf_dir: get_operator(
     "SimHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id",
                                  "hash_impl": "md5"}
 ).run(_t(spark, sf_dir, "documents")).select("doc_id"))
+
+
+@q("d_minhash_clusters", _minhash_oracle_sql(assign=True))
+def d_minhash_clusters(spark, sf_dir):
+    """Near-dup cluster ASSIGNMENT (exploration mode): every doc labeled
+    with its MinHash-LSH component's min doc_id; singletons label
+    themselves. Same banding/verify/components machinery as
+    d_minhash_lsh — survivors are exactly cluster_id == doc_id."""
+    op = get_operator("MinHashDeduplicateFilter", {
+        "input_key": "text", "order_key": "doc_id", "hash_impl": "md5",
+        "assign_key": "cluster_id"})
+    return op.run(_t(spark, sf_dir, "documents")).select("doc_id", "cluster_id")
 
 q("d_semantic", _semantic_oracle_sql())(lambda spark, sf_dir: get_operator(
     "SemDeduplicateFilter", {"embedding_key": "embedding", "order_key": "vec_id",

@@ -290,6 +290,10 @@ class _NearDupBase(_BaseDedup):
     pair_expansion = "star"
     #: in 'all' mode, buckets above this size fall back to chain edges
     max_bucket_size = 1000
+    #: set (e.g. "cluster_id") to RETURN cluster assignments for every
+    #: row instead of filtering to survivors — corpus exploration mode;
+    #: survivors are exactly the rows where assign column == order id
+    assign_key: str | None = None
 
     @staticmethod
     def _collapse_exact(sigs: DataFrame, key: Column) -> tuple[DataFrame, DataFrame]:
@@ -383,9 +387,17 @@ class _NearDupBase(_BaseDedup):
         # propagation), so "first occurrence" == rows whose own id equals
         # their component label; unclustered rows (left-join miss) stay.
         out = df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+        cluster = F.coalesce(F.col("component"), F.col("_nd_id"))
+        if getattr(self, "assign_key", None):
+            # assignment mode: keep every row, expose its cluster label
+            # (= min order-id of its near-dup component; singletons get
+            # their own id) instead of filtering
+            return self._finish(
+                out.withColumn(self.assign_key, cluster)
+                .drop("component", "_nd_id"),
+                order_col)
         return self._finish(
-            out.filter(F.coalesce(F.col("component"), F.col("_nd_id"))
-                       == F.col("_nd_id"))
+            out.filter(cluster == F.col("_nd_id"))
             .drop("component", "_nd_id"),
             order_col)
 
@@ -406,9 +418,11 @@ class MinHashDeduplicateFilter(_NearDupBase):
     def __init__(self, input_key: str = "text", threshold: float = 0.9,
                  num_perm: int = 64, num_bands: int = 4, shingle_n: int = 5,
                  order_key: str | None = None, verify_jaccard: bool = True,
-                 pair_expansion: str = "star", hash_impl: str = "fast"):
+                 pair_expansion: str = "star", hash_impl: str = "fast",
+                 assign_key: str | None = None):
         super().__init__(input_key, order_key)
         self.pair_expansion = pair_expansion
+        self.assign_key = assign_key
         self.threshold = threshold
         self.num_perm = num_perm
         self.num_bands = num_bands
@@ -483,9 +497,11 @@ class SimHashDeduplicateFilter(_NearDupBase):
 
     def __init__(self, input_key: str = "text", max_hamming: int = 3,
                  shingle_n: int = 4, order_key: str | None = None,
-                 pair_expansion: str = "star", hash_impl: str = "fast"):
+                 pair_expansion: str = "star", hash_impl: str = "fast",
+                 assign_key: str | None = None):
         super().__init__(input_key, order_key)
         self.pair_expansion = pair_expansion
+        self.assign_key = assign_key
         self.max_hamming = max_hamming
         self.shingle_n = shingle_n
         #: 'fast' = splitmix64 rolling hash; 'md5' = md5-based 60-bit
@@ -538,9 +554,10 @@ class SemDeduplicateFilter(_NearDupBase):
     def __init__(self, embedding_key: str = "embedding", eps: float = 0.05,
                  num_planes: int = 16, num_bands: int = 4, dim: int | None = None,
                  order_key: str | None = None, seed: int = 42,
-                 pair_expansion: str = "star"):
+                 pair_expansion: str = "star", assign_key: str | None = None):
         super().__init__(embedding_key, order_key)
         self.pair_expansion = pair_expansion
+        self.assign_key = assign_key
         self.eps = eps
         self.num_planes = num_planes
         self.num_bands = num_bands

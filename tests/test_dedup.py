@@ -216,3 +216,31 @@ def test_sem_dedup_degenerate_mass_duplicates(spark):
                         "eps": 0.01}).run(df)
     ids = sorted(r["id"] for r in out.collect())
     assert ids == [0, 3000]
+
+
+class TestClusterAssignment:
+    def test_assign_mode_consistent_with_filter_mode(self, spark):
+        from dataflow_spark.core.registry import get_operator
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base + "tail one"),
+            (2, base + "tail two"),     # near-dup of 1
+            (3, "a completely different document about spark " * 10),
+            (4, base + "tail one"),     # exact dup of 1
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        common = {"input_key": "text", "order_key": "doc_id",
+                  "threshold": 0.7}
+        assigned = get_operator("MinHashDeduplicateFilter",
+                                {**common, "assign_key": "cluster_id"}).run(df)
+        out = {r["doc_id"]: r["cluster_id"] for r in assigned.collect()}
+        # all rows kept, near/exact dups share doc 1's cluster
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1] == out[2] == out[4] == 1
+        assert out[3] == 3
+        # survivors of filter mode == rows whose cluster_id == doc_id
+        kept = sorted(r["doc_id"] for r in
+                      get_operator("MinHashDeduplicateFilter", common)
+                      .run(df).collect())
+        assert kept == sorted(d for d, c in out.items() if d == c)
