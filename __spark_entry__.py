@@ -1240,6 +1240,27 @@ def q_zscore_outliers(spark, sf_dir):
                       F.round("z_score", 4).alias("z_score"))
 
 
+@q("q_cohort_retention", """
+WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+           FROM events),
+f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       (date_diff('day', f.cohort, w.wk) // 7)::BIGINT AS period_offset,
+       count(*) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY 1, 2
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    distinct active users counted at each week offset (distinct
+    user-weeks collapse BEFORE the co-partitioned join)."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("CohortRetentionOperator", {"granularity": "week"})
+    out = op.run(ev)
+    return out.select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+                      "period_offset", "n_users")
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

@@ -318,3 +318,47 @@ class FunnelAnalysisOperator(Operator):
                 "n_users")
             counts = c if counts is None else counts.unionByName(c)
         return counts
+
+
+@OPERATOR_REGISTRY.register()
+class CohortRetentionOperator(Operator):
+    """Cohort retention over an event log: group users by their
+    first-activity period (week/month/day), then count distinct active
+    users at each period offset — one row per (cohort, offset).
+
+    Scale: distinct (user, period) pairs -> per-user min (the cohort)
+    -> co-partitioned join back on the user key -> one aggregate on
+    (cohort, offset). Never a sequence self-join; the distinct collapse
+    happens before the join so the shuffle carries user-periods, not
+    raw events.
+    """
+
+    PERIOD_DAYS = {"week": 7, "day": 1}
+
+    def __init__(self, user_key: str = "user_id", ts_key: str = "ts",
+                 granularity: str = "week"):
+        if granularity not in self.PERIOD_DAYS:
+            raise ValueError("granularity must be 'week' or 'day'")
+        self.user_key, self.ts_key = user_key, ts_key
+        self.granularity = granularity
+        self.input_keys = (user_key, ts_key)
+        self.output_keys = ("cohort", "period_offset", "n_users")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        u = self.user_key
+        days = self.PERIOD_DAYS[self.granularity]
+        periods = (
+            df.select(u, F.date_trunc(self.granularity, F.col(self.ts_key))
+                      .cast("date").alias("_p"))
+            .distinct()
+        )
+        first = periods.groupBy(u).agg(F.min("_p").alias("_cohort"))
+        return (
+            periods.join(first, u)
+            .groupBy(
+                F.col("_cohort").alias("cohort"),
+                (F.floor(F.datediff(F.col("_p"), F.col("_cohort"))
+                         / F.lit(days)).cast("long")
+                 .alias("period_offset")))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )

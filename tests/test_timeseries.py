@@ -262,3 +262,36 @@ class TestFunnel:
         op = get_operator("FunnelAnalysisOperator", {"steps": ["a", "zz"]})
         out = {r["step_name"]: r["n_users"] for r in op.run(df).collect()}
         assert out == {"a": 1, "zz": 0}
+
+
+class TestCohortRetention:
+    def test_weekly_cohorts(self, spark):
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.core.registry import get_operator
+
+        # two Mondays a week apart: 2024-01-01 and 2024-01-08
+        rows = [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-08 10:00:00"),
+            (1, "2024-01-08 11:00:00"),  # same user-week, collapses
+            (2, "2024-01-01 12:00:00"),
+            (3, "2024-01-08 09:00:00"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"]) \
+            .withColumn("ts", F.to_timestamp("ts"))
+        op = get_operator("CohortRetentionOperator", {})
+        out = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+               for r in op.run(df).collect()}
+        assert out == {
+            ("2024-01-01", 0): 2,   # users 1, 2 start week 1
+            ("2024-01-01", 1): 1,   # user 1 returns week 2
+            ("2024-01-08", 0): 1,   # user 3 starts week 2
+        }
+
+    def test_validation(self):
+        import pytest
+
+        from dataflow_spark.core.registry import get_operator
+
+        with pytest.raises(ValueError):
+            get_operator("CohortRetentionOperator", {"granularity": "month"})
