@@ -101,3 +101,19 @@ def test_general_filter(spark):
     op = get_operator("GeneralFilter",
                       {"predicates": [F.col("status") == "valid", "score >= 0.5"]})
     assert [r["id"] for r in op.run(df).collect()] == [1]
+
+
+def test_quality_score_udf_matches_expression_path(spark, docs):
+    from dataflow_spark.core.registry import get_operator
+
+    tricky = spark.createDataFrame(
+        [(9001, "ends with bang!"), (9002, "tab end!\t"), (9003, "nl end!\n"),
+         (9004, "  spaced.  "), (9005, ""), (9006, "THE the And ??"),
+         (9007, " nbsp the end."), (9008, "word " * 150)],
+        ["doc_id", "text"])
+    both = docs.select("doc_id", "text").unionByName(tricky)
+    fast = get_operator("QualityScoreEvaluator", {}).run(both)
+    expr = get_operator("QualityScoreEvaluator", {"use_expr": True}).run(both)
+    a = {r["doc_id"]: r["quality_score"] for r in fast.collect()}
+    b = {r["doc_id"]: r["quality_score"] for r in expr.collect()}
+    assert a == b  # bit-identical, not approx
