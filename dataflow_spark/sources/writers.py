@@ -95,3 +95,41 @@ def export_training_corpus(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).parquet(path)
+
+
+def compact_parquet(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                    cluster_by: list[str] | None = None) -> int:
+    """Compact a small-file parquet directory in place: read, coalesce
+    to ceil(total_bytes / target_file_bytes) outputs (optionally
+    re-clustered on ``cluster_by``), atomically swap directories.
+    Returns the new file count.
+
+    The small-file problem is the canonical 100 TB table-maintenance
+    task: a streaming/incremental writer leaves thousands of KB-sized
+    files whose per-file open/footer cost dominates scans. Compaction
+    restores ~target-sized files; with ``cluster_by`` it also restores
+    range clustering (parquet min/max skipping) in the same pass.
+    """
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path) for f in fs
+                if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in cluster_by]) \
+                .sortWithinPartitions(*cluster_by)
+    else:
+        out = df.coalesce(n_files)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(1 for r, _, fs in os.walk(path)
+               for f in fs if f.endswith(".parquet"))
