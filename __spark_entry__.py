@@ -1261,6 +1261,42 @@ def q_cohort_retention(spark, sf_dir):
                       "period_offset", "n_users")
 
 
+@q("q_table_profile", """
+WITH n AS (SELECT count(*) AS n_rows FROM documents)
+SELECT p.* FROM n, LATERAL (
+  SELECT 'doc_id' AS "column", n.n_rows,
+         round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) * 1.0 / n.n_rows, 6) AS null_frac,
+         count(DISTINCT doc_id::VARCHAR) AS n_distinct,
+         min(doc_id::VARCHAR) AS min_value, max(doc_id::VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', n.n_rows,
+         round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) * 1.0 / n.n_rows, 6),
+         count(DISTINCT lang), min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', n.n_rows,
+         round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) * 1.0 / n.n_rows, 6),
+         count(DISTINCT source), min(source), max(source)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', n.n_rows,
+         round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 1.0 / n.n_rows, 6),
+         count(DISTINCT n_chars::VARCHAR),
+         min(n_chars::VARCHAR), max(n_chars::VARCHAR)
+  FROM documents
+) p
+""")
+def q_table_profile(spark, sf_dir):
+    """Deequ/ANALYZE-style per-column profile (null fraction, exact
+    distinct count, min/max as strings) computed in ONE aggregate pass
+    then unpivoted."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("TableProfileOperator",
+                      {"columns": ["doc_id", "lang", "source", "n_chars"]})
+    return op.run(docs)
+
+
 @q("q_sliding_counts", """
 WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
 w AS (SELECT time_bucket(INTERVAL 15 minutes, ts)

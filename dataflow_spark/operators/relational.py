@@ -154,3 +154,51 @@ class GroupZScoreEvaluator(Operator):
                   else df.crossJoin(F.broadcast(stats)))
         z = F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd"))
         return joined.withColumn(self.output_key, z).drop("_mu", "_sd")
+
+
+@OPERATOR_REGISTRY.register()
+class TableProfileOperator(Operator):
+    """Data-quality profile: one row per column with row count, null
+    fraction, exact distinct count, and min/max rendered as strings —
+    the ANALYZE/Deequ-style health check run before a corpus ships.
+
+    Single pass: every statistic is one aggregate expression in ONE
+    groupBy-less agg (partial aggregation map-side), then the 1-row
+    result is unpivoted driver-side (|columns| rows, no data shuffle
+    beyond the agg itself).
+    """
+
+    def __init__(self, columns: Sequence[str] | None = None):
+        self.columns = list(columns) if columns else None
+        self.input_keys = tuple(self.columns or ())
+        self.output_keys = ("column", "n_rows", "null_frac", "n_distinct",
+                            "min_value", "max_value")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        cols = self.columns or df.columns
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            col = F.col(c)
+            # orderable rendering for any type (arrays/structs included)
+            s = col.cast("string")
+            aggs += [
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
+                F.count_distinct(s).alias(f"_nd_{c}"),
+                F.min(s).alias(f"_min_{c}"),
+                F.max(s).alias(f"_max_{c}"),
+            ]
+        row = df.agg(*aggs)
+        stack = F.expr("stack({}, {})".format(
+            len(cols),
+            ", ".join(
+                f"'{c}', _null_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols)
+        )).alias("column", "_nulls", "n_distinct", "min_value", "max_value")
+        return (
+            row.select(F.col("_n").alias("n_rows"), stack)
+            .select(
+                "column", "n_rows",
+                F.when(F.col("n_rows") > 0,
+                       F.round(F.col("_nulls") / F.col("n_rows"), 6))
+                .otherwise(F.lit(0.0)).alias("null_frac"),
+                "n_distinct", "min_value", "max_value")
+        )

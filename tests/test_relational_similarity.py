@@ -258,3 +258,24 @@ class TestGroupZScore:
         out = {r["id"]: r["z_score"]
                for r in get_operator("GroupZScoreEvaluator", {}).run(df).collect()}
         assert abs(out[1] + 0.7071067811865475) < 1e-9
+
+
+class TestTableProfile:
+    def test_profile(self, spark):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        from dataflow_spark.core.registry import get_operator
+
+        schema = StructType([StructField("id", LongType()),
+                             StructField("s", StringType())])
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (4, "b")], schema)
+        out = {r["column"]: r for r in
+               get_operator("TableProfileOperator", {}).run(df).collect()}
+        assert out["id"]["n_rows"] == 4
+        assert out["id"]["null_frac"] == 0.0
+        assert out["id"]["n_distinct"] == 4
+        assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
+        assert out["s"]["null_frac"] == 0.25
+        assert out["s"]["n_distinct"] == 2  # nulls not counted
