@@ -106,6 +106,7 @@ def main() -> None:
             "q_sessionize", "d_exact_hash", "d_minhash_lsh", "d_simhash",
             "s_knn_lsh", "t_quality_score", "q_pipeline_training_prep",
             "x_decontaminate", "r_segment_dedup", "q_pipeline_corpus_curation",
+            "q_rolling_features", "q_cohort_retention",
         ]
         s_timings: dict[str, object] = {}
         for name in scale_queries:

@@ -125,3 +125,26 @@ class TestSplitAssign:
     def test_validation(self):
         with pytest.raises(ValueError):
             get_operator("SplitAssignOperator", {"splits": {"only": 1.0}})
+
+
+class TestDegenerateCorpus:
+    def test_all_identical_docs(self, spark):
+        # 500 byte-identical docs: every segment is a corpus-wide dup;
+        # keep-first leaves exactly one doc's text intact
+        rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(500)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        op = get_operator("CorpusSegmentDedup",
+                          {"mode": "words", "segment_words": 3})
+        out = {r["doc_id"]: r["text"] for r in op.run(df).collect()}
+        assert len(out) == 500
+        assert out[0] == "alpha beta gamma delta epsilon zeta"
+        assert all(t == "" for d, t in out.items() if d != 0)
+
+    def test_idempotent(self, spark):
+        rows = [(1, "shared line\nown a"), (2, "shared line\nown b")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        op = get_operator("CorpusSegmentDedup", {"mode": "lines"})
+        once = op.run(df)
+        twice = op.run(once)
+        assert sorted((r["doc_id"], r["text"]) for r in once.collect()) == \
+               sorted((r["doc_id"], r["text"]) for r in twice.collect())
