@@ -4752,6 +4752,86 @@ FROM k
 _register_pipeline_queries()
 
 
+@q("q_expectations", """
+SELECT * FROM (
+SELECT 'row_count' AS "check", '*' AS "column",
+       round(count(*)::DOUBLE, 6) AS metric,
+       'count in [1, None]' AS expected,
+       (count(*) >= 1)::INT AS passed
+FROM documents
+UNION ALL
+SELECT 'not_null', 'text',
+       round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6),
+       'null_frac <= 0.0',
+       (avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0)::INT
+FROM documents
+UNION ALL
+SELECT 'unique', 'doc_id',
+       round((count(doc_id) - count(DISTINCT doc_id))::DOUBLE, 6),
+       'violations == 0',
+       (count(doc_id) - count(DISTINCT doc_id) <= 0)::INT
+FROM documents
+UNION ALL
+SELECT 'min', 'n_chars', round(min(n_chars)::DOUBLE, 6),
+       'min >= 1', (min(n_chars) >= 1)::INT
+FROM documents
+UNION ALL
+SELECT 'accepted_values', 'lang',
+       round(sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en','de','fr','es','zh')
+                      THEN 1 ELSE 0 END)::DOUBLE, 6),
+       'violations == 0',
+       (sum(CASE WHEN lang IS NOT NULL
+                  AND lang NOT IN ('en','de','fr','es','zh')
+                 THEN 1 ELSE 0 END) <= 0)::INT
+FROM documents
+UNION ALL
+SELECT 'matches_regex', 'source',
+       round(sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]+$')
+                      THEN 1 ELSE 0 END)::DOUBLE, 6),
+       'violations == 0',
+       (sum(CASE WHEN source IS NOT NULL
+                  AND NOT regexp_matches(source, '^src[0-9]+$')
+                 THEN 1 ELSE 0 END) <= 0)::INT
+FROM documents
+UNION ALL
+SELECT 'ref_integrity', 'o_custkey',
+       round((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))::DOUBLE, 6),
+       'violations == 0',
+       ((SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) <= 0)::INT
+)
+""")
+def q_expectations(spark, sf_dir):
+    """Deequ-style expectation suite: 6 column checks in ONE scan of
+    documents (single-row agg -> inline unpivot) + a broadcast anti-join
+    referential check orders->customer. The whole contract costs two
+    table scans regardless of how many checks are declared."""
+    docs = _t(spark, sf_dir, "documents")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = get_operator("ExpectationSuiteOperator", {"checks": [
+        {"check": "row_count", "at_least": 1},
+        {"check": "not_null", "column": "text"},
+        {"check": "unique", "column": "doc_id"},
+        {"check": "min", "column": "n_chars", "at_least": 1},
+        {"check": "accepted_values", "column": "lang",
+         "values": ["en", "de", "fr", "es", "zh"]},
+        {"check": "matches_regex", "column": "source",
+         "pattern": "^src[0-9]+$"},
+    ]})
+    fk = get_operator("ExpectationSuiteOperator", {"checks": [
+        {"check": "ref_integrity", "column": "o_custkey",
+         "ref": "customer", "ref_column": "c_custkey"},
+    ]})
+    return suite.run(docs).unionAll(
+        fk.run(orders, refs={"customer": customer}))
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier

@@ -1,0 +1,73 @@
+"""ExpectationSuiteOperator: declarative data-quality checks."""
+
+import pytest
+
+from dataflow_spark.core.registry import get_operator
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha", "en", 5), (2, None, "en", 7), (2, "gamma", "xx", -1)],
+        ["doc_id", "text", "lang", "n_chars"])
+    orders = spark.createDataFrame([(10, 1), (11, 2), (12, 99)],
+                                   ["o_orderkey", "o_custkey"])
+    customer = spark.createDataFrame([(1,), (2,)], ["c_custkey"])
+    return docs, orders, customer
+
+
+def _by_check(rows):
+    return {(r["check"], r["column"]): r for r in rows}
+
+
+def test_failing_and_passing_checks(frames):
+    docs, _, _ = frames
+    op = get_operator("ExpectationSuiteOperator", {"checks": [
+        {"check": "row_count", "at_least": 1, "at_most": 10},
+        {"check": "not_null", "column": "text"},
+        {"check": "not_null", "column": "text", "max_null_frac": 0.5},
+        {"check": "unique", "column": "doc_id"},
+        {"check": "min", "column": "n_chars", "at_least": 0},
+        {"check": "accepted_values", "column": "lang", "values": ["en"]},
+        {"check": "matches_regex", "column": "lang", "pattern": "^[a-w]+$"},
+    ]})
+    rows = op.run(docs).collect()
+    got = _by_check(rows)
+    assert got[("row_count", "*")]["passed"] == 1
+    assert got[("row_count", "*")]["metric"] == 3.0
+    # 1/3 rows null: strict not_null fails, 0.5-tolerance passes
+    strict, lax = [r for r in rows if r["check"] == "not_null"]
+    assert {strict["passed"], lax["passed"]} == {0, 1}
+    assert got[("unique", "doc_id")]["metric"] == 1.0
+    assert got[("unique", "doc_id")]["passed"] == 0
+    assert got[("min", "n_chars")]["passed"] == 0  # min is -1
+    assert got[("accepted_values", "lang")]["metric"] == 1.0  # one 'xx'
+    assert got[("matches_regex", "lang")]["metric"] == 1.0  # 'xx' has x
+    assert len(rows) == 7
+
+
+def test_ref_integrity(frames):
+    docs, orders, customer = frames
+    op = get_operator("ExpectationSuiteOperator", {"checks": [
+        {"check": "ref_integrity", "column": "o_custkey",
+         "ref": "customer", "ref_column": "c_custkey"},
+    ]})
+    [row] = op.run(orders, refs={"customer": customer}).collect()
+    assert row["metric"] == 1.0 and row["passed"] == 0  # custkey 99 orphan
+    with pytest.raises(KeyError):
+        op.run(orders).collect()
+
+
+def test_single_scan_plan(frames):
+    """All column checks compile into one aggregate over one scan."""
+    docs, _, _ = frames
+    op = get_operator("ExpectationSuiteOperator", {"checks": [
+        {"check": "row_count", "at_least": 1},
+        {"check": "not_null", "column": "text"},
+        {"check": "min", "column": "n_chars", "at_least": 0},
+        {"check": "accepted_values", "column": "lang", "values": ["en"]},
+    ]})
+    plan = op.run(docs)._jdf.queryExecution().optimizedPlan().toString()
+    # no distinct agg in this suite -> a single Aggregate node, no join
+    assert plan.count("Aggregate") == 1
+    assert "Join" not in plan
