@@ -4832,6 +4832,49 @@ def q_expectations(spark, sf_dir):
         fk.run(orders, refs={"customer": customer}))
 
 
+_BM25_QUERIES = ["hash join merge", "window sort order", "slow query filter"]
+_BM25_PAIRS = sorted({(qs, t) for qs in _BM25_QUERIES
+                      for t in qs.strip().lower().split()})
+_BM25_VALUES = ", ".join(f"('{qs}', '{t}')" for qs, t in _BM25_PAIRS)
+
+
+@q("q_bm25_topk", f"""
+WITH d AS (SELECT doc_id, {LW('text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+qt AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS v(query, term)),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM d),
+stats AS (SELECT count(*)::DOUBLE AS n,
+                 sum(len(toks))::DOUBLE / count(*) AS avgdl FROM d),
+scored AS (
+  SELECT qt.query, tf.doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               6) AS score
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY 1, 2)
+SELECT query, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+""")
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval for 3 fixed queries: query-term broadcast
+    prunes the corpus BEFORE any term statistics are computed, so the
+    vocabulary is never materialized; ranking on rounded score + doc_id
+    is engine-deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("BM25RetrievalOperator", {
+        "queries": _BM25_QUERIES, "top_k": 10})
+    return op.run(docs)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier

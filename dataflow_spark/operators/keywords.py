@@ -158,3 +158,94 @@ class TruncateWordsRefiner(RefineOperator):
 
     def refine_expr(self, col):
         return F.concat_ws(" ", F.slice(T.words(col), 1, self.max_words))
+
+
+@OPERATOR_REGISTRY.register()
+class BM25RetrievalOperator(Operator):
+    """Top-k BM25 document retrieval for a fixed set of query strings.
+
+    The classic text-search primitive the reference lacks (its RAG ops
+    delegate retrieval to an external vector store). Fully distributed:
+
+      idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+      score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    over the DISTINCT terms of each query (query-side tf is ignored —
+    standard for short queries). N is the total doc count and avgdl the
+    mean token count over ALL docs (empty docs count with length 0).
+
+    Shuffle plan (the 100 TB story): one explode -> (doc, term) count
+    (map-side combined); the probe side is the tiny query-term table,
+    broadcast BEFORE the df/idf lookup so document-frequency stats are
+    only computed for terms some query mentions — the corpus vocabulary
+    is never materialized. Then one shuffle on doc id to attach doc
+    length, one aggregation on (query, doc), and a per-query top-k
+    window. Ranking is on the ROUNDED score + doc id so the order (and
+    the oracle contract) is engine-deterministic.
+    """
+
+    def __init__(self, queries: list[str], input_key: str = "text",
+                 id_key: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                 top_k: int = 10, round_digits: int = 6):
+        if not queries:
+            raise ValueError("BM25RetrievalOperator needs >= 1 query")
+        if top_k <= 0:
+            raise ValueError("top_k must be positive")
+        self.queries = list(queries)
+        self.input_key, self.id_key = input_key, id_key
+        self.k1, self.b, self.top_k = float(k1), float(b), int(top_k)
+        self.round_digits = round_digits
+        self.input_keys = (input_key, id_key)
+        self.output_keys = ("query", id_key, "score", "rank")
+
+    @staticmethod
+    def tokenize(q: str) -> list[str]:
+        import re
+
+        return [t for t in re.split(r"\s+", q.strip().lower()) if t]
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        pairs = sorted({(q, t) for q in self.queries
+                        for t in self.tokenize(q)})
+        qdf = spark.createDataFrame(pairs, ["query", "_term"])
+
+        w = F.transform(T.words(F.col(self.input_key)),
+                        lambda x: F.lower(x))
+        toks = df.select(F.col(self.id_key).alias("_id"),
+                         F.explode(w).alias("_term"))
+        # prune to query terms FIRST: everything downstream is tiny
+        toks = toks.join(F.broadcast(qdf.select("_term").distinct()), "_term")
+        tf = toks.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+        dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+
+        dl = df.select(F.col(self.id_key).alias("_id"),
+                       F.size(T.words(F.col(self.input_key)))
+                       .cast("double").alias("_dl"))
+        stats = df.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            (F.sum(F.size(T.words(F.col(self.input_key))))
+             / F.count(F.lit(1))).alias("_avgdl"))
+
+        k1, b = F.lit(self.k1), F.lit(self.b)
+        idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5))
+        sat = (F.col("_tf") * (k1 + 1.0)
+               / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl")
+                                       / F.col("_avgdl"))))
+        scored = (
+            tf.join(F.broadcast(qdf), "_term")
+            .join(F.broadcast(dfreq), "_term")
+            .join(dl, "_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query", "_id")
+            .agg(F.round(F.sum(idf * sat), self.round_digits).alias("score"))
+        )
+        win = Window.partitionBy("query").orderBy(
+            F.col("score").desc(), F.col("_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= self.top_k)
+                .select("query", F.col("_id").alias(self.id_key),
+                        "score", "rank"))
