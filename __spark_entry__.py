@@ -4875,6 +4875,28 @@ def q_bm25_topk(spark, sf_dir):
     return op.run(docs)
 
 
+@q("q_global_shuffle", """
+WITH h AS (SELECT doc_id,
+                  md5('shuffle' || doc_id::VARCHAR) AS hx
+           FROM documents),
+s AS (SELECT doc_id, hx,
+             (('0x' || substr(hx, 1, 15))::UBIGINT % 4)::INT AS shard
+      FROM h)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY hx, doc_id) AS pos
+FROM s
+""")
+def q_global_shuffle(spark, sf_dir):
+    """Seeded global shuffle assignment: (shard, pos) are pure functions
+    of (seed, doc_id) — no global sort, one hash shuffle + independent
+    within-shard ranks."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("GlobalShuffleOperator", {
+        "key": "doc_id", "n_shards": 4, "seed": "shuffle"})
+    return op.run(docs).select("doc_id", "shard", "pos")
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier

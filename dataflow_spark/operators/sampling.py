@@ -207,3 +207,47 @@ class DomainMixtureSampler(Operator):
             .filter(b < F.floor(F.col("_rate") * self.buckets))
             .drop("_rate")
         )
+
+
+@OPERATOR_REGISTRY.register()
+class GlobalShuffleOperator(Operator):
+    """Seeded, engine-reproducible global shuffle for training export.
+
+    Training ingestion needs the corpus in pseudo-random order, and the
+    order must be a pure function of (seed, key) — NOT of partition
+    layout — so re-runs, backfills, and other engines agree row for row
+    (``df.orderBy(rand())`` fails all three). Assigns:
+
+      shard = md5(seed||key) bucketed into ``n_shards``
+      pos   = rank of md5(seed||key) hex WITHIN the shard
+
+    Scale: no global sort. One hash shuffle on shard + a within-shard
+    sort (row_number window per shard) — every shard is independent,
+    so the plan is embarrassingly parallel at any corpus size; shard
+    count just tracks the target file count.
+    """
+
+    def __init__(self, key: str = "doc_id", n_shards: int = 8,
+                 seed: str = "shuffle", hash_impl: str = "md5"):
+        if n_shards <= 0:
+            raise ValueError("n_shards must be positive")
+        self.key, self.n_shards = key, int(n_shards)
+        self.seed, self.hash_impl = seed, hash_impl
+        self.input_keys = (key,)
+        self.output_keys = ("shard", "pos")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        s = F.concat(F.lit(self.seed), F.col(self.key).cast("string"))
+        if self.hash_impl == "md5":
+            hx = F.md5(s)
+            shard = F.pmod(
+                F.conv(F.substring(hx, 1, 15), 16, 10).cast("long"),
+                F.lit(self.n_shards))
+        else:
+            hx = F.format_string("%016x", F.xxhash64(s))
+            shard = F.pmod(F.xxhash64(s), F.lit(self.n_shards))
+        out = df.withColumn("_hx", hx).withColumn("shard",
+                                                  shard.cast("int"))
+        win = Window.partitionBy("shard").orderBy(
+            F.col("_hx").asc(), F.col(self.key).asc())
+        return out.withColumn("pos", F.row_number().over(win)).drop("_hx")

@@ -69,6 +69,8 @@ def write_xlsx(df: DataFrame, path: str, limit: int = 100_000) -> None:
 def export_training_corpus(df: DataFrame, path: str,
                            partition_by: list[str] | None = None,
                            cluster_by: list[str] | None = None,
+                           shuffle_seed: str | None = None,
+                           shuffle_key: str = "doc_id",
                            mode: str = "overwrite", **options) -> None:
     """Curated-corpus export layout for the 100 TB read path:
 
@@ -81,6 +83,11 @@ def export_training_corpus(df: DataFrame, path: str,
       so parquet row-group statistics skip non-matching ranges on
       point/range lookups.
 
+    With ``shuffle_seed`` set, the corpus is instead written in seeded
+    pseudo-random order (md5(seed||key) — a pure function of the data,
+    reproducible across runs/engines), the layout training ingestion
+    wants; ``cluster_by`` is ignored in that mode.
+
     One range shuffle total; the write itself is parallel per task.
     """
     from pyspark.sql import functions as F
@@ -88,9 +95,18 @@ def export_training_corpus(df: DataFrame, path: str,
     partition_by = list(partition_by or [])
     cluster_by = list(cluster_by or [])
     out = df
-    keys = [F.col(c) for c in (partition_by + cluster_by)]
-    if keys:
-        out = out.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    if shuffle_seed is not None:
+        hx = F.md5(F.concat(F.lit(shuffle_seed),
+                            F.col(shuffle_key).cast("string")))
+        out = (df.withColumn("_shuf", hx)
+               .repartitionByRange(*[F.col(c) for c in partition_by],
+                                   F.col("_shuf"))
+               .sortWithinPartitions(*(partition_by + ["_shuf"]))
+               .drop("_shuf"))
+    else:
+        keys = [F.col(c) for c in (partition_by + cluster_by)]
+        if keys:
+            out = out.repartitionByRange(*keys).sortWithinPartitions(*keys)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -111,3 +111,58 @@ def test_compact_parquet(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"id": "min"}).collect()[0][0] == 0
+
+
+def test_export_training_corpus_shuffled(spark, tmp_path):
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dataflow_spark.sources.writers import export_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shuffled")
+    export_training_corpus(docs, out, shuffle_seed="s1",
+                           shuffle_key="doc_id")
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert files
+    seen = []
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        seen.extend(ids)
+        # within every file rows follow md5('s1'||doc_id) order exactly
+        hs = [hashlib.md5(f"s1{i}".encode()).hexdigest() for i in ids]
+        assert hs == sorted(hs)
+    # nothing lost, and the physical order is NOT the source order
+    assert sorted(seen) == list(range(len(seen)))
+    assert seen != sorted(seen)
+
+
+def test_global_shuffle_operator(spark):
+    import hashlib
+
+    from dataflow_spark.core.registry import get_operator
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    op = get_operator("GlobalShuffleOperator", {
+        "key": "doc_id", "n_shards": 4, "seed": "s2"})
+    rows = op.run(docs).select("doc_id", "shard", "pos").collect()
+    assert len(rows) == docs.count()
+
+    # shard/pos reproduce the pure-python definition exactly
+    expect = {}
+    for r in rows:
+        hx = hashlib.md5(f"s2{r['doc_id']}".encode()).hexdigest()
+        shard = int(hx[:15], 16) % 4
+        assert r["shard"] == shard
+        expect.setdefault(shard, []).append((hx, r["doc_id"], r["pos"]))
+    for shard, entries in expect.items():
+        entries.sort()
+        for want_pos, (_, _, got_pos) in enumerate(entries, start=1):
+            assert got_pos == want_pos
+
+    # positions within a shard are a contiguous 1..n sequence
+    for shard, entries in expect.items():
+        assert sorted(e[2] for e in entries) == list(range(1, len(entries) + 1))
