@@ -4897,6 +4897,36 @@ def q_global_shuffle(spark, sf_dir):
     return op.run(docs).select("doc_id", "shard", "pos")
 
 
+@q("q_fuzzy_join", """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(text) >= 5
+         THEN list_transform(generate_series(1, len(text) - 4),
+                             i -> substr(text, i, 5))
+         ELSE [text] END) AS s
+  FROM documents),
+l AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+r AS (SELECT * FROM sh WHERE doc_id % 2 = 1)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       round(len(list_intersect(l.s, r.s))::DOUBLE
+             / len(list_distinct(list_concat(l.s, r.s))), 6) AS jaccard
+FROM l, r
+WHERE len(list_intersect(l.s, r.s))::DOUBLE
+      / len(list_distinct(list_concat(l.s, r.s))) >= 0.6
+""")
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-table similarity join (entity resolution): even vs odd
+    doc halves at 5-shingle Jaccard >= 0.6 via PPJoin prefix+positional
+    filtering — exact pair set, no cartesian product (the oracle IS the
+    quadratic nested loop)."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": 0.6, "mode": "char", "shingle_n": 5})
+    return op.run(left, right=right)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
