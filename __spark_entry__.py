@@ -4927,6 +4927,59 @@ def q_fuzzy_join(spark, sf_dir):
     return op.run(left, right=right)
 
 
+def _km_sql(k: int = 4, n_iter: int = 2, dim: int = 64,
+            seed: str = "km") -> str:
+    """Unrolled Lloyd's k-means oracle: n_iter assign+update rounds then
+    a final assignment, mirroring KMeansClusteringOperator exactly
+    (md5 seed draw, cid tie-break, 6-decimal centroid quantization)."""
+    def d2(p, c):
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> ({p}.v[i] - {c}.v[i]) * ({p}.v[i] - {c}.v[i])))")
+
+    parts = [f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5('{seed}' || vec_id::VARCHAR),
+                             vec_id) - 1)::INT AS cid, v
+  FROM pts
+  QUALIFY row_number() OVER (ORDER BY md5('{seed}' || vec_id::VARCHAR),
+                             vec_id) <= {k})"""]
+    for it in range(n_iter):
+        parts.append(f""",
+a{it} AS (
+  SELECT p.vec_id, c.cid
+  FROM pts p, c{it} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                             ORDER BY {d2('p', 'c')}, c.cid) = 1),
+m{it} AS (
+  SELECT a.cid, g.i, round(avg(p.v[g.i]), 6) AS m
+  FROM a{it} a JOIN pts p USING (vec_id)
+  CROSS JOIN generate_series(1, {dim}) g(i)
+  GROUP BY 1, 2),
+c{it + 1} AS (
+  SELECT c.cid, coalesce(l.v, c.v) AS v
+  FROM c{it} c LEFT JOIN (SELECT cid, list(m ORDER BY i) AS v
+                          FROM m{it} GROUP BY cid) l USING (cid))""")
+    parts.append(f"""
+SELECT p.vec_id, c.cid AS cluster
+FROM pts p, c{n_iter} c
+QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {d2('p', 'c')}, c.cid) = 1
+""")
+    return "".join(parts)
+
+
+@q("q_kmeans", _km_sql())
+def q_kmeans(spark, sf_dir):
+    """Full-corpus distributed k-means (k=4, 2 Lloyd iterations):
+    broadcast-centroid argmin assignment + per-dim shuffle-lite update;
+    only the k x dim centroid matrix touches the driver per iteration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("KMeansClusteringOperator", {
+        "k": 4, "n_iter": 2, "seed": "km"})
+    return op.run(emb).select("vec_id", "cluster")
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier

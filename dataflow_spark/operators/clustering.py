@@ -1,0 +1,108 @@
+"""Distributed k-means clustering (Lloyd's algorithm), Spark-first.
+
+Complements the similarity pack: IVFKNN trains its cells on a driver
+SAMPLE (operators/similarity.py) — fine for index building, but corpus
+analytics (topic bucketing, stratified curation, semantic sharding)
+wants clustering over ALL vectors. Lloyd's maps cleanly onto DataFrame
+ops and none of the heavy steps touch the driver:
+
+  - assignment: corpus x broadcast(k centroids) squared-distance argmin
+    — narrow, no shuffle of the corpus;
+  - update: posexplode dims -> groupBy (cluster, dim) avg — one shuffle
+    of k*dim tiny keys with map-side partial aggregation.
+
+Only the k x dim centroid matrix crosses the driver between iterations
+(the same contract as Spark MLlib's KMeans aggregator). Everything is
+engine-deterministic: seeds are the k vectors with the smallest
+md5(seed||id) (a data-dependent, layout-independent "random" draw),
+distance ties break by centroid id, and centroids are quantized to
+``round_digits`` decimals after every update so independent engines
+(the DuckDB oracle unrolls the same iterations in SQL) stay bit-equal
+instead of drifting apart in the last ulp of a float sum.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+
+@OPERATOR_REGISTRY.register()
+class KMeansClusteringOperator(Operator):
+    """Add a ``cluster`` column: full-corpus Lloyd's k-means.
+
+    ``n_iter`` centroid updates, then a final assignment. Empty
+    clusters keep their previous centroid. NOTE: iterating requires one
+    driver round-trip of the k x dim centroid matrix per update (the
+    output assignment itself stays lazy).
+    """
+
+    def __init__(self, id_key: str = "vec_id",
+                 embedding_key: str = "embedding", k: int = 8,
+                 n_iter: int = 5, seed: str = "kmeans",
+                 round_digits: int = 6):
+        if k <= 0 or n_iter < 0:
+            raise ValueError("k must be > 0 and n_iter >= 0")
+        self.id_key, self.embedding_key = id_key, embedding_key
+        self.k, self.n_iter, self.seed = int(k), int(n_iter), seed
+        self.round_digits = round_digits
+        self.input_keys = (id_key, embedding_key)
+        self.output_keys = ("cluster",)
+
+    def _assign(self, pts: DataFrame, cdf: DataFrame) -> DataFrame:
+        """(id, cluster) under the given broadcast centroid frame."""
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cv"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        win = Window.partitionBy("_pid").orderBy(
+            F.col("_d2").asc(), F.col("_cid").asc())
+        return (pts.crossJoin(F.broadcast(cdf))
+                .withColumn("_d2", d2)
+                .withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1)
+                .select("_pid", "_cid"))
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        spark = df.sparkSession
+        pts = df.select(
+            F.col(self.id_key).alias("_pid"),
+            F.col(self.embedding_key).cast("array<double>").alias("_v"))
+
+        # deterministic seeds: smallest (md5(seed||id), id) wins — a
+        # global top-k (takeOrdered), not a full sort materialization
+        hx = F.md5(F.concat(F.lit(self.seed), F.col("_pid").cast("string")))
+        seed_rows = (pts.withColumn("_h", hx)
+                     .orderBy("_h", "_pid").limit(self.k).collect())
+        cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
+
+        def cdf_of(c):
+            return spark.createDataFrame(c, ["_cid", "_cv"]).select(
+                "_cid", F.col("_cv").cast("array<double>").alias("_cv"))
+
+        for _ in range(self.n_iter):
+            assigned = self._assign(pts, cdf_of(cents))
+            # per-dim means, quantized: k*dim keys, map-side combined
+            means = (assigned.join(pts, "_pid")
+                     .select("_cid", F.posexplode("_v").alias("_i", "_x"))
+                     .groupBy("_cid", "_i")
+                     .agg(F.round(F.avg("_x"), self.round_digits)
+                          .alias("_m"))
+                     .groupBy("_cid")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("_i", "_m"))).alias("_s"))
+                     .select("_cid", F.transform(
+                         "_s", lambda s: s["_m"]).alias("_cv"))
+                     .collect())
+            new = {r["_cid"]: list(r["_cv"]) for r in means}
+            cents = [(cid, new.get(cid, v)) for cid, v in cents]
+
+        out = self._assign(pts, cdf_of(cents))
+        return (df.join(out.withColumnRenamed("_pid", self.id_key),
+                        self.id_key)
+                .withColumn("cluster", F.col("_cid")).drop("_cid"))
