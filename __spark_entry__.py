@@ -4980,6 +4980,74 @@ def q_kmeans(spark, sf_dir):
     return op.run(emb).select("vec_id", "cluster")
 
 
+@q("q_snapshot_diff", """
+WITH newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || 'X' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'brand new doc'
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text != n.text THEN 'changed' END AS change
+FROM documents o FULL JOIN newt n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text != n.text
+""")
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff old-vs-new crawl: added/removed/changed via one
+    full-outer join on the key; only (key, md5 fingerprint) pairs
+    shuffle, never full rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.concat(F.col("text"), F.lit("X")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.lit("brand new doc").alias("text"))))
+    op = get_operator("SnapshotDiffOperator", {
+        "key": "doc_id", "compare_columns": ["text"]})
+    return op.run(docs, new=new)
+
+
+@q("q_upsert_latest", """
+WITH base AS (SELECT doc_id, text, 0 AS version FROM documents),
+upd AS (
+  SELECT doc_id, text || 'v2' AS text, 1 AS version
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, text || 'tie', 0 FROM documents WHERE doc_id % 4 = 1),
+merged AS (
+  SELECT *, 0 AS src FROM base
+  UNION ALL
+  SELECT *, 1 FROM upd)
+SELECT doc_id, text, version FROM merged
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY version DESC, src DESC) = 1
+""")
+def q_upsert_latest(spark, sf_dir):
+    """Batch upsert: merge an update batch into the base table keeping
+    the latest version per key (update batch wins version ties) — one
+    union + one keyed window, no driver state."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("version", F.lit(0))
+    upd = (docs.filter(F.col("doc_id") % 4 == 0)
+           .select("doc_id", F.concat("text", F.lit("v2")).alias("text"),
+                   F.lit(1).alias("version"))
+           .unionByName(
+               docs.filter(F.col("doc_id") % 4 == 1)
+               .select("doc_id",
+                       F.concat("text", F.lit("tie")).alias("text"),
+                       F.lit(0).alias("version"))))
+    op = get_operator("UpsertLatestOperator", {
+        "key": "doc_id", "version_key": "version"})
+    return op.run(base, updates=upd).select("doc_id", "text", "version")
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier

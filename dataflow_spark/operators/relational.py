@@ -202,3 +202,76 @@ class TableProfileOperator(Operator):
                 .otherwise(F.lit(0.0)).alias("null_frac"),
                 "n_distinct", "min_value", "max_value")
         )
+
+
+@OPERATOR_REGISTRY.register()
+class SnapshotDiffOperator(Operator):
+    """Diff two snapshots of a keyed table: added / removed / changed.
+
+    The incremental-pipeline primitive (what changed between yesterday's
+    crawl and today's?): full outer join on the key, rows classified by
+    presence and by an md5 fingerprint of the compared columns. One
+    shuffle on the key; the fingerprint is computed BEFORE the join so
+    only (key, hash) pairs shuffle, not full rows.
+
+    ``run(old, new=new)`` -> (key..., change) with change in
+    {'added', 'removed', 'changed'}; unchanged rows are dropped.
+    """
+
+    def __init__(self, key: str = "doc_id",
+                 compare_columns: list[str] | None = None):
+        self.key = key
+        self.compare_columns = compare_columns
+        self.input_keys = (key,)
+        self.output_keys = (key, "change")
+
+    def _fp(self, df: DataFrame, tag: str) -> DataFrame:
+        cols = self.compare_columns or [c for c in df.columns
+                                        if c != self.key]
+        fp = F.md5(F.concat_ws("\x1f",
+                               *[F.coalesce(F.col(c).cast("string"),
+                                            F.lit("\x00")) for c in cols]))
+        return df.select(F.col(self.key), fp.alias(tag))
+
+    def run(self, df: DataFrame, new: DataFrame | None = None,
+            **kw: Any) -> DataFrame:
+        if new is None:
+            raise ValueError("SnapshotDiffOperator needs run(old, new=df)")
+        old_fp = self._fp(df, "_old")
+        new_fp = self._fp(new, "_new")
+        j = old_fp.join(new_fp, self.key, "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("added"))
+            .when(F.col("_new").isNull(), F.lit("removed"))
+            .when(F.col("_old") != F.col("_new"), F.lit("changed")))
+        return (j.withColumn("change", change)
+                .filter(F.col("change").isNotNull())
+                .select(self.key, "change"))
+
+
+@OPERATOR_REGISTRY.register()
+class UpsertLatestOperator(Operator):
+    """Merge an update batch into a base table, keeping the LATEST row
+    per key (by ``version_key`` desc, update batch winning version
+    ties) — the batch upsert/compaction primitive behind incremental
+    corpus refresh. One union + one window shuffle on the key; no
+    driver state.
+    """
+
+    def __init__(self, key: str = "doc_id", version_key: str = "version"):
+        self.key, self.version_key = key, version_key
+        self.input_keys = (key, version_key)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, updates: DataFrame | None = None,
+            **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        if updates is None:
+            raise ValueError("UpsertLatestOperator needs run(base, updates=df)")
+        tagged = (df.withColumn("_src", F.lit(0))
+                  .unionByName(updates.withColumn("_src", F.lit(1))))
+        win = Window.partitionBy(self.key).orderBy(
+            F.col(self.version_key).desc(), F.col("_src").desc())
+        return (tagged.withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1).drop("_rn", "_src"))

@@ -27,6 +27,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options) 
         return spark.read.options(header=True, inferSchema=True, **options).csv(path)
     if ext == "parquet":
         return spark.read.options(**options).parquet(path)
+    if ext == "orc":
+        return spark.read.options(**options).orc(path)
     if ext in ("xlsx", "pickle", "pkl"):
         return _read_driver_side(spark, path, ext)
     raise ValueError(f"unsupported source format {ext!r} for {path}")

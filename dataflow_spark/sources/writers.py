@@ -23,6 +23,8 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None,
         writer = writer.partitionBy(*partition_by)
     if ext == "parquet":
         writer.options(**options).parquet(path)
+    elif ext == "orc":
+        writer.options(**options).orc(path)
     elif ext in ("jsonl", "json"):
         writer.options(**options).json(path)
     elif ext == "csv":
