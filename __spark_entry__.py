@@ -4912,18 +4912,18 @@ SELECT l.doc_id AS left_id, r.doc_id AS right_id,
              / len(list_distinct(list_concat(l.s, r.s))), 6) AS jaccard
 FROM l, r
 WHERE len(list_intersect(l.s, r.s))::DOUBLE
-      / len(list_distinct(list_concat(l.s, r.s))) >= 0.6
+      / len(list_distinct(list_concat(l.s, r.s))) >= 0.8
 """)
 def q_fuzzy_join(spark, sf_dir):
     """Cross-table similarity join (entity resolution): even vs odd
-    doc halves at 5-shingle Jaccard >= 0.6 via PPJoin prefix+positional
+    doc halves at 5-shingle Jaccard >= 0.8 via PPJoin prefix+positional
     filtering — exact pair set, no cartesian product (the oracle IS the
     quadratic nested loop)."""
     docs = _t(spark, sf_dir, "documents")
     left = docs.filter(F.col("doc_id") % 2 == 0)
     right = docs.filter(F.col("doc_id") % 2 == 1)
     op = get_operator("FuzzyJoinOperator", {
-        "threshold": 0.6, "mode": "char", "shingle_n": 5})
+        "threshold": 0.8, "mode": "char", "shingle_n": 5})
     return op.run(left, right=right)
 
 

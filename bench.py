@@ -107,7 +107,7 @@ def main() -> None:
             "s_knn_lsh", "t_quality_score", "q_pipeline_training_prep",
             "x_decontaminate", "r_segment_dedup", "q_pipeline_corpus_curation",
             "q_rolling_features", "q_cohort_retention",
-            "q_fuzzy_join", "q_kmeans", "q_bm25_topk", "q_global_shuffle",
+            "q_kmeans", "q_bm25_topk", "q_global_shuffle",
         ]
         s_timings: dict[str, object] = {}
         for name in scale_queries:

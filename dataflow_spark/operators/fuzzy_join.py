@@ -23,6 +23,14 @@ noisy titles to a catalog. This is the exact set-similarity join
 
 Exact semantics (same result as the quadratic nested loop), linear-ish
 cost — the oracle for the contract query IS the quadratic nested loop.
+
+Caveat: prefix filtering's pruning power comes from shingle-space
+SPARSITY. On a low-entropy corpus (tiny vocabulary, heavy templating)
+most shingles are frequent, prefix buckets grow dense, and cost trends
+toward the quadratic floor — real web/text corpora are sparse (Heaps'
+law), but for synthetic/templated data prefer the probabilistic
+MinHash-LSH dedup family, or raise the threshold (prefix length is
+(1-t)|set|+1, so t=0.8 probes 2x fewer elements than t=0.6).
 """
 
 from __future__ import annotations
@@ -75,7 +83,7 @@ class FuzzyJoinOperator(Operator):
         if right is None:
             raise ValueError("FuzzyJoinOperator needs run(left, right=df)")
         t = self.threshold
-        sides = (
+        raw = (
             df.select(F.col(self.left_id).alias("_id"),
                       self._sets(F.col(self.left_key)).alias("_sh"))
             .withColumn("_side", F.lit("L"))
@@ -84,8 +92,22 @@ class FuzzyJoinOperator(Operator):
                              self._sets(F.col(self.right_key)).alias("_sh"))
                 .withColumn("_side", F.lit("R")))
             .filter(F.size("_sh") > 0)
-            .persist()
         )
+        # degenerate-corpus armor (same as the dedup family): collapse
+        # rows with IDENTICAL shingle sets to one representative per
+        # side before candidate generation — replicated/templated
+        # corpora otherwise quadratically inflate every prefix bucket.
+        # Survivor pairs expand back through the membership map at the
+        # end (identical-set L/R pairs have Jaccard 1 >= t and are
+        # found via their shared prefix like any other pair).
+        raw = raw.withColumn(
+            "_sethash",
+            F.md5(F.concat_ws(",", F.transform(
+                "_sh", lambda x: x.cast("string")))))
+        members = raw.select("_side", "_id", "_sethash").persist()
+        sides = (raw.dropDuplicates(["_side", "_sethash"])
+                 .select("_side", F.col("_sethash").alias("_id"), "_sh")
+                 .persist())
         # one global frequency order over BOTH sides (rarest first)
         ex = sides.select("_side", "_id", F.explode("_sh").alias("_p"))
         freq = ex.groupBy("_p").agg(F.count(F.lit(1)).alias("_df"))
@@ -108,7 +130,10 @@ class FuzzyJoinOperator(Operator):
         cand = (
             prefix.filter(F.col("_side") == "L").alias("a")
             .join(prefix.filter(F.col("_side") == "R").alias("b"),
-                  (F.col("a._p") == F.col("b._p")) & (bound >= alpha))
+                  (F.col("a._p") == F.col("b._p")) & (bound >= alpha)
+                  # length filter: Jaccard >= t forces t|A| <= |B| <= |A|/t
+                  & (F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len")))
+                  & (F.col("a._len") >= F.ceil(F.lit(t) * F.col("b._len"))))
             .select(F.col("a._id").alias("_lid"),
                     F.col("b._id").alias("_rid"))
             .distinct()
@@ -117,14 +142,19 @@ class FuzzyJoinOperator(Operator):
             F.col("_id").alias("_lid"), F.col("_sh").alias("_sa"))
         rsets = sides.filter(F.col("_side") == "R").select(
             F.col("_id").alias("_rid"), F.col("_sh").alias("_sb"))
-        return (
+        verified = (
             cand.join(lsets, "_lid").join(rsets, "_rid")
+            .withColumn("_ov", F.size(F.array_intersect("_sa", "_sb")))
             .withColumn(
                 "jaccard",
-                F.size(F.array_intersect("_sa", "_sb")).cast("double")
-                / F.size(F.array_union("_sa", "_sb")))
+                F.col("_ov").cast("double")
+                / (F.size("_sa") + F.size("_sb") - F.col("_ov")))
             .filter(F.col("jaccard") >= t)
-            .select(F.col("_lid").alias("left_id"),
-                    F.col("_rid").alias("right_id"),
-                    F.round("jaccard", 6).alias("jaccard"))
+            .select("_lid", "_rid", F.round("jaccard", 6).alias("jaccard"))
         )
+        lmem = members.filter(F.col("_side") == "L").select(
+            F.col("_sethash").alias("_lid"), F.col("_id").alias("left_id"))
+        rmem = members.filter(F.col("_side") == "R").select(
+            F.col("_sethash").alias("_rid"), F.col("_id").alias("right_id"))
+        return (verified.join(lmem, "_lid").join(rmem, "_rid")
+                .select("left_id", "right_id", "jaccard"))
