@@ -20,6 +20,7 @@ from dataflow_spark.core.storage import StepStore
 # Importing the operators package registers every operator; core modules
 # above must already be loaded (operators import from core).
 from dataflow_spark import operators as _operators  # noqa: E402,F401
+from dataflow_spark.plans import audit, assert_scalable, PlanScaleError  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -30,5 +31,8 @@ __all__ = [
     "get_operator",
     "Pipeline",
     "StepStore",
+    "audit",
+    "assert_scalable",
+    "PlanScaleError",
     "__version__",
 ]

@@ -1,0 +1,101 @@
+"""Programmatic physical-plan QA — the scale lint as a library API.
+
+``tools/plan_audit.py`` audits the committed headline queries into
+PLANS.md; this module exposes the same analysis to PIPELINE AUTHORS so
+scale hygiene can be asserted in code and CI rather than eyeballed:
+
+    from dataflow_spark.plans import audit, assert_scalable
+    audit(df)             # -> dict of scan/join/shuffle/python facts
+    assert_scalable(df)   # raises PlanScaleError on red flags
+
+Red flags (each one a pattern that works at test scale and falls over
+at 100 TB):
+
+- ``CartesianProduct`` / non-broadcast ``BroadcastNestedLoopJoin``:
+  O(n*m) pair blowup;
+- ``BatchEvalPython``: row-at-a-time Python in the hot path (use
+  pandas_udf / mapInPandas — Arrow-batched — instead);
+- scans reading far more columns than any operator consumes is
+  reported in ``audit()['scans']`` for review (the engine cannot know
+  intent, so it reports rather than raises).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+class PlanScaleError(AssertionError):
+    """A physical plan contains a pattern that will not scale."""
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(df: DataFrame, plan: str | None = None) -> dict:
+    """Extract scale-relevant facts from a DataFrame's physical plan."""
+    plan = plan if plan is not None else formatted_plan(df)
+    scans = []
+    for m in re.finditer(
+            r"\(\d+\) Scan parquet[^\n]*\n(?:.*\n)*?(?=\(\d+\)|\Z)", plan):
+        block = m.group(0)
+        loc = re.search(r"Location:.*?\[([^\]]*)\]", block)
+        table = ""
+        if loc:
+            table = os.path.basename(
+                loc.group(1).rstrip("/")).replace(".parquet", "")
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        cols = ([c.split(":")[0] for c in schema.group(1).split(",")]
+                if schema and schema.group(1) else [])
+        scans.append({"table": table,
+                      "pushed": pushed.group(1) if pushed else "",
+                      "columns": cols})
+    return {
+        "scans": scans,
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "broadcasts": len(re.findall(
+            r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan)),
+        "sort_merge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "python_ops": sorted(set(re.findall(
+            r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+            r"|BatchEvalPython)", plan))),
+        "cartesian": bool(re.search(r"\(\d+\) CartesianProduct", plan)),
+        "row_python": "BatchEvalPython" in plan,
+    }
+
+
+def assert_scalable(df: DataFrame, allow_nested_loop: bool = False) -> dict:
+    """Raise ``PlanScaleError`` if the plan has a scale red flag.
+
+    ``allow_nested_loop`` permits BroadcastNestedLoopJoin — legitimate
+    when one side is a genuinely tiny broadcast (e.g. a single-row
+    statistics frame); default-deny because an accidental one usually
+    means a missing join key.
+
+    Returns the audit dict on success so callers can log it.
+    """
+    plan = formatted_plan(df)
+    a = audit(df, plan)
+    problems = []
+    if a["cartesian"]:
+        problems.append("CartesianProduct (O(n*m) pair blowup)")
+    if a["row_python"]:
+        problems.append("BatchEvalPython (row-at-a-time Python; "
+                        "use pandas_udf/mapInPandas)")
+    if not allow_nested_loop and "BroadcastNestedLoopJoin" in plan:
+        problems.append("BroadcastNestedLoopJoin (missing join key? "
+                        "pass allow_nested_loop=True if intended)")
+    if problems:
+        raise PlanScaleError("; ".join(problems))
+    return a

@@ -1,0 +1,46 @@
+"""dataflow_spark.plans: programmatic plan QA (audit / assert_scalable)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataflow_spark import audit, assert_scalable, PlanScaleError
+
+
+def test_audit_reports_scan_facts(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .filter(F.col("lang") == "en").select("doc_id", "n_chars"))
+    a = audit(df)
+    [scan] = a["scans"]
+    assert scan["table"] == "documents"
+    assert set(scan["columns"]) == {"doc_id", "lang", "n_chars"}
+    assert "lang" in scan["pushed"]
+    assert a["exchanges"] == 0 and not a["row_python"]
+
+
+def test_assert_scalable_passes_broadcast_join(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dim = spark.createDataFrame([("en", 1), ("de", 2)], ["lang", "gid"])
+    out = docs.join(F.broadcast(dim), "lang")
+    a = assert_scalable(out)
+    assert a["broadcasts"] >= 1
+
+
+def test_assert_scalable_rejects_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    with pytest.raises(PlanScaleError, match="Cartesian|NestedLoop"):
+        assert_scalable(a.crossJoin(b))
+    # ...unless the caller says the tiny-broadcast shape is intended
+    stats = spark.range(1).select(F.lit(5).alias("n"))
+    ok = a.crossJoin(F.broadcast(stats))
+    assert assert_scalable(ok, allow_nested_loop=True)
+
+
+def test_assert_scalable_rejects_row_python(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda s: s + 1, "long")
+    df = spark.range(10).select(slow(F.col("id")).alias("x"))
+    with pytest.raises(PlanScaleError, match="BatchEvalPython"):
+        assert_scalable(df)
