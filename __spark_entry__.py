@@ -5048,6 +5048,93 @@ def q_upsert_latest(spark, sf_dir):
     return op.run(base, updates=upd).select("doc_id", "text", "version")
 
 
+_COERROR_EDGES_SQL = """
+eh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+       FROM events WHERE event_type = 'error'),
+edges AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+          FROM eh a JOIN eh b ON a.h = b.h AND a.user_id < b.user_id)"""
+
+
+def _coerror_edges(spark, sf_dir):
+    """Incident-correlation graph: users co-erroring in the same hour."""
+    ev = _t(spark, sf_dir, "events")
+    eh = (ev.filter(F.col("event_type") == "error")
+          .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+          .distinct())
+    a, b = eh.alias("a"), eh.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.user_id") < F.col("b.user_id")))
+            .select(F.col("a.user_id").alias("src"),
+                    F.col("b.user_id").alias("dst"))
+            .distinct())
+
+
+@q("q_connected_components", f"""
+WITH RECURSIVE
+{_COERROR_EDGES_SQL},
+e2 AS (SELECT src AS a, dst AS b FROM edges
+       UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM e2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+nodes AS (SELECT DISTINCT a AS id FROM e2)
+SELECT n.id, least(n.id, coalesce(min(r.b), n.id)) AS component
+FROM nodes n LEFT JOIN reach r ON r.a = n.id
+GROUP BY n.id
+""")
+def q_connected_components(spark, sf_dir):
+    """Public connected-components over the co-error incident graph:
+    adaptive driver union-find / large-star-small-star contraction
+    (the dedup family's kernel as a first-class operator)."""
+    edges = _coerror_edges(spark, sf_dir)
+    op = get_operator("ConnectedComponentsOperator", {})
+    return op.run(edges)
+
+
+@q("q_pagerank", f"""
+WITH
+{_COERROR_EDGES_SQL},
+e2 AS (SELECT src AS s, dst AS t FROM edges
+       UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT s AS node FROM e2),
+n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
+p0 AS (SELECT node, round(1.0 / n.n, 9) AS pr FROM nodes, n),
+p1 AS (SELECT nd.node,
+              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+       FROM nodes nd
+       LEFT JOIN (SELECT e2.t, sum(p0.pr / deg.d) AS m
+                  FROM e2 JOIN p0 ON p0.node = e2.s
+                          JOIN deg ON deg.s = e2.s
+                  GROUP BY e2.t) i ON i.t = nd.node, n),
+p2 AS (SELECT nd.node,
+              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+       FROM nodes nd
+       LEFT JOIN (SELECT e2.t, sum(p1.pr / deg.d) AS m
+                  FROM e2 JOIN p1 ON p1.node = e2.s
+                          JOIN deg ON deg.s = e2.s
+                  GROUP BY e2.t) i ON i.t = nd.node, n),
+p3 AS (SELECT nd.node,
+              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+       FROM nodes nd
+       LEFT JOIN (SELECT e2.t, sum(p2.pr / deg.d) AS m
+                  FROM e2 JOIN p2 ON p2.node = e2.s
+                          JOIN deg ON deg.s = e2.s
+                  GROUP BY e2.t) i ON i.t = nd.node, n)
+SELECT node, pr AS pagerank FROM p3
+""")
+def q_pagerank(spark, sf_dir):
+    """PageRank (3 power iterations, d=0.85) over the symmetrized
+    co-error graph: per iteration one edge->rank join + one dst
+    aggregation, fully lazy, quantized ranks for engine determinism."""
+    edges = _coerror_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    op = get_operator("PageRankOperator", {"n_iter": 3})
+    return op.run(sym)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5107,8 +5194,19 @@ _CHECKED_R2 = {
 _CHECKED = _CHECKED_R1 | _CHECKED_R2
 
 
+# Newest operators (added latest in round 3) — never driver-checked and
+# the least battle-tested code, so they carry the most information per
+# sample slot: right after the re-verify head.
+_NEW_R3 = [
+    "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
+    "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
+    "q_connected_components", "q_pagerank",
+]
+
+
 def _ordered(d: dict) -> dict:
     out = {k: d[k] for k in _REVERIFY_HEAD if k in d}
+    out.update({k: d[k] for k in _NEW_R3 if k in d and k not in out})
     out.update({k: v for k, v in d.items()
                 if k not in out and k not in _CHECKED})
     out.update({k: v for k, v in d.items() if k not in out})

@@ -21,7 +21,7 @@ from dataflow_spark.operators import sampling, timeseries  # noqa: F401
 from dataflow_spark.operators.filters import decontaminate  # noqa: F401
 from dataflow_spark.operators.refiners import segment_dedup  # noqa: F401
 from dataflow_spark.operators import keywords, validation, fuzzy_join  # noqa: F401
-from dataflow_spark.operators import clustering  # noqa: F401
+from dataflow_spark.operators import clustering, graph  # noqa: F401
 
 # Reference-exact names whose engine operator is named differently:
 # pipelines written against OpenDCAI/DataFlow resolve without edits.
