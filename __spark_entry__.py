@@ -5135,6 +5135,45 @@ def q_pagerank(spark, sf_dir):
     return op.run(sym)
 
 
+@q("q_pct_rank", """
+SELECT doc_id, lang,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 9)
+         AS pct_rank
+FROM documents
+""")
+def q_pct_rank(spark, sf_dir):
+    """Per-language percentile rank of doc length: tie-sharing
+    percent_rank is engine-deterministic with no quantization; one
+    shuffle on the group key."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("PercentileRankEvaluator", {
+        "input_key": "n_chars", "group_key": "lang"})
+    return (op.run(docs)
+            .select("doc_id", "lang",
+                    F.round("pct_rank", 9).alias("pct_rank")))
+
+
+@q("q_histogram", """
+WITH s AS (SELECT min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+           FROM documents WHERE n_chars IS NOT NULL)
+SELECT bin,
+       round(min(s.lo + bin * (s.hi - s.lo) / 10.0), 6) AS lo,
+       round(min(s.lo + (bin + 1) * (s.hi - s.lo) / 10.0), 6) AS hi,
+       count(*) AS n_rows
+FROM (SELECT least(floor((n_chars::DOUBLE - s.lo) * 10.0
+                          / (s.hi - s.lo)), 9)::INT AS bin
+      FROM documents, s WHERE n_chars IS NOT NULL) b, s
+GROUP BY bin
+""")
+def q_histogram(spark, sf_dir):
+    """Equal-width 10-bin histogram of doc length: one scan + one tiny
+    min/max broadcast + one 10-key aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("HistogramOperator", {"input_key": "n_chars",
+                                            "bins": 10})
+    return op.run(docs)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5200,7 +5239,7 @@ _CHECKED = _CHECKED_R1 | _CHECKED_R2
 _NEW_R3 = [
     "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
-    "q_connected_components", "q_pagerank",
+    "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
 ]
 
 

@@ -275,3 +275,75 @@ class UpsertLatestOperator(Operator):
             F.col(self.version_key).desc(), F.col("_src").desc())
         return (tagged.withColumn("_rn", F.row_number().over(win))
                 .filter(F.col("_rn") == 1).drop("_rn", "_src"))
+
+
+@OPERATOR_REGISTRY.register()
+class PercentileRankEvaluator(Operator):
+    """Add the percentile rank (0..1) of ``input_key`` within each
+    ``group_key`` partition (corpus-wide when group_key is None).
+
+    percent_rank = (rank - 1) / (n - 1) with ties sharing a rank — no
+    arbitrary tie-break, so the result is engine-deterministic without
+    quantization. The normalization that makes per-language or
+    per-source quality scores comparable before quota selection.
+    One shuffle on the group key.
+    """
+
+    def __init__(self, input_key: str = "quality_score",
+                 group_key: str | None = None,
+                 output_key: str = "pct_rank"):
+        self.input_key, self.group_key = input_key, group_key
+        self.output_key = output_key
+        self.input_keys = ((input_key, group_key) if group_key
+                           else (input_key,))
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        win = (Window.partitionBy(self.group_key) if self.group_key
+               else Window.partitionBy())
+        return df.withColumn(
+            self.output_key,
+            F.percent_rank().over(win.orderBy(F.col(self.input_key))))
+
+
+@OPERATOR_REGISTRY.register()
+class HistogramOperator(Operator):
+    """Equal-width histogram of a numeric column: (bin, lo, hi, n_rows).
+
+    Bin edges derive from the corpus min/max (one tiny aggregate,
+    broadcast back); assignment is a pure expression, so the whole
+    histogram costs one scan + one ``bins``-key aggregation. The
+    boundary expression floor((x - min) * bins / (max - min)) is the
+    same IEEE arithmetic on any engine — no quantization needed.
+    """
+
+    def __init__(self, input_key: str = "n_chars", bins: int = 10):
+        if bins <= 0:
+            raise ValueError("bins must be positive")
+        self.input_key, self.bins = input_key, int(bins)
+        self.input_keys = (input_key,)
+        self.output_keys = ("bin", "lo", "hi", "n_rows")
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        x = F.col(self.input_key).cast("double")
+        stats = (df.filter(x.isNotNull())
+                 .agg(F.min(x).alias("_lo"), F.max(x).alias("_hi")))
+        b = F.lit(float(self.bins))
+        width = (F.col("_hi") - F.col("_lo")) / b
+        bin_ = F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0)
+        ).otherwise(F.least(
+            F.floor((x - F.col("_lo")) * b / (F.col("_hi") - F.col("_lo"))),
+            F.lit(self.bins - 1))).cast("int")
+        return (df.filter(x.isNotNull())
+                .crossJoin(F.broadcast(stats))
+                .withColumn("bin", bin_)
+                .groupBy("bin")
+                .agg(F.round(F.min(F.col("_lo") + F.col("bin") * width), 6)
+                     .alias("lo"),
+                     F.round(F.min(F.col("_lo")
+                                   + (F.col("bin") + 1) * width), 6)
+                     .alias("hi"),
+                     F.count(F.lit(1)).alias("n_rows")))

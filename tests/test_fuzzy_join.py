@@ -73,3 +73,38 @@ def test_requires_right(tables):
     op = get_operator("FuzzyJoinOperator", {})
     with pytest.raises(ValueError):
         op.run(left)
+
+
+def test_randomized_matches_bruteforce(spark):
+    """Seeded random corpus: operator output == quadratic reference at
+    several thresholds (exactness of prefix+positional+length filters)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def mk(n):
+        return [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(2, 8))))
+                for i in range(n)]
+
+    lrows, rrows = mk(30), [(100 + i, t) for i, t in mk(30)]
+    left = spark.createDataFrame(lrows, ["doc_id", "text"])
+    right = spark.createDataFrame(rrows, ["doc_id", "text"])
+
+    def sh(t, n=4):
+        return ({t[i:i + n] for i in range(len(t) - n + 1)}
+                if len(t) >= n else {t})
+
+    for t in (0.3, 0.5, 0.75):
+        op = get_operator("FuzzyJoinOperator", {
+            "threshold": t, "mode": "char", "shingle_n": 4})
+        got = {(r["left_id"], r["right_id"]) for r in
+               op.run(left, right=right).collect()}
+        want = set()
+        for li, lt in lrows:
+            for ri, rt in rrows:
+                a, b = sh(lt), sh(rt)
+                if len(a & b) / len(a | b) >= t:
+                    want.add((li, ri))
+        assert got == want, f"threshold {t}"

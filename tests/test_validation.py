@@ -71,3 +71,34 @@ def test_single_scan_plan(frames):
     # no distinct agg in this suite -> a single Aggregate node, no join
     assert plan.count("Aggregate") == 1
     assert "Join" not in plan
+
+
+def test_percentile_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40),
+         (5, "b", 7)], ["doc_id", "grp", "x"])
+    op = get_operator("PercentileRankEvaluator", {
+        "input_key": "x", "group_key": "grp", "output_key": "pr"})
+    got = {r["doc_id"]: r["pr"] for r in op.run(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == got[3] == pytest.approx(1 / 3)  # ties share rank
+    assert got[4] == 1.0
+    assert got[5] == 0.0  # singleton group
+
+
+def test_histogram(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    op = get_operator("HistogramOperator", {"input_key": "x", "bins": 10})
+    rows = {r["bin"]: r for r in op.run(df).collect()}
+    assert len(rows) == 10
+    assert all(rows[b]["n_rows"] == 10 for b in range(10))
+    assert rows[0]["lo"] == 0.0 and rows[9]["hi"] == 99.0
+    # max value lands in the last bin, not a phantom 11th
+    assert max(rows) == 9
+
+
+def test_histogram_constant_column(spark):
+    df = spark.createDataFrame([(5.0,)] * 4, ["x"])
+    op = get_operator("HistogramOperator", {"input_key": "x", "bins": 5})
+    [row] = op.run(df).collect()
+    assert row["bin"] == 0 and row["n_rows"] == 4
