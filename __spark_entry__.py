@@ -5174,6 +5174,33 @@ def q_histogram(spark, sf_dir):
     return op.run(docs)
 
 
+@q("q_rolling_anomaly", """
+WITH e AS (SELECT event_id, user_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+r AS (SELECT event_id, user_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, round((value - mu) / sd, 4) AS z
+FROM r WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 1.5
+""")
+def q_rolling_anomaly(spark, sf_dir):
+    """Streaming-style anomaly detection: per-user trailing-24h rolling
+    mean/std (RANGE window — one shuffle on user_id), flag events with
+    |z| > 1.5 once the window holds >= 5 observations."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("RollingAggregateOperator", {
+        "window_seconds": 86400, "aggs": ["avg", "count", "std"]})
+    r = op.run(ev)
+    z = (F.col("value") - F.col("rolling_avg")) / F.col("rolling_std")
+    return (r.filter((F.col("rolling_count") >= 5)
+                     & (F.col("rolling_std") > 0) & (F.abs(z) > 1.5))
+            .select("event_id", "user_id", F.round(z, 4).alias("z")))
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5240,6 +5267,7 @@ _NEW_R3 = [
     "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
+    "q_rolling_anomaly",
 ]
 
 

@@ -223,7 +223,7 @@ class HypertableRollup(Operator):
 
 @OPERATOR_REGISTRY.register()
 class RollingAggregateOperator(Operator):
-    """Per-key trailing-time-window features: sum/avg/count of
+    """Per-key trailing-time-window features: sum/avg/count/std of
     ``value_key`` over the last ``window_seconds`` (inclusive) at each
     event — the moving-average/rate feature-engineering verb.
 
@@ -234,7 +234,7 @@ class RollingAggregateOperator(Operator):
     so window membership is engine-independent.
     """
 
-    AGGS = ("sum", "avg", "count")
+    AGGS = ("sum", "avg", "count", "std")
 
     def __init__(self, ts_key: str = "ts", key: str = "user_id",
                  value_key: str = "value", window_seconds: int = 3600,
@@ -258,7 +258,8 @@ class RollingAggregateOperator(Operator):
              .rangeBetween(-self.window_seconds, 0))
         v = F.col(self.value_key)
         exprs = {"sum": F.sum(v), "avg": F.avg(v),
-                 "count": F.count(F.lit(1))}
+                 "count": F.count(F.lit(1)),
+                 "std": F.stddev_samp(v)}
         out = df
         for a in self.aggs:
             out = out.withColumn(f"{self.output_prefix}{a}",

@@ -295,3 +295,24 @@ class TestCohortRetention:
 
         with pytest.raises(ValueError):
             get_operator("CohortRetentionOperator", {"granularity": "month"})
+
+
+def test_rolling_std(spark):
+    import pyspark.sql.functions as F
+    from dataflow_spark.core.registry import get_operator
+
+    rows = [(1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 3.0),
+            (1, "2024-01-01 00:20:00", 5.0),
+            (1, "2024-01-01 03:00:00", 100.0)]  # outside the 1h window
+    df = (spark.createDataFrame(rows, ["user_id", "ts", "value"])
+          .withColumn("ts", F.to_timestamp("ts")))
+    op = get_operator("RollingAggregateOperator", {
+        "window_seconds": 3600, "aggs": ["std", "count"]})
+    got = sorted(op.run(df).collect(), key=lambda r: r["ts"])
+    # third event: std over {1,3,5} = 2.0
+    assert got[2]["rolling_count"] == 3
+    assert got[2]["rolling_std"] == pytest.approx(2.0)
+    # the late event only sees itself -> sample std undefined
+    assert got[3]["rolling_count"] == 1
+    assert got[3]["rolling_std"] is None
