@@ -68,12 +68,20 @@ class KMeansClusteringOperator(Operator):
                 .filter(F.col("_rn") == 1)
                 .select("_pid", "_cid"))
 
-    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
-        spark = df.sparkSession
-        pts = df.select(
+    def _pts(self, df: DataFrame) -> DataFrame:
+        return df.select(
             F.col(self.id_key).alias("_pid"),
             F.col(self.embedding_key).cast("array<double>").alias("_v"))
 
+    @staticmethod
+    def _cdf_of(spark, cents):
+        return spark.createDataFrame(cents, ["_cid", "_cv"]).select(
+            "_cid", F.col("_cv").cast("array<double>").alias("_cv"))
+
+    def fit(self, df: DataFrame) -> list[list[float]]:
+        """Train and return the k centroid vectors (cid order)."""
+        spark = df.sparkSession
+        pts = self._pts(df)
         # deterministic seeds: smallest (md5(seed||id), id) wins — a
         # global top-k (takeOrdered), not a full sort materialization
         hx = F.md5(F.concat(F.lit(self.seed), F.col("_pid").cast("string")))
@@ -81,12 +89,8 @@ class KMeansClusteringOperator(Operator):
                      .orderBy("_h", "_pid").limit(self.k).collect())
         cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
 
-        def cdf_of(c):
-            return spark.createDataFrame(c, ["_cid", "_cv"]).select(
-                "_cid", F.col("_cv").cast("array<double>").alias("_cv"))
-
         for _ in range(self.n_iter):
-            assigned = self._assign(pts, cdf_of(cents))
+            assigned = self._assign(pts, self._cdf_of(spark, cents))
             # per-dim means, quantized: k*dim keys, map-side combined
             means = (assigned.join(pts, "_pid")
                      .select("_cid", F.posexplode("_v").alias("_i", "_x"))
@@ -101,8 +105,12 @@ class KMeansClusteringOperator(Operator):
                      .collect())
             new = {r["_cid"]: list(r["_cv"]) for r in means}
             cents = [(cid, new.get(cid, v)) for cid, v in cents]
+        return [v for _, v in cents]
 
-        out = self._assign(pts, cdf_of(cents))
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        cents = list(enumerate(self.fit(df)))
+        out = self._assign(self._pts(df),
+                           self._cdf_of(df.sparkSession, cents))
         return (df.join(out.withColumnRenamed("_pid", self.id_key),
                         self.id_key)
                 .withColumn("cluster", F.col("_cid")).drop("_cid"))

@@ -133,15 +133,32 @@ class IVFKNN(Operator):
 
     def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
                  k: int = 10, n_cells: int = 16, n_probe: int = 4,
-                 train_sample: int = 10_000, seed: int = 42):
+                 train_sample: int = 10_000, seed: int = 42,
+                 train: str = "sample"):
+        if train not in ("sample", "full"):
+            raise ValueError("train must be 'sample' or 'full'")
         self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
         self.n_cells, self.n_probe = n_cells, n_probe
         self.train_sample = train_sample
         self.seed = seed
+        self.train = train
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
 
     def _centroids(self, df: DataFrame):
+        if self.train == "full":
+            # full-corpus Lloyd's (operators/clustering.py): no sample
+            # bias — centroid quality tracks the whole corpus; only the
+            # k x dim matrix crosses the driver per iteration
+            from dataflow_spark.operators.clustering import (
+                KMeansClusteringOperator,
+            )
+
+            km = KMeansClusteringOperator(
+                id_key=self.id_key, embedding_key=self.embedding_key,
+                k=self.n_cells, n_iter=5, seed=f"ivf{self.seed}")
+            return km.fit(df)
+
         import numpy as np
 
         rows = (

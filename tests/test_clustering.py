@@ -50,3 +50,17 @@ def test_empty_cluster_keeps_seed_centroid(spark):
 def test_validates_args():
     with pytest.raises(ValueError):
         get_operator("KMeansClusteringOperator", {"k": 0})
+
+
+def test_ivf_full_corpus_training(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    op = get_operator("IVFKNN", {"k": 5, "n_cells": 4, "n_probe": 4,
+                                 "train": "full"})
+    got = op.run(df).collect()
+    assert got  # probing all cells -> every query finds neighbors
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+    with pytest.raises(ValueError):
+        get_operator("IVFKNN", {"train": "nope"})
