@@ -1614,43 +1614,84 @@ comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
 """
 
 
-def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 4,
-                        shingle_n: int = 5, threshold: float = 0.9,
-                        seed: int = 42, assign: bool = False) -> str:
+def _mh_sig_ctes(p: str, num_perm: int, shingle_n: int, seed: int) -> str:
+    """CTEs ``{p}sh/{p}hr/{p}sig`` computing md5-MinHash signatures from
+    a preceding ``{p}d(doc_id, t)`` CTE — shared by the self-dedup and
+    incremental oracles."""
     from dataflow_spark.functions.hashing import MERSENNE_P, _perm_params
 
-    rows = num_perm // num_bands
     params = "[" + ",".join(f"[{a},{b}]" for a, b in _perm_params(num_perm, seed)) + "]::BIGINT[][]"
     zeros = "[" + ",".join("0" * 1 for _ in range(num_perm)) + "]::BIGINT[]"
     n = shingle_n
-    verify = f"""
-  SELECT p.src, p.dst FROM pairs p
-  JOIN sig sa ON sa.doc_id = p.src
-  JOIN sig sb ON sb.doc_id = p.dst
-  WHERE list_sum(list_transform(generate_series(1, {num_perm}),
-          i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))::DOUBLE
-        / {num_perm} >= {threshold}"""
-    return f"""
-WITH RECURSIVE
-d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-sh AS (SELECT doc_id, len(t) AS lt,
+    return f"""{p}sh AS (SELECT doc_id, len(t) AS lt,
          CASE WHEN len(t) = 0 THEN NULL
               WHEN len(t) < {n} THEN [t]
               ELSE list_distinct(list_transform(
                      generate_series(1, len(t) - {n - 1}), i -> substr(t, i, {n})))
-         END AS grams FROM d),
-hr AS (SELECT doc_id, lt, CASE WHEN lt = 0 THEN NULL ELSE
+         END AS grams FROM {p}d),
+{p}hr AS (SELECT doc_id, lt, CASE WHEN lt = 0 THEN NULL ELSE
          list_transform(grams, g ->
            (('0x' || substr(md5(g), 1, 15))::UBIGINT % {MERSENNE_P})::BIGINT)
-       END AS hs FROM sh),
-sig AS (SELECT doc_id, CASE WHEN hs IS NULL THEN {zeros} ELSE
+       END AS hs FROM {p}sh),
+{p}sig AS (SELECT doc_id, CASE WHEN hs IS NULL THEN {zeros} ELSE
           list_transform({params}, p ->
             list_min(list_transform(hs, h -> (p[1] * h + p[2]) % {MERSENNE_P})))
-        END AS s FROM hr),
+        END AS s FROM {p}hr)"""
+
+
+def _mh_est(a: str, b: str, num_perm: int) -> str:
+    """Signature-estimated Jaccard between sig columns ``{a}.s``/``{b}.s``."""
+    return (f"list_sum(list_transform(generate_series(1, {num_perm}),"
+            f" i -> CASE WHEN {a}.s[i] = {b}.s[i] THEN 1 ELSE 0 END))::DOUBLE"
+            f" / {num_perm}")
+
+
+def _minhash_oracle_sql(num_perm: int = 64, num_bands: int = 4,
+                        shingle_n: int = 5, threshold: float = 0.9,
+                        seed: int = 42, assign: bool = False,
+                        source: str = "documents", pre: str = "") -> str:
+    rows = num_perm // num_bands
+    verify = f"""
+  SELECT p.src, p.dst FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.src
+  JOIN sig sb ON sb.doc_id = p.dst
+  WHERE {_mh_est('sa', 'sb', num_perm)} >= {threshold}"""
+    return f"""
+WITH RECURSIVE
+{pre}d AS (SELECT doc_id, coalesce(text, '') AS t FROM {source}),
+{_mh_sig_ctes('', num_perm, shingle_n, seed)},
 banded AS (SELECT doc_id AS _id, b.band,
              array_to_string(s[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS h
            FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
-{_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id", assign)}"""
+{_cc_survivor_sql(verify, f"SELECT doc_id FROM {source}", "doc_id", assign)}"""
+
+
+def _minhash_incremental_oracle_sql(num_perm: int = 64, num_bands: int = 4,
+                                    shingle_n: int = 5,
+                                    threshold: float = 0.9,
+                                    seed: int = 42) -> str:
+    """Cross-corpus near-dup removal (new = doc_id%3!=0 vs existing =
+    doc_id%3=0), then in-batch MinHash-LSH dedup on the survivors —
+    mirrors IncrementalMinHashDedupFilter end to end."""
+    rows = num_perm // num_bands
+    pre = f"""ad AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+{_mh_sig_ctes('a', num_perm, shingle_n, seed)},
+abanded AS (SELECT doc_id AS _id, b.band,
+             array_to_string(s[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS h
+           FROM asig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
+xcand AS (SELECT DISTINCT n._id AS nid, e._id AS eid
+          FROM abanded n JOIN abanded e ON n.band = e.band AND n.h = e.h
+          WHERE n._id % 3 != 0 AND e._id % 3 = 0),
+xmatched AS (SELECT DISTINCT c.nid FROM xcand c
+             JOIN asig sa ON sa.doc_id = c.nid
+             JOIN asig sb ON sb.doc_id = c.eid
+             WHERE {_mh_est('sa', 'sb', num_perm)} >= {threshold}),
+src AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 != 0
+          AND doc_id NOT IN (SELECT nid FROM xmatched)),
+"""
+    return _minhash_oracle_sql(num_perm, num_bands, shingle_n, threshold,
+                               seed, source="src", pre=pre)
 
 
 def _simhash_oracle_sql(num_bands: int = 4, shingle_n: int = 4,
@@ -1754,6 +1795,20 @@ q("d_simhash", _simhash_oracle_sql())(lambda spark, sf_dir: get_operator(
     "SimHashDeduplicateFilter", {"input_key": "text", "order_key": "doc_id",
                                  "hash_impl": "md5"}
 ).run(_t(spark, sf_dir, "documents")).select("doc_id"))
+
+
+@q("d_incremental_minhash", _minhash_incremental_oracle_sql())
+def d_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup: new batch (doc_id%3!=0) near-dup-filtered
+    against the existing corpus signature table (doc_id%3=0) via a
+    band-hash equi-join + signature verify, then in-batch MinHash-LSH.
+    The existing corpus never re-shuffles — only its signatures ship."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    op = get_operator("IncrementalMinHashDedupFilter", {
+        "input_key": "text", "order_key": "doc_id", "hash_impl": "md5"})
+    return op.run(new, existing=existing).select("doc_id")
 
 
 @q("d_minhash_clusters", _minhash_oracle_sql(assign=True))
@@ -5267,7 +5322,7 @@ _NEW_R3 = [
     "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
-    "q_rolling_anomaly",
+    "q_rolling_anomaly", "d_incremental_minhash",
 ]
 
 

@@ -595,3 +595,69 @@ class SemDeduplicateFilter(_NearDupBase):
 
         return self._dedup_by_bands(df, banded, order_col, verify,
                                     extra_edges=exact_edges)
+
+
+@OPERATOR_REGISTRY.register()
+class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
+    """NEAR-dup a NEW batch against an EXISTING corpus, then within
+    itself: ``run(new_df, existing=corpus_df)``.
+
+    The daily-increment companion of :class:`IncrementalHashDedupFilter`
+    for non-byte-identical duplication (re-crawls, light edits,
+    boilerplate variants). Cross-corpus candidates come from a band-hash
+    equi-join NEW x EXISTING — the existing corpus ships only its
+    (collapsed) signature/band table, never re-shuffles its rows — and
+    are confirmed by signature-estimated Jaccard >= threshold. Surviving
+    fresh rows then run the standard in-batch MinHash-LSH dedup.
+    """
+
+    def run(self, df: DataFrame, existing: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        if existing is None:
+            raise ValueError("IncrementalMinHashDedupFilter needs existing=")
+        if self.hash_impl == "md5":
+            sig_udf = H.minhash_md5_udf(self.num_perm, self.shingle_n)
+            bander = lambda c: H.band_keys_plain(c, self.num_bands, self.rows_per_band)  # noqa: E731
+        else:
+            sig_udf = H.minhash64_udf(self.num_perm, self.shingle_n)
+            bander = lambda c: H.band_hashes(c, self.num_bands, self.rows_per_band)  # noqa: E731
+
+        df, order_col = self._ordered(df)
+        new_sigs = (
+            df.select(F.col(order_col).cast("long").alias("_nid"),
+                      self.input_key)
+            .withColumn("_sig", sig_udf(F.col(self.input_key)))
+            .select("_nid", "_sig").persist()
+        )
+        # existing side: one representative per DISTINCT signature (the
+        # same degenerate-corpus armor; a billion identical archive rows
+        # contribute one band row each)
+        ex_sigs = (
+            existing.select(sig_udf(F.col(self.input_key)).alias("_sig"))
+            .withColumn("_eid", F.md5(F.concat_ws(
+                ",", F.transform("_sig", lambda x: x.cast("string")))))
+            .dropDuplicates(["_eid"])
+            .persist()
+        )
+
+        def banded(src: DataFrame, idc: str):
+            return src.select(
+                idc, F.explode(bander(F.col("_sig"))).alias("bh"),
+            ).select(idc, F.col("bh.band").alias("band"),
+                     F.col("bh.h").alias("h"))
+
+        cand = (banded(new_sigs, "_nid")
+                .join(banded(ex_sigs, "_eid"), ["band", "h"])
+                .select("_nid", "_eid").distinct())
+        est = (cand.join(new_sigs, "_nid")
+               .join(ex_sigs.select("_eid", F.col("_sig").alias("_esig")),
+                     "_eid")
+               .withColumn("_est", F.size(F.filter(
+                   F.zip_with(F.col("_sig"), F.col("_esig"),
+                              lambda x, y: x == y),
+                   lambda eq: eq)).cast("double") / F.lit(self.num_perm)))
+        matched = (est.filter(F.col("_est") >= self.threshold)
+                   .select("_nid").distinct())
+        fresh = (df.withColumn("_nid", F.col(order_col).cast("long"))
+                 .join(matched, "_nid", "left_anti").drop("_nid"))
+        return super().run(fresh)

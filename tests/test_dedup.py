@@ -244,3 +244,29 @@ class TestClusterAssignment:
                       get_operator("MinHashDeduplicateFilter", common)
                       .run(df).collect())
         assert kept == sorted(d for d, c in out.items() if d == c)
+
+
+def test_incremental_minhash(spark):
+    from dataflow_spark.core.registry import get_operator
+
+    base_text = ("the quick brown fox jumps over the lazy dog again and "
+                 "again until everyone is thoroughly bored of it")
+    existing = spark.createDataFrame(
+        [(100, base_text), (101, "completely unrelated archive entry "
+                                 "about database compaction strategy")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame([
+        (1, base_text + "!"),                       # near-dup of existing 100
+        (2, "a genuinely fresh document about distributed minhash"),
+        (3, "a genuinely fresh document about distributed minhash."),  # near-dup of 2
+        (4, "another novel row mentioning watermarks and state stores"),
+    ], ["doc_id", "text"])
+    op = get_operator("IncrementalMinHashDedupFilter", {
+        "input_key": "text", "order_key": "doc_id", "threshold": 0.7})
+    kept = sorted(r["doc_id"] for r in
+                  op.run(new, existing=existing).collect())
+    # 1 dies against the archive; 3 dies against 2 in-batch
+    assert kept == [2, 4]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        op.run(new)
