@@ -5256,6 +5256,24 @@ def q_rolling_anomaly(spark, sf_dir):
             .select("event_id", "user_id", F.round(z, 4).alias("z")))
 
 
+@q("q_weighted_sample", """
+WITH s AS (SELECT count(*)::DOUBLE AS n, sum(n_chars)::DOUBLE AS sw
+           FROM documents)
+SELECT doc_id FROM documents, s
+WHERE (('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 15))::UBIGINT
+       / 1152921504606846976.0)
+      < 0.2 * ((n_chars * s.n) / s.sw)
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Importance sampling at rate 0.2 weighted by doc length:
+    deterministic md5-uniform vs weight-proportional threshold; longer
+    docs survive proportionally more often, expected fraction 0.2."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("WeightedHashSampleFilter", {
+        "key": "doc_id", "weight_key": "n_chars", "rate": 0.2})
+    return op.run(docs).select("doc_id")
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5322,7 +5340,7 @@ _NEW_R3 = [
     "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
-    "q_rolling_anomaly", "d_incremental_minhash",
+    "q_rolling_anomaly", "d_incremental_minhash", "q_weighted_sample",
 ]
 
 

@@ -251,3 +251,44 @@ class GlobalShuffleOperator(Operator):
         win = Window.partitionBy("shard").orderBy(
             F.col("_hx").asc(), F.col(self.key).asc())
         return out.withColumn("pos", F.row_number().over(win)).drop("_hx")
+
+
+@OPERATOR_REGISTRY.register()
+class WeightedHashSampleFilter(Operator):
+    """Importance sampling: keep each row with probability proportional
+    to its weight, deterministically.
+
+    keep iff  u(key) < rate * (w * N) / S
+    where u is an md5-derived uniform in [0, 1), N the row count and S
+    the weight sum — so the EXPECTED kept fraction is ``rate`` and a
+    row with twice the weight is twice as likely to survive. The
+    "sample better data more" primitive for quality-weighted corpus
+    ablations; like HashSampleFilter it is a pure function of
+    (salt, key), so re-runs, engines, and backfills agree row for row.
+
+    One tiny (N, S) aggregate broadcast back; the predicate is
+    columnar. Integer weights keep N and S exact, making the threshold
+    arithmetic bit-identical across engines.
+    """
+
+    def __init__(self, key: str = "doc_id", weight_key: str = "n_chars",
+                 rate: float = 0.1, salt: str = "wsample"):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError("rate must be in [0, 1]")
+        self.key, self.weight_key = key, weight_key
+        self.rate, self.salt = float(rate), salt
+        self.input_keys = (key, weight_key)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        s = F.concat(F.lit(self.salt), F.col(self.key).cast("string"))
+        u = (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("double")
+             / F.lit(float(1 << 60)))
+        stats = df.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(F.col(self.weight_key)).cast("double").alias("_s"))
+        return (df.crossJoin(F.broadcast(stats))
+                .filter(u < F.lit(self.rate)
+                        * ((F.col(self.weight_key) * F.col("_n"))
+                           / F.col("_s")))
+                .drop("_n", "_s"))

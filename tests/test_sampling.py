@@ -58,3 +58,27 @@ def test_sequence_packing_sharded_no_global_sort(spark):
 
     per_pack = Counter(r.pack_id for r in rows)
     assert all(n * 50 <= 500 + 50 for n in per_pack.values())
+
+
+def test_weighted_hash_sample(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        # two weight classes: heavy rows weigh 9x the light ones
+        F.when(F.col("id") % 2 == 0, 90).otherwise(10).alias("w"))
+    op = get_operator("WeightedHashSampleFilter", {
+        "key": "doc_id", "weight_key": "w", "rate": 0.1})
+    kept = op.run(df).collect()
+    frac = len(kept) / 20000
+    assert 0.08 < frac < 0.12  # expected fraction ~ rate
+    heavy = sum(1 for r in kept if r["w"] == 90)
+    light = len(kept) - heavy
+    # heavy rows should be sampled ~9x as often
+    assert heavy > 5 * max(light, 1)
+    # deterministic across runs
+    again = op.run(df).collect()
+    assert sorted(r["doc_id"] for r in kept) == \
+        sorted(r["doc_id"] for r in again)
