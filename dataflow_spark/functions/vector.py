@@ -95,3 +95,38 @@ def hyperplane_bands_udf(num_planes: int = 16, num_bands: int = 4,
         return pd.Series(out)
 
     return bands
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) key interleaving the bit patterns of N already-
+    quantized integer columns (each in [0, 2**bits)).
+
+    Multi-dimensional clustering for data skipping: sorting by the
+    interleaved key keeps rows close in EVERY dimension close in file
+    order, so per-file min/max ranges stay tight on all participating
+    columns at once (single-column range clustering only helps its own
+    column). Pure Column arithmetic — no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs >= 1 column")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(1)
+            key = key + F.shiftleft(bit, b * n + j)
+    return key
+
+
+def quantize_rank(col, bits: int = 16):
+    """Equi-depth quantization of any orderable column to [0, 2**bits):
+    floor(percent_rank * (2**bits - 1)). Rank-based, so skewed
+    distributions still spread across the full code space."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy().orderBy(col)
+    return F.floor(F.percent_rank().over(w)
+                   * F.lit((1 << bits) - 1)).cast("long")

@@ -389,3 +389,42 @@ class LLMLanguageFilter(Operator):
                       self.input_key, "_lang_raw")
         code = F.regexp_extract(F.lower(F.col("_lang_raw")), r"\b([a-z]{2,3})\b", 1)
         return out.filter(code.isin(self.allowed)).drop("_lang_raw")
+
+
+@OPERATOR_REGISTRY.register()
+class CompressionRatioEvaluator(Operator):
+    """Add ``compression_ratio``: len(zlib(text, level=6)) / len(text).
+
+    The classic cheap repetitiveness signal (used alongside the Gopher
+    heuristics): highly repetitive/templated text compresses far below
+    natural prose (~0.3-0.6), so a LOW ratio flags boilerplate and a
+    ratio near/above 1 flags random or already-compressed content.
+    Arrow-batched pandas UDF (zlib is C-speed per batch); deterministic
+    for a fixed zlib level. Not SQL-expressible, so this operator is
+    covered by unit tests rather than the DuckDB oracle contract.
+    """
+
+    def __init__(self, input_key: str = "text",
+                 output_key: str = "compression_ratio", level: int = 6):
+        self.input_key, self.output_key = input_key, output_key
+        self.level = level
+        self.input_keys = (input_key,)
+        self.output_keys = (output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        import zlib
+
+        from pyspark.sql.functions import pandas_udf
+
+        level = self.level
+
+        @pandas_udf("double")
+        def ratio(s: pd.Series) -> pd.Series:
+            def one(t):
+                if t is None or len(t) == 0:
+                    return None
+                raw = t.encode("utf-8", "ignore")
+                return len(zlib.compress(raw, level)) / len(raw)
+            return s.map(one)
+
+        return df.withColumn(self.output_key, ratio(F.col(self.input_key)))

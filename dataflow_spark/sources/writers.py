@@ -73,6 +73,8 @@ def export_training_corpus(df: DataFrame, path: str,
                            cluster_by: list[str] | None = None,
                            shuffle_seed: str | None = None,
                            shuffle_key: str = "doc_id",
+                           zorder: bool = False,
+                           num_files: int | None = None,
                            mode: str = "overwrite", **options) -> None:
     """Curated-corpus export layout for the 100 TB read path:
 
@@ -90,25 +92,48 @@ def export_training_corpus(df: DataFrame, path: str,
     reproducible across runs/engines), the layout training ingestion
     wants; ``cluster_by`` is ignored in that mode.
 
+    With ``zorder=True`` and >= 2 ``cluster_by`` columns, rows are
+    ordered by a Morton (Z-order) key over the rank-quantized cluster
+    columns instead of lexicographic range order: per-file min/max
+    ranges stay tight on EVERY cluster column, so parquet row-group
+    skipping works for predicates on any of them (lexicographic order
+    only skips on the leading column).
+
     One range shuffle total; the write itself is parallel per task.
     """
     from pyspark.sql import functions as F
 
     partition_by = list(partition_by or [])
     cluster_by = list(cluster_by or [])
+    # explicit file-count control (per partition dir); without it the
+    # range shuffle follows spark.sql.shuffle.partitions and AQE may
+    # coalesce small outputs to fewer files
+    nf = ([num_files] if num_files else [])
     out = df
     if shuffle_seed is not None:
         hx = F.md5(F.concat(F.lit(shuffle_seed),
                             F.col(shuffle_key).cast("string")))
         out = (df.withColumn("_shuf", hx)
-               .repartitionByRange(*[F.col(c) for c in partition_by],
+               .repartitionByRange(*nf,
+                                   *[F.col(c) for c in partition_by],
                                    F.col("_shuf"))
                .sortWithinPartitions(*(partition_by + ["_shuf"]))
                .drop("_shuf"))
+    elif zorder and len(cluster_by) >= 2:
+        from dataflow_spark.functions.vector import quantize_rank, zorder_key
+
+        zk = zorder_key([quantize_rank(F.col(c)) for c in cluster_by])
+        out = (df.withColumn("_zk", zk)
+               .repartitionByRange(*nf,
+                                   *[F.col(c) for c in partition_by],
+                                   F.col("_zk"))
+               .sortWithinPartitions(*(partition_by + ["_zk"]))
+               .drop("_zk"))
     else:
         keys = [F.col(c) for c in (partition_by + cluster_by)]
         if keys:
-            out = out.repartitionByRange(*keys).sortWithinPartitions(*keys)
+            out = (out.repartitionByRange(*nf, *keys)
+                   .sortWithinPartitions(*keys))
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

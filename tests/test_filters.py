@@ -117,3 +117,26 @@ def test_quality_score_udf_matches_expression_path(spark, docs):
     a = {r["doc_id"]: r["quality_score"] for r in fast.collect()}
     b = {r["doc_id"]: r["quality_score"] for r in expr.collect()}
     assert a == b  # bit-identical, not approx
+
+
+def test_compression_ratio(spark):
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.createDataFrame([
+        (1, "spam " * 400),                 # highly repetitive
+        (2, "The committee convened to discuss watershed management, "
+            "reviewing hydrological surveys and stakeholder feedback "
+            "before drafting the final allocation proposal."),
+        (3, ""),
+        (4, None),
+    ], "doc_id: long, text: string")
+    op = get_operator("CompressionRatioEvaluator", {})
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in op.run(df).collect()}
+    assert got[1] < 0.05          # repetition compresses away
+    assert 0.3 < got[2] < 1.0     # natural prose
+    assert got[1] < got[2]
+    assert got[3] is None and got[4] is None
+    # deterministic
+    again = {r["doc_id"]: r["compression_ratio"] for r in op.run(df).collect()}
+    assert got == again

@@ -166,3 +166,42 @@ def test_global_shuffle_operator(spark):
     # positions within a shard are a contiguous 1..n sequence
     for shard, entries in expect.items():
         assert sorted(e[2] for e in entries) == list(range(1, len(entries) + 1))
+
+
+def test_export_zorder_tightens_both_dims(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.sources.writers import export_training_corpus
+
+    # two independent dimensions; lexicographic clustering on (a, b)
+    # leaves per-file b-ranges at full width, z-order tightens both
+    df = (spark.range(4096)
+          .select(F.col("id").alias("a"),
+                  F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("b")))
+
+    def mean_range(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            vals = pq.read_table(f, columns=[col])[col].to_pylist()
+            if vals:
+                spans.append(max(vals) - min(vals))
+        return sum(spans) / len(spans)
+
+    lex, zo = str(tmp_path / "lex"), str(tmp_path / "zo")
+    export_training_corpus(df, lex, cluster_by=["a", "b"], num_files=16)
+    export_training_corpus(df, zo, cluster_by=["a", "b"],
+                           zorder=True, num_files=16)
+
+    n_lex = spark.read.parquet(lex).count()
+    n_zo = spark.read.parquet(zo).count()
+    assert n_lex == n_zo == 4096
+
+    # a-dim: lexicographic is optimal; z-order must stay comparable
+    # b-dim: z-order must be far tighter than the (near-full-width)
+    # lexicographic layout
+    assert mean_range(zo, "b") < 0.5 * mean_range(lex, "b")
+    assert mean_range(zo, "a") < 4096  # both dims bounded, not just one

@@ -196,3 +196,56 @@ def test_sliding_counts_overlap(spark):
     starts = [s for s, _ in rows]
     assert starts[0] == dt.datetime(2024, 1, 1, 9, 15)
     assert starts[-1] == dt.datetime(2024, 1, 1, 10, 0)
+
+
+def test_streaming_incremental_neardedup(spark, tmp_path):
+    """CDC-style corpus refresh: each micro-batch of new docs is
+    near-dup-filtered against the growing archive inside foreachBatch,
+    and survivors append to the archive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.core.registry import get_operator
+
+    src = str(tmp_path / "incoming")
+    archive = str(tmp_path / "archive")
+    chk = str(tmp_path / "chk")
+    base = "a long enough seed document about structured streaming state"
+
+    # seed the archive
+    spark.createDataFrame([(0, base)], ["doc_id", "text"]) \
+        .write.parquet(archive)
+    # two incoming batches: one near-dup of the archive, one fresh,
+    # then a near-dup of batch-1's fresh doc
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, base + "!"), (2, "an entirely new doc about z-ordering")],
+        ["doc_id", "text"]).write.parquet(src + "/b1")
+    op = get_operator("IncrementalMinHashDedupFilter", {
+        "input_key": "text", "order_key": "doc_id", "threshold": 0.7})
+
+    def refresh(batch_df, _bid):
+        existing = batch_df.sparkSession.read.parquet(archive)
+        kept = op.run(batch_df, existing=existing)
+        kept.write.mode("append").parquet(archive)
+
+    schema = "doc_id long, text string"
+
+    def run_once():
+        q = (spark.readStream.schema(schema).parquet(src + "/*")
+             .writeStream.foreachBatch(refresh)
+             .option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["doc_id"] for r in spark.read.parquet(archive).collect()}
+    assert got == {0, 2}  # doc 1 died against the archive seed
+
+    spark.createDataFrame(
+        [(3, "an entirely new doc about z-ordering!!")],  # near-dup of 2
+        ["doc_id", "text"]).write.parquet(src + "/b2")
+    run_once()
+    got = {r["doc_id"] for r in spark.read.parquet(archive).collect()}
+    assert got == {0, 2}  # doc 3 died against the refreshed archive
