@@ -5274,6 +5274,30 @@ def q_weighted_sample(spark, sf_dir):
     return op.run(docs).select("doc_id")
 
 
+@q("q_normalize_robust", """
+WITH s AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.5) AS med,
+         quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25)
+           AS iqr
+  FROM documents GROUP BY lang)
+SELECT doc_id, lang,
+       round(CASE WHEN iqr > 0
+                  THEN (n_chars - med) / iqr ELSE 0.0 END, 6) AS nscore
+FROM documents JOIN s USING (lang)
+""")
+def q_normalize_robust(spark, sf_dir):
+    """Per-language robust normalization (median/IQR, exact interpolated
+    percentiles): one tiny per-group stats aggregate broadcast back,
+    transform stays columnar."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("NormalizeScoresOperator", {
+        "input_key": "n_chars", "group_key": "lang", "method": "robust",
+        "output_key": "nscore"})
+    return (op.run(docs)
+            .select("doc_id", "lang", F.round("nscore", 6).alias("nscore")))
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5341,6 +5365,7 @@ _NEW_R3 = [
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
     "q_rolling_anomaly", "d_incremental_minhash", "q_weighted_sample",
+    "q_normalize_robust",
 ]
 
 

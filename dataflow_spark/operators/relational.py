@@ -347,3 +347,50 @@ class HistogramOperator(Operator):
                                    + (F.col("bin") + 1) * width), 6)
                      .alias("hi"),
                      F.count(F.lit(1)).alias("n_rows")))
+
+
+@OPERATOR_REGISTRY.register()
+class NormalizeScoresOperator(Operator):
+    """Normalize a numeric column within each group: the score-fusion
+    prep step before combining heterogeneous quality signals.
+
+    methods: ``zscore`` (x-mean)/std, ``minmax`` (x-min)/(max-min),
+    ``robust`` (x-median)/IQR (exact interpolated percentiles —
+    outlier-resistant). Group statistics are one tiny aggregate
+    broadcast back; the transform stays columnar. Degenerate groups
+    (zero spread) normalize to 0.0.
+    """
+
+    METHODS = ("zscore", "minmax", "robust")
+
+    def __init__(self, input_key: str = "quality_score",
+                 group_key: str | None = None, method: str = "zscore",
+                 output_key: str | None = None):
+        if method not in self.METHODS:
+            raise ValueError(f"method must be one of {self.METHODS}")
+        self.input_key, self.group_key = input_key, group_key
+        self.method = method
+        self.output_key = output_key or f"{input_key}_{method}"
+        self.input_keys = ((input_key, group_key) if group_key
+                           else (input_key,))
+        self.output_keys = (self.output_key,)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        x = F.col(self.input_key).cast("double")
+        if self.method == "zscore":
+            aggs = [F.avg(x).alias("_c"), F.stddev_samp(x).alias("_s")]
+        elif self.method == "minmax":
+            aggs = [F.min(x).alias("_c"),
+                    (F.max(x) - F.min(x)).alias("_s")]
+        else:
+            pct = f"percentile({self.input_key}, array(0.25, 0.5, 0.75))"
+            aggs = [F.expr(pct)[1].alias("_c"),
+                    (F.expr(pct)[2] - F.expr(pct)[0]).alias("_s")]
+        if self.group_key:
+            stats = df.groupBy(self.group_key).agg(*aggs)
+            joined = df.join(F.broadcast(stats), self.group_key)
+        else:
+            joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        norm = F.when(F.col("_s") > 0, (x - F.col("_c")) / F.col("_s")) \
+                .otherwise(F.lit(0.0))
+        return joined.withColumn(self.output_key, norm).drop("_c", "_s")

@@ -102,3 +102,25 @@ def test_histogram_constant_column(spark):
     op = get_operator("HistogramOperator", {"input_key": "x", "bins": 5})
     [row] = op.run(df).collect()
     assert row["bin"] == 0 and row["n_rows"] == 4
+
+
+def test_normalize_scores_methods(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 10.0), (3, "a", 20.0),
+         (4, "b", 5.0), (5, "b", 5.0)],  # degenerate group
+        ["doc_id", "grp", "x"])
+    for method, expect in [
+        ("minmax", {1: 0.0, 2: 0.5, 3: 1.0, 4: 0.0, 5: 0.0}),
+        ("zscore", {2: 0.0}),    # mean row
+        ("robust", {2: 0.0}),    # median row
+    ]:
+        op = get_operator("NormalizeScoresOperator", {
+            "input_key": "x", "group_key": "grp", "method": method,
+            "output_key": "n"})
+        got = {r["doc_id"]: r["n"] for r in op.run(df).collect()}
+        for k, v in expect.items():
+            assert got[k] == pytest.approx(v), (method, k)
+        # degenerate group always maps to 0
+        assert got[4] == got[5] == 0.0
+    with pytest.raises(ValueError):
+        get_operator("NormalizeScoresOperator", {"method": "nope"})
