@@ -5153,36 +5153,40 @@ WITH
 e2 AS (SELECT src AS s, dst AS t FROM edges
        UNION SELECT dst, src FROM edges),
 nodes AS (SELECT DISTINCT s AS node FROM e2),
-n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+n AS (SELECT count(*)::BIGINT AS n FROM nodes),
 deg AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
-p0 AS (SELECT node, round(1.0 / n.n, 9) AS pr FROM nodes, n),
+p0 AS (SELECT node, 1000000000 // n.n AS pr FROM nodes, n),
 p1 AS (SELECT nd.node,
-              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+              150000000000 // (1000 * n.n)
+              + (850 * coalesce(i.m, 0)) // 1000 AS pr
        FROM nodes nd
-       LEFT JOIN (SELECT e2.t, sum(p0.pr / deg.d) AS m
+       LEFT JOIN (SELECT e2.t, sum(p0.pr // deg.d) AS m
                   FROM e2 JOIN p0 ON p0.node = e2.s
                           JOIN deg ON deg.s = e2.s
                   GROUP BY e2.t) i ON i.t = nd.node, n),
 p2 AS (SELECT nd.node,
-              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+              150000000000 // (1000 * n.n)
+              + (850 * coalesce(i.m, 0)) // 1000 AS pr
        FROM nodes nd
-       LEFT JOIN (SELECT e2.t, sum(p1.pr / deg.d) AS m
+       LEFT JOIN (SELECT e2.t, sum(p1.pr // deg.d) AS m
                   FROM e2 JOIN p1 ON p1.node = e2.s
                           JOIN deg ON deg.s = e2.s
                   GROUP BY e2.t) i ON i.t = nd.node, n),
 p3 AS (SELECT nd.node,
-              round((1.0 - 0.85) / n.n + 0.85 * coalesce(i.m, 0.0), 9) AS pr
+              150000000000 // (1000 * n.n)
+              + (850 * coalesce(i.m, 0)) // 1000 AS pr
        FROM nodes nd
-       LEFT JOIN (SELECT e2.t, sum(p2.pr / deg.d) AS m
+       LEFT JOIN (SELECT e2.t, sum(p2.pr // deg.d) AS m
                   FROM e2 JOIN p2 ON p2.node = e2.s
                           JOIN deg ON deg.s = e2.s
                   GROUP BY e2.t) i ON i.t = nd.node, n)
-SELECT node, pr AS pagerank FROM p3
+SELECT node, pr / 1000000000.0 AS pagerank FROM p3
 """)
 def q_pagerank(spark, sf_dir):
     """PageRank (3 power iterations, d=0.85) over the symmetrized
     co-error graph: per iteration one edge->rank join + one dst
-    aggregation, fully lazy, quantized ranks for engine determinism."""
+    aggregation, fully lazy; exact fixed-point integer ranks make the
+    result bit-identical regardless of engine or summation order."""
     edges = _coerror_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

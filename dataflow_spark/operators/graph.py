@@ -16,9 +16,11 @@ Scale posture:
 - ``PageRankOperator`` runs a FIXED number of power iterations as pure
   DataFrame ops — per iteration one join edges->ranks (shuffle on src),
   one aggregation on dst, one left join back to the node set. No driver
-  round-trips at all: the returned frame is a single lazy plan.
-  Per-iteration rank quantization (``round_digits``) keeps results
-  engine-deterministic (the DuckDB oracle unrolls the same iterations).
+  round-trips at all: the returned frame is a single lazy plan. Ranks
+  are EXACT FIXED-POINT integers (scale 1e9, damping as a rational):
+  integer sums are associative, so the result is bit-identical on any
+  engine and any partitioning — float quantization would still flip
+  rounding half-boundaries under summation-order changes.
 """
 
 from __future__ import annotations
@@ -66,49 +68,65 @@ class PageRankOperator(Operator):
     Standard damped PageRank, ``n_iter`` power iterations from the
     uniform vector; dangling nodes (no out-edges) keep their mass
     (no redistribution), the common simplification. Parallel edges are
-    collapsed (the graph is simple). Ranks are quantized to
-    ``round_digits`` decimals after every iteration so the fixed-point
-    trajectory is identical on any engine.
+    collapsed (the graph is simple).
+
+    Arithmetic is exact fixed-point: ranks are integers at SCALE=1e9
+    and damping is the rational round(damping*1000)/1000, so every
+    iteration is integer adds and floor-divisions — associative,
+    therefore bit-identical across engines, partitionings, and runs.
+    The output ``pagerank`` is the fixed-point value / 1e9.
     """
 
+    SCALE = 10 ** 9
+
     def __init__(self, src: str = "src", dst: str = "dst",
-                 damping: float = 0.85, n_iter: int = 3,
-                 round_digits: int = 9):
+                 damping: float = 0.85, n_iter: int = 3):
         if not 0.0 < damping < 1.0:
             raise ValueError("damping must be in (0, 1)")
         if n_iter < 0:
             raise ValueError("n_iter must be >= 0")
         self.src, self.dst = src, dst
         self.damping, self.n_iter = float(damping), int(n_iter)
-        self.round_digits = round_digits
+        #: damping as an exact rational (num/1000)
+        self.d_num = round(self.damping * 1000)
         self.input_keys = (src, dst)
         self.output_keys = ("node", "pagerank")
 
+    @staticmethod
+    def _idiv(a, b):
+        # floor(a/b) on positive longs: the double quotient is correctly
+        # rounded and magnitudes stay << 2^53, so floor never flips
+        return F.floor(a / b).cast("long")
+
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
-        d = self.damping
+        S, dn = self.SCALE, self.d_num
         edges = df.select(F.col(self.src).cast("long").alias("_s"),
                           F.col(self.dst).cast("long").alias("_t")).distinct()
         nodes = (edges.select(F.col("_s").alias("node"))
                  .unionByName(edges.select(F.col("_t").alias("node")))
                  .distinct())
-        nstat = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        nstat = nodes.agg(F.count(F.lit(1)).alias("_n"))
         deg = edges.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
         # out-degree rides along with the edge list: computed once
         eo = edges.join(deg, "_s")
 
         pr = (nodes.crossJoin(F.broadcast(nstat))
-              .select("node", F.round(F.lit(1.0) / F.col("_n"),
-                                      self.round_digits).alias("pagerank")))
+              .select("node",
+                      self._idiv(F.lit(S), F.col("_n")).alias("_pr")))
         for _ in range(self.n_iter):
             contrib = (eo.join(pr.withColumnRenamed("node", "_s"), "_s")
                        .groupBy("_t")
-                       .agg(F.sum(F.col("pagerank") / F.col("_deg"))
+                       .agg(F.sum(self._idiv(F.col("_pr"), F.col("_deg")))
                             .alias("_in")))
             pr = (nodes.join(contrib.withColumnRenamed("_t", "node"),
                              "node", "left")
                   .crossJoin(F.broadcast(nstat))
-                  .select("node", F.round(
-                      (1.0 - d) / F.col("_n")
-                      + d * F.coalesce(F.col("_in"), F.lit(0.0)),
-                      self.round_digits).alias("pagerank")))
-        return pr
+                  .select("node", (
+                      self._idiv(F.lit((1000 - dn) * S),
+                                 F.lit(1000) * F.col("_n"))
+                      + self._idiv(F.lit(dn)
+                                   * F.coalesce(F.col("_in"), F.lit(0)),
+                                   F.lit(1000))).alias("_pr")))
+        return pr.select(
+            "node", (F.col("_pr") / F.lit(float(self.SCALE)))
+            .alias("pagerank"))
