@@ -5302,6 +5302,43 @@ def q_normalize_robust(spark, sf_dir):
             .select("doc_id", "lang", F.round("nscore", 6).alias("nscore")))
 
 
+@q("q_unpivot", """
+SELECT o_orderkey, name, CAST(value AS DOUBLE) AS value
+FROM (SELECT o_orderkey, o_totalprice, o_custkey::DOUBLE AS o_custkey
+      FROM orders)
+UNPIVOT (value FOR name IN (o_totalprice, o_custkey))
+""")
+def q_unpivot(spark, sf_dir):
+    """Wide->long melt of two order measures: expression-level expand,
+    zero shuffles."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey"))
+    op = get_operator("UnpivotOperator", {
+        "id_columns": ["o_orderkey"],
+        "value_columns": ["o_totalprice", "o_custkey"],
+        "var_name": "name", "value_name": "value"})
+    return op.run(orders)
+
+
+@q("q_topk_per_group", """
+SELECT doc_id, lang, n_chars, rnk FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 5
+""")
+def q_topk_per_group(spark, sf_dir):
+    """Quota selection: 5 longest docs per language (deterministic
+    tie-break on doc_id), one shuffle on the group key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    op = get_operator("TopKPerGroupOperator", {
+        "group_key": "lang", "order_key": "n_chars", "k": 5,
+        "tie_key": "doc_id", "rank_key": "rnk"})
+    return op.run(docs)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5369,7 +5406,7 @@ _NEW_R3 = [
     "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
     "q_rolling_anomaly", "d_incremental_minhash", "q_weighted_sample",
-    "q_normalize_robust",
+    "q_normalize_robust", "q_unpivot", "q_topk_per_group",
 ]
 
 

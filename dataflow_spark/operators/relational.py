@@ -394,3 +394,60 @@ class NormalizeScoresOperator(Operator):
         norm = F.when(F.col("_s") > 0, (x - F.col("_c")) / F.col("_s")) \
                 .otherwise(F.lit(0.0))
         return joined.withColumn(self.output_key, norm).drop("_c", "_s")
+
+
+@OPERATOR_REGISTRY.register()
+class UnpivotOperator(Operator):
+    """Wide -> long reshaping (melt): one output row per (id_columns,
+    value column). The inverse of pivot, built on Spark's native
+    ``unpivot`` (expression-level, no shuffle at all — each input row
+    expands locally)."""
+
+    def __init__(self, id_columns: list[str],
+                 value_columns: list[str],
+                 var_name: str = "variable", value_name: str = "value"):
+        if not value_columns:
+            raise ValueError("value_columns must be non-empty")
+        self.id_columns = list(id_columns)
+        self.value_columns = list(value_columns)
+        self.var_name, self.value_name = var_name, value_name
+        self.input_keys = tuple(id_columns) + tuple(value_columns)
+        self.output_keys = (var_name, value_name)
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        return df.unpivot(self.id_columns, self.value_columns,
+                          self.var_name, self.value_name)
+
+
+@OPERATOR_REGISTRY.register()
+class TopKPerGroupOperator(Operator):
+    """Keep the top ``k`` rows per group by ``order_key`` (desc by
+    default), ties broken by ``tie_key`` asc for determinism — the
+    generic quota-selection verb (best-k docs per language, latest-k
+    events per user). One shuffle on the group key; with AQE the
+    per-group sort never materializes the full partition."""
+
+    def __init__(self, group_key: str = "lang",
+                 order_key: str = "quality_score", k: int = 10,
+                 descending: bool = True, tie_key: str = "doc_id",
+                 rank_key: str | None = None):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.group_key, self.order_key, self.k = group_key, order_key, k
+        self.descending, self.tie_key = descending, tie_key
+        self.rank_key = rank_key
+        self.input_keys = (group_key, order_key, tie_key)
+        self.output_keys = (rank_key,) if rank_key else ()
+
+    def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        from pyspark.sql import Window
+
+        oc = (F.col(self.order_key).desc() if self.descending
+              else F.col(self.order_key).asc())
+        win = Window.partitionBy(self.group_key).orderBy(
+            oc, F.col(self.tie_key).asc())
+        out = (df.withColumn("_rn", F.row_number().over(win))
+               .filter(F.col("_rn") <= self.k))
+        if self.rank_key:
+            return out.withColumnRenamed("_rn", self.rank_key)
+        return out.drop("_rn")

@@ -124,3 +124,27 @@ def test_normalize_scores_methods(spark):
         assert got[4] == got[5] == 0.0
     with pytest.raises(ValueError):
         get_operator("NormalizeScoresOperator", {"method": "nope"})
+
+
+def test_unpivot_operator(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "a", "b"])
+    op = get_operator("UnpivotOperator", {
+        "id_columns": ["id"], "value_columns": ["a", "b"]})
+    got = {(r["id"], r["variable"]): r["value"]
+           for r in op.run(df).collect()}
+    assert got == {(1, "a"): 10.0, (1, "b"): 20.0}
+    with pytest.raises(ValueError):
+        get_operator("UnpivotOperator", {"id_columns": ["id"],
+                                         "value_columns": []})
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 9), (3, "x", 9), (4, "x", 1), (5, "y", 2)],
+        ["doc_id", "grp", "score"])
+    op = get_operator("TopKPerGroupOperator", {
+        "group_key": "grp", "order_key": "score", "k": 2,
+        "tie_key": "doc_id", "rank_key": "r"})
+    got = {(r["grp"], r["r"]): r["doc_id"] for r in op.run(df).collect()}
+    # ties (9, 9) break by doc_id asc
+    assert got == {("x", 1): 2, ("x", 2): 3, ("y", 1): 5}
