@@ -5339,6 +5339,39 @@ def q_topk_per_group(spark, sf_dir):
     return op.run(docs)
 
 
+@q("q_containment_join", """
+WITH l AS (SELECT doc_id, substr(text, 1, 40) AS text
+           FROM documents WHERE doc_id % 10 = 0),
+shl AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(text) >= 5
+               THEN list_transform(generate_series(1, len(text) - 4),
+                                   i -> substr(text, i, 5))
+               ELSE [text] END) AS s FROM l),
+shr AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(text) >= 5
+               THEN list_transform(generate_series(1, len(text) - 4),
+                                   i -> substr(text, i, 5))
+               ELSE [text] END) AS s FROM documents)
+SELECT shl.doc_id AS left_id, shr.doc_id AS right_id,
+       round(len(list_intersect(shl.s, shr.s))::DOUBLE
+             / len(shl.s), 6) AS containment
+FROM shl, shr
+WHERE len(list_intersect(shl.s, shr.s))::DOUBLE / len(shl.s) >= 0.9
+""")
+def q_containment_join(spark, sf_dir):
+    """Quote detection: 40-char excerpts matched back into the corpus by
+    shingle CONTAINMENT (|A∩B|/|A| >= 0.9) — asymmetric similarity the
+    Jaccard join cannot express (a short quote inside a long doc has
+    tiny Jaccard but containment 1.0)."""
+    docs = _t(spark, sf_dir, "documents")
+    left = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.substring("text", 1, 40).alias("text")))
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": 0.9, "mode": "char", "shingle_n": 5,
+        "metric": "containment"})
+    return op.run(left, right=docs)
+
+
 # The driver samples the contract in order each round, so order the dict
 # to maximize fresh verification coverage:
 #   1. re-verify head: queries that failed or had no oracle in earlier
@@ -5407,6 +5440,7 @@ _NEW_R3 = [
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
     "q_rolling_anomaly", "d_incremental_minhash", "q_weighted_sample",
     "q_normalize_robust", "q_unpivot", "q_topk_per_group",
+    "q_containment_join",
 ]
 
 

@@ -54,21 +54,32 @@ class FuzzyJoinOperator(Operator):
     (robust to word-order edits — near-dup detection across tables);
     ``mode='words'`` compares distinct lowercased word sets (classic
     entity resolution on short strings). ``run(left, right=right)``.
+
+    ``metric='jaccard'`` (default) matches on |A∩B|/|A∪B|;
+    ``metric='containment'`` matches on |A∩B|/|A| — "the LEFT set is
+    mostly contained in the right" (quote detection, subset/extract
+    matching, left-side boilerplate lookup). Containment keeps the
+    left-prefix pigeonhole guarantee (any (1-t)|A|+1 elements of A hit
+    B when containment >= t) but the right side must index ALL its
+    elements, and only |B| >= t|A| is a valid length bound.
     """
 
     def __init__(self, threshold: float = 0.7, mode: str = "char",
-                 shingle_n: int = 5,
+                 shingle_n: int = 5, metric: str = "jaccard",
                  left_key: str = "text", right_key: str = "text",
                  left_id: str = "doc_id", right_id: str = "doc_id"):
         if not 0.0 < threshold <= 1.0:
             raise ValueError("threshold must be in (0, 1]")
         if mode not in ("char", "words"):
             raise ValueError("mode must be 'char' or 'words'")
+        if metric not in ("jaccard", "containment"):
+            raise ValueError("metric must be 'jaccard' or 'containment'")
         self.threshold, self.mode, self.shingle_n = threshold, mode, shingle_n
+        self.metric = metric
         self.left_key, self.right_key = left_key, right_key
         self.left_id, self.right_id = left_id, right_id
         self.input_keys = (left_key, left_id)
-        self.output_keys = ("left_id", "right_id", "jaccard")
+        self.output_keys = ("left_id", "right_id", self.metric)
 
     def _sets(self, col: Column) -> Column:
         if self.mode == "char":
@@ -119,21 +130,34 @@ class FuzzyJoinOperator(Operator):
             .select("_side", "_id",
                     F.transform("_rs", lambda s: s["_p"]).alias("_rsh"))
         )
-        prefix_len = (F.floor((1.0 - t) * F.size("_rsh")) + 1).cast("int")
+        # left prefix is the pigeonhole block in both metrics; the right
+        # prefix can only prune under the symmetric (jaccard) metric
+        lpre_len = (F.floor((1.0 - t) * F.size("_rsh")) + 1).cast("int")
+        rpre_len = (lpre_len if self.metric == "jaccard"
+                    else F.size("_rsh"))
         prefix = ranked.select(
             "_side", "_id", F.size("_rsh").alias("_len"),
-            F.posexplode(F.slice("_rsh", 1, prefix_len)).alias("_pos", "_p"))
-        alpha = F.ceil(F.lit(t / (1.0 + t))
-                       * (F.col("a._len") + F.col("b._len")))
+            F.posexplode(F.slice(
+                "_rsh", 1,
+                F.when(F.col("_side") == "L", lpre_len)
+                .otherwise(rpre_len))).alias("_pos", "_p"))
+        if self.metric == "jaccard":
+            alpha = F.ceil(F.lit(t / (1.0 + t))
+                           * (F.col("a._len") + F.col("b._len")))
+            # length filter: Jaccard >= t forces t|A| <= |B| <= |A|/t
+            lenf = ((F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len")))
+                    & (F.col("a._len") >= F.ceil(F.lit(t) * F.col("b._len"))))
+        else:
+            # containment >= t needs overlap >= t|A|, and |B| >= t|A|
+            alpha = F.ceil(F.lit(t) * F.col("a._len"))
+            lenf = F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len"))
         bound = F.least(F.col("a._len") - F.col("a._pos"),
                         F.col("b._len") - F.col("b._pos"))
         cand = (
             prefix.filter(F.col("_side") == "L").alias("a")
             .join(prefix.filter(F.col("_side") == "R").alias("b"),
                   (F.col("a._p") == F.col("b._p")) & (bound >= alpha)
-                  # length filter: Jaccard >= t forces t|A| <= |B| <= |A|/t
-                  & (F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len")))
-                  & (F.col("a._len") >= F.ceil(F.lit(t) * F.col("b._len"))))
+                  & lenf)
             .select(F.col("a._id").alias("_lid"),
                     F.col("b._id").alias("_rid"))
             .distinct()
@@ -146,15 +170,18 @@ class FuzzyJoinOperator(Operator):
             cand.join(lsets, "_lid").join(rsets, "_rid")
             .withColumn("_ov", F.size(F.array_intersect("_sa", "_sb")))
             .withColumn(
-                "jaccard",
-                F.col("_ov").cast("double")
+                self.metric,
+                F.col("_ov").cast("double") / F.size("_sa")
+                if self.metric == "containment"
+                else F.col("_ov").cast("double")
                 / (F.size("_sa") + F.size("_sb") - F.col("_ov")))
-            .filter(F.col("jaccard") >= t)
-            .select("_lid", "_rid", F.round("jaccard", 6).alias("jaccard"))
+            .filter(F.col(self.metric) >= t)
+            .select("_lid", "_rid",
+                    F.round(self.metric, 6).alias(self.metric))
         )
         lmem = members.filter(F.col("_side") == "L").select(
             F.col("_sethash").alias("_lid"), F.col("_id").alias("left_id"))
         rmem = members.filter(F.col("_side") == "R").select(
             F.col("_sethash").alias("_rid"), F.col("_id").alias("right_id"))
         return (verified.join(lmem, "_lid").join(rmem, "_rid")
-                .select("left_id", "right_id", "jaccard"))
+                .select("left_id", "right_id", self.metric))

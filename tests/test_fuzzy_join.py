@@ -108,3 +108,40 @@ def test_randomized_matches_bruteforce(spark):
                 if len(a & b) / len(a | b) >= t:
                     want.add((li, ri))
         assert got == want, f"threshold {t}"
+
+
+def test_containment_matches_bruteforce(spark):
+    """Containment metric vs quadratic reference: short quotes embedded
+    in longer docs must be found even though their Jaccard is tiny."""
+    import random
+
+    rng = random.Random(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    quotes = [(i, " ".join(rng.choice(vocab) for _ in range(3)))
+              for i in range(12)]
+    docs = [(100 + i, q + " " + " ".join(rng.choice(vocab)
+                                         for _ in range(25)))
+            for i, (_, q) in enumerate(quotes)]
+    left = spark.createDataFrame(quotes, ["doc_id", "text"])
+    right = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def sh(t, n=4):
+        return ({t[i:i + n] for i in range(len(t) - n + 1)}
+                if len(t) >= n else {t})
+
+    t = 0.8
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": t, "mode": "char", "shingle_n": 4,
+        "metric": "containment"})
+    got = {(r["left_id"], r["right_id"]): r["containment"]
+           for r in op.run(left, right=right).collect()}
+    want = {}
+    for li, lt in quotes:
+        for ri, rt in docs:
+            a, b = sh(lt), sh(rt)
+            c = len(a & b) / len(a)
+            if c >= t:
+                want[(li, ri)] = round(c, 6)
+    assert got == want
+    # every quote is (at least) contained in the doc that embeds it
+    assert all(any(li == i for (li, ri) in got) for i in range(12))
