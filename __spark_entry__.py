@@ -5429,6 +5429,10 @@ _CHECKED_R2 = {
 }
 
 _CHECKED = _CHECKED_R1 | _CHECKED_R2
+# ROUND-4 NOTE: after the r3 driver check lands, fold the names sampled
+# in CORRECTNESS_r03.json into a _CHECKED_R3 set (and clear
+# _REVERIFY_HEAD entries it re-proved green) so the r4 sample spends its
+# 50 slots on still-unchecked queries.
 
 
 # Newest operators (added latest in round 3) — never driver-checked and
