@@ -664,18 +664,23 @@ def q_grouping_sets(spark, sf_dir):
 
 
 @q("q_region_nation_list", """
-SELECT r_name, list_sort(list(n_name)) AS nations
+SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """)
 def q_region_nation_list(spark, sf_dir):
     """Deterministic array aggregation: sorted nation list per region
-    (sort_array(collect_list) — order-insensitive under shuffle)."""
+    (sort_array(collect_list) — order-insensitive under shuffle).
+
+    The result is stringified with concat_ws so the driver's pandas
+    canonicalizer can hash it (array-typed result columns are
+    unhashable there — the only red row in CORRECTNESS_r03)."""
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     j = nation.join(region, nation.n_regionkey == region.r_regionkey)
     return j.groupBy("r_name").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"))
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
+        .alias("nations"))
 
 
 @q("q_pivot_status", """
@@ -5380,14 +5385,9 @@ def q_containment_join(spark, sf_dir):
 #   2. never-driver-checked queries;
 #   3. everything already green in r1/r2 (lowest information value).
 _REVERIFY_HEAD = [
-    # r1 PARQUET_TYPE_ILLEGAL failures, fixed by the NTZ normalization
-    "q_events_hourly", "q_sessionize", "q_count_distinct_users",
-    "q_top_events",
-    # no_oracle in r2, full-fidelity oracles added this round
-    "d_minhash_lsh", "d_simhash", "d_semantic", "s_knn_lsh", "s_knn_ivf",
-    "e_vendi_diversity", "e_task2vec_diversity",
-    # regressed to 2 rows in r2 window (stream schema drift), fixed
-    "q_stream_hourly",
+    # r3's only red row: array-typed result column crashed the driver's
+    # pandas canonicalizer; now stringified (concat_ws / array_to_string)
+    "q_region_nation_list",
 ]
 
 # Round-1 driver check covered these 50 names.
@@ -5428,29 +5428,32 @@ _CHECKED_R2 = {
     "e_model_score_hash", "e_langkit_readability", "g_mathbook_extract",
 }
 
-_CHECKED = _CHECKED_R1 | _CHECKED_R2
-# ROUND-4 NOTE: after the r3 driver check lands, fold the names sampled
-# in CORRECTNESS_r03.json into a _CHECKED_R3 set (and clear
-# _REVERIFY_HEAD entries it re-proved green) so the r4 sample spends its
-# 50 slots on still-unchecked queries.
-
-
-# Newest operators (added latest in round 3) — never driver-checked and
-# the least battle-tested code, so they carry the most information per
-# sample slot: right after the re-verify head.
-_NEW_R3 = [
-    "q_expectations", "q_bm25_topk", "q_global_shuffle", "q_fuzzy_join",
-    "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
+# Round-3 driver check covered these 50 names (CORRECTNESS_r03.json) —
+# 49 green; q_region_nation_list (canonicalizer crash, fixed above) stays
+# in _REVERIFY_HEAD until re-proven.
+_CHECKED_R3 = {
+    "q_events_hourly", "q_sessionize", "q_count_distinct_users",
+    "q_top_events", "d_minhash_lsh", "d_simhash", "d_semantic",
+    "s_knn_lsh", "s_knn_ivf", "e_vendi_diversity", "e_task2vec_diversity",
+    "q_stream_hourly", "q_expectations", "q_bm25_topk", "q_global_shuffle",
+    "q_fuzzy_join", "q_kmeans", "q_snapshot_diff", "q_upsert_latest",
     "q_connected_components", "q_pagerank", "q_pct_rank", "q_histogram",
     "q_rolling_anomaly", "d_incremental_minhash", "q_weighted_sample",
     "q_normalize_robust", "q_unpivot", "q_topk_per_group",
-    "q_containment_join",
-]
+    "q_containment_join", "q_asof_join", "q_range_join",
+    "q_hypertable_rollup", "q_pipeline_training_prep", "q_quality_quota",
+    "q_bucketed_join", "q_grouping_sets", "q_pivot_status",
+    "q_ntile_quality", "q_salted_agg", "q_corpus_profile", "q_hash_sample",
+    "q_token_packing", "x_decontaminate", "x_contamination_report",
+    "q_domain_mixture", "d_incremental_hash", "r_segment_dedup",
+    "t_gopher_repetition",
+}
+
+_CHECKED = _CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3
 
 
 def _ordered(d: dict) -> dict:
     out = {k: d[k] for k in _REVERIFY_HEAD if k in d}
-    out.update({k: d[k] for k in _NEW_R3 if k in d and k not in out})
     out.update({k: v for k, v in d.items()
                 if k not in out and k not in _CHECKED})
     out.update({k: v for k, v in d.items() if k not in out})
