@@ -354,3 +354,41 @@ def simhash_bands(sim: Column, num_bands: int = 4) -> Column:
             for i in range(num_bands)
         ]
     )
+
+
+# --- exact threshold arithmetic for similarity-join bounds ------------
+#
+# Prefix-filter / positional-filter bounds (PPJoin, Xiao et al. WWW'08)
+# are integer quantities derived from a float threshold t. Computing
+# them naively in IEEE doubles breaks exactly at the boundary: for
+# t=0.8, |A|=5, (1.0-0.8)*5 evaluates to 0.9999999999999998, its floor
+# is 0, and the prefix comes out one element SHORT — pairs at exactly
+# the threshold similarity can then generate no candidate, silently
+# violating the exact-recall pigeonhole guarantee. The epsilon guard
+# below restores integer-exact results for any threshold with a short
+# decimal representation (FP error ~1e-16 << eps=1e-9 << the smallest
+# fractional part such thresholds can produce on realistic set sizes).
+
+_THRESH_EPS = 1e-9
+
+
+def ceil_lower_bound(x: Column) -> Column:
+    """``ceil(x)`` where x is a *necessary lower bound* (t*|A|, etc.).
+
+    Guards against FP representing an exact integer k as k+1e-16, which
+    plain ``ceil`` would turn into k+1 — over-tightening the bound and
+    dropping true matches.
+    """
+    return F.ceil(x - F.lit(_THRESH_EPS))
+
+
+def prefix_length(threshold: float, size_col: Column) -> Column:
+    """PPJoin prefix length |A| - ceil(t*|A|) + 1, integer-exact.
+
+    Equal to floor((1-t)*|A|) + 1 in exact arithmetic; computed via the
+    epsilon-guarded ceil so the boundary cases (t=0.8 with |A|%5==0,
+    t=0.9 with |A|%10==0, ...) keep complete recall.
+    """
+    return (size_col
+            - ceil_lower_bound(F.lit(threshold) * size_col)
+            + 1).cast("int")

@@ -68,7 +68,10 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
             .agg(F.array_sort(F.collect_list(F.struct("_df", "_p"))).alias("_rs"))
             .select("_nd_id", F.transform("_rs", lambda s: s["_p"]).alias("_rsh"))
         )
-        prefix_len = (F.floor((1.0 - t) * F.size("_rsh")) + 1).cast("int")
+        # integer-exact prefix length (epsilon-guarded ceil): the naive
+        # float floor((1-t)*n)+1 is one element short at boundary
+        # thresholds (t=0.8 with n%5==0), breaking exact recall
+        prefix_len = H.prefix_length(t, F.size("_rsh"))
         prefix = ranked.select(
             F.col("_nd_id"), F.size("_rsh").alias("_len"),
             F.posexplode(F.slice("_rsh", 1, prefix_len)).alias("_pos", "_p"))
@@ -78,8 +81,8 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         # overlap ceil(t/(1+t) * (|A|+|B|)). Drops provably-sub-threshold
         # candidates before any set materializes — the big lever on
         # templated corpora where many docs share rare shingles.
-        alpha = F.ceil(F.lit(t / (1.0 + t))
-                       * (F.col("a._len") + F.col("b._len")))
+        alpha = H.ceil_lower_bound(F.lit(t / (1.0 + t))
+                                   * (F.col("a._len") + F.col("b._len")))
         bound = F.least(F.col("a._len") - F.col("a._pos"),
                         F.col("b._len") - F.col("b._pos"))
         cand = (

@@ -131,8 +131,10 @@ class FuzzyJoinOperator(Operator):
                     F.transform("_rs", lambda s: s["_p"]).alias("_rsh"))
         )
         # left prefix is the pigeonhole block in both metrics; the right
-        # prefix can only prune under the symmetric (jaccard) metric
-        lpre_len = (F.floor((1.0 - t) * F.size("_rsh")) + 1).cast("int")
+        # prefix can only prune under the symmetric (jaccard) metric.
+        # Integer-exact length (epsilon-guarded): the naive float
+        # floor((1-t)*n)+1 is one short at boundary thresholds.
+        lpre_len = H.prefix_length(t, F.size("_rsh"))
         rpre_len = (lpre_len if self.metric == "jaccard"
                     else F.size("_rsh"))
         prefix = ranked.select(
@@ -142,15 +144,18 @@ class FuzzyJoinOperator(Operator):
                 F.when(F.col("_side") == "L", lpre_len)
                 .otherwise(rpre_len))).alias("_pos", "_p"))
         if self.metric == "jaccard":
-            alpha = F.ceil(F.lit(t / (1.0 + t))
-                           * (F.col("a._len") + F.col("b._len")))
+            alpha = H.ceil_lower_bound(F.lit(t / (1.0 + t))
+                                       * (F.col("a._len") + F.col("b._len")))
             # length filter: Jaccard >= t forces t|A| <= |B| <= |A|/t
-            lenf = ((F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len")))
-                    & (F.col("a._len") >= F.ceil(F.lit(t) * F.col("b._len"))))
+            lenf = ((F.col("b._len")
+                     >= H.ceil_lower_bound(F.lit(t) * F.col("a._len")))
+                    & (F.col("a._len")
+                       >= H.ceil_lower_bound(F.lit(t) * F.col("b._len"))))
         else:
             # containment >= t needs overlap >= t|A|, and |B| >= t|A|
-            alpha = F.ceil(F.lit(t) * F.col("a._len"))
-            lenf = F.col("b._len") >= F.ceil(F.lit(t) * F.col("a._len"))
+            alpha = H.ceil_lower_bound(F.lit(t) * F.col("a._len"))
+            lenf = (F.col("b._len")
+                    >= H.ceil_lower_bound(F.lit(t) * F.col("a._len")))
         bound = F.least(F.col("a._len") - F.col("a._pos"),
                         F.col("b._len") - F.col("b._pos"))
         cand = (

@@ -145,3 +145,44 @@ def test_containment_matches_bruteforce(spark):
     assert got == want
     # every quote is (at least) contained in the doc that embeds it
     assert all(any(li == i for (li, ri) in got) for i in range(12))
+
+
+def test_boundary_threshold_exact_recall(spark):
+    """t=0.8 with |A|=5, |B|=4, overlap 4 (Jaccard exactly 0.8): the
+    naive float prefix length floor((1-0.8)*5)+1 evaluates to 1 under
+    IEEE doubles ((1.0-0.8)*5 == 0.9999...), and A's single prefix slot
+    is taken by its rare unique word — the pair generates no candidate
+    and is silently missed. Regression for the epsilon-guarded integer
+    prefix length (functions.hashing.prefix_length)."""
+    left = spark.createDataFrame(
+        [(0, "alpha beta gamma delta uniquetoken")], ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": 0.8, "mode": "words"})
+    got = [(r["left_id"], r["right_id"], r["jaccard"])
+           for r in op.run(left, right=right).collect()]
+    assert got == [(0, 1, 0.8)]
+
+
+def test_prefix_length_matches_exact_rational_math(spark):
+    """prefix_length == |A| - ceil(t|A|) + 1 computed with Fractions,
+    for every (t, n) on a boundary-dense grid."""
+    from fractions import Fraction
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions import hashing as H
+
+    thresholds = [0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]
+    rows = [(n,) for n in range(1, 41)]
+    df = spark.createDataFrame(rows, ["n"])
+    for t in thresholds:
+        got = {r["n"]: r["p"] for r in df.select(
+            "n", H.prefix_length(t, F.col("n")).alias("p")).collect()}
+        ft = Fraction(str(t))
+        for n in range(1, 41):
+            want = n - math.ceil(ft * n) + 1
+            assert got[n] == want, (t, n, got[n], want)
