@@ -32,6 +32,24 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 _WS = re.compile(r"\s+", re.ASCII)
 
 
+def _bounded_sample(df: DataFrame, col: str, max_rows: int,
+                    seed: int) -> np.ndarray:
+    """Deterministic bounded sample of an embedding column.
+
+    Rows are ranked by ``xxhash64(seed, value)`` — a CONTENT-derived
+    pseudo-random key, so the selected set is independent of partition
+    layout and row order (``F.rand(seed)`` is not: it re-seeds per
+    partition index, so a repartition changes the sample — and would
+    contradict the README's determinism contract). ``orderBy + limit``
+    plans as TakeOrderedAndProject (per-partition top-k + merge), not a
+    full global sort, so this stays cheap at corpus scale.
+    """
+    key = F.xxhash64(F.lit(seed), F.col(col))
+    rows = (df.select(F.col(col)).where(F.col(col).isNotNull())
+            .orderBy(key).limit(max_rows).collect())
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
 def _toks(s: str) -> list[str]:
     return [t for t in _WS.split((s or "").lower()) if t]
 
@@ -138,9 +156,7 @@ class VendiDatasetEvaluator(Operator):
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         if self.order == 2:
             return self._run_order2(df)
-        sample = (df.select(self.embedding_key)
-                  .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
-        X = np.array([r[0] for r in sample], dtype=np.float64)
+        X = _bounded_sample(df, self.embedding_key, self.max_rows, self.seed)
         n = len(X)
         spark = df.sparkSession
         if n == 0:
@@ -172,12 +188,9 @@ class MMDDatasetEvaluator(Operator):
     def run(self, df: DataFrame, other: DataFrame | None = None, **kw: Any) -> DataFrame:
         assert other is not None, "MMDDatasetEvaluator.run(df, other=df2)"
 
-        def sample(d: DataFrame) -> np.ndarray:
-            rows = (d.select(self.embedding_key)
-                    .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
-            return np.array([r[0] for r in rows], dtype=np.float64)
-
-        X, Y = sample(df), sample(other)
+        X = _bounded_sample(df, self.embedding_key, self.max_rows, self.seed)
+        Y = _bounded_sample(other, self.embedding_key, self.max_rows,
+                            self.seed)
         spark = df.sparkSession
         if len(X) == 0 or len(Y) == 0:
             return spark.createDataFrame([(len(X), len(Y), 0.0)],
@@ -294,9 +307,7 @@ class Task2VecDatasetEvaluator(Operator):
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         if self.order == 2:
             return self._run_order2(df)
-        sample = (df.select(self.embedding_key)
-                  .orderBy(F.rand(self.seed)).limit(self.max_rows).collect())
-        X = np.array([r[0] for r in sample], dtype=np.float64)
+        X = _bounded_sample(df, self.embedding_key, self.max_rows, self.seed)
         spark = df.sparkSession
         n = len(X)
         if n < 2:
