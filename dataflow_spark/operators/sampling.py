@@ -79,13 +79,22 @@ class SequencePackingOperator(Operator):
     Deterministic, single-pass, no driver state; a row larger than
     ``budget`` occupies its start bin (start-offset semantics,
     documented rather than split).
+
+    ``num_shards=None`` (default) derives the shard count from the
+    cluster's default parallelism at run time — so the running-sum
+    window never degenerates into a single task on a big corpus. The
+    derived count is ENVIRONMENT-dependent: pass an explicit
+    ``num_shards`` when pack ids must reproduce across clusters (the
+    contract query does). An explicit ``num_shards=1`` is honored but
+    runs the whole corpus through one unpartitioned window —
+    ``plans.assert_scalable`` flags that plan.
     """
 
     def __init__(self, token_key: str = "n_tokens", order_key: str = "doc_id",
-                 budget: int = 2048, num_shards: int = 1,
+                 budget: int = 2048, num_shards: int | None = None,
                  salt: str = "pack", hash_impl: str = "fast",
                  output_key: str = "pack_id"):
-        if budget <= 0 or num_shards <= 0:
+        if budget <= 0 or (num_shards is not None and num_shards <= 0):
             raise ValueError("budget and num_shards must be positive")
         self.token_key, self.order_key = token_key, order_key
         self.budget, self.num_shards = budget, num_shards
@@ -95,11 +104,25 @@ class SequencePackingOperator(Operator):
         self.output_keys = (output_key,)
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
-        shard = _bucket(F.col(self.order_key), self.num_shards, self.salt,
-                        self.hash_impl)
-        out = df.withColumn("_shard", shard)
-        w = Window.partitionBy("_shard").orderBy(F.col(self.order_key).asc()) \
-                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        n_shards = self.num_shards
+        if n_shards is None:
+            n_shards = max(
+                df.sparkSession.sparkContext.defaultParallelism, 1)
+        if n_shards == 1:
+            # single shard: drop the partition column so the plan shows
+            # an honest unpartitioned window (visible to the scale lint)
+            # instead of a constant partition key it can't recognize
+            out = df.withColumn("_shard", F.lit(0))
+            w = Window.orderBy(F.col(self.order_key).asc()) \
+                      .rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow)
+        else:
+            shard = _bucket(F.col(self.order_key), n_shards, self.salt,
+                            self.hash_impl)
+            out = df.withColumn("_shard", shard)
+            w = (Window.partitionBy("_shard")
+                 .orderBy(F.col(self.order_key).asc())
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         cum = F.sum(F.col(self.token_key).cast("long")).over(w)
         bin_id = F.floor((cum - F.col(self.token_key)) / F.lit(self.budget))
         return out.withColumn(

@@ -15,6 +15,10 @@ at 100 TB):
   O(n*m) pair blowup;
 - ``BatchEvalPython``: row-at-a-time Python in the hot path (use
   pandas_udf / mapInPandas — Arrow-batched — instead);
+- unpartitioned ``Window``: every row flows through ONE task (a global
+  sort + single-partition state) — fine on a lookup table, fatal on a
+  corpus. Partition the window (or pass ``allow_global_window=True``
+  for genuinely small frames);
 - scans reading far more columns than any operator consumes is
   reported in ``audit()['scans']`` for review (the engine cannot know
   intent, so it reports rather than raises).
@@ -60,8 +64,29 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
         scans.append({"table": table,
                       "pushed": pushed.group(1) if pushed else "",
                       "columns": cols})
+    # a Window node's Arguments line carries [exprs], [partitionSpec],
+    # [orderSpec]; the partition list is OMITTED (two lists, not three)
+    # when the window is unpartitioned — or partitioned by a constant,
+    # which Catalyst folds away: single-task global window either way
+    unpartitioned_windows = 0
+    for m in re.finditer(
+            r"\(\d+\) Window\n(?:.*\n)*?(?=\(\d+\)|\Z)", plan):
+        args = re.search(r"Arguments: (.*)", m.group(0))
+        if not args:
+            continue
+        depth, groups = 0, 0
+        for ch in args.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            unpartitioned_windows += 1
     return {
         "scans": scans,
+        "unpartitioned_windows": unpartitioned_windows,
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "broadcasts": len(re.findall(
             r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan)),
@@ -75,13 +100,16 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
     }
 
 
-def assert_scalable(df: DataFrame, allow_nested_loop: bool = False) -> dict:
+def assert_scalable(df: DataFrame, allow_nested_loop: bool = False,
+                    allow_global_window: bool = False) -> dict:
     """Raise ``PlanScaleError`` if the plan has a scale red flag.
 
     ``allow_nested_loop`` permits BroadcastNestedLoopJoin — legitimate
     when one side is a genuinely tiny broadcast (e.g. a single-row
     statistics frame); default-deny because an accidental one usually
-    means a missing join key.
+    means a missing join key. ``allow_global_window`` permits
+    unpartitioned Window nodes — legitimate over provably small frames
+    (a top-k result, a stats table), fatal over a corpus.
 
     Returns the audit dict on success so callers can log it.
     """
@@ -96,6 +124,11 @@ def assert_scalable(df: DataFrame, allow_nested_loop: bool = False) -> dict:
     if not allow_nested_loop and "BroadcastNestedLoopJoin" in plan:
         problems.append("BroadcastNestedLoopJoin (missing join key? "
                         "pass allow_nested_loop=True if intended)")
+    if not allow_global_window and a["unpartitioned_windows"]:
+        problems.append(
+            f"{a['unpartitioned_windows']} unpartitioned Window node(s) "
+            "(single-task global sort; partition the window or pass "
+            "allow_global_window=True for small frames)")
     if problems:
         raise PlanScaleError("; ".join(problems))
     return a

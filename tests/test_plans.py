@@ -44,3 +44,45 @@ def test_assert_scalable_rejects_row_python(spark):
     df = spark.range(10).select(slow(F.col("id")).alias("x"))
     with pytest.raises(PlanScaleError, match="BatchEvalPython"):
         assert_scalable(df)
+
+
+def test_assert_scalable_flags_single_shard_pack(spark):
+    """An explicit num_shards=1 pack pushes the whole corpus through one
+    unpartitioned running-sum window — the lint must fire."""
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.createDataFrame([(i, 100) for i in range(10)],
+                               "doc_id long, n_tokens long")
+    out = get_operator("SequencePackingOperator",
+                       {"budget": 300, "num_shards": 1}).run(df)
+    with pytest.raises(PlanScaleError, match="unpartitioned Window"):
+        assert_scalable(out)
+    # escape hatch for genuinely small frames
+    a = assert_scalable(out, allow_global_window=True)
+    assert a["unpartitioned_windows"] == 1
+
+
+def test_assert_scalable_passes_partitioned_window(spark):
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.createDataFrame([(i, 100) for i in range(40)],
+                               "doc_id long, n_tokens long")
+    out = get_operator("SequencePackingOperator",
+                       {"budget": 300, "num_shards": 4}).run(df)
+    a = assert_scalable(out)
+    assert a["unpartitioned_windows"] == 0
+
+
+def test_sequence_packing_default_shards_derived(spark):
+    """Default num_shards=None derives from cluster parallelism — the
+    single-task footgun default is gone."""
+    from dataflow_spark.core.registry import get_operator
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)],
+                               "doc_id long, n_tokens long")
+    out = get_operator("SequencePackingOperator", {"budget": 100}).run(df)
+    n_par = spark.sparkContext.defaultParallelism
+    shards = {r.pack_id.split("-")[0] for r in out.collect()}
+    assert len(shards) > 1  # local[32] => 32 derived shards
+    assert all(0 <= int(s) < n_par for s in shards)
+    assert_scalable(out)
