@@ -4991,7 +4991,8 @@ def _km_sql(k: int = 4, n_iter: int = 2, dim: int = 64,
             seed: str = "km") -> str:
     """Unrolled Lloyd's k-means oracle: n_iter assign+update rounds then
     a final assignment, mirroring KMeansClusteringOperator exactly
-    (md5 seed draw, cid tie-break, 6-decimal centroid quantization)."""
+    (md5 seed draw, cid tie-break, exact decimal(30,15) per-dim sums
+    divided once, 6-decimal centroid quantization)."""
     def d2(p, c):
         return (f"list_sum(list_transform(generate_series(1, {dim}), "
                 f"i -> ({p}.v[i] - {c}.v[i]) * ({p}.v[i] - {c}.v[i])))")
@@ -5012,7 +5013,9 @@ a{it} AS (
   QUALIFY row_number() OVER (PARTITION BY p.vec_id
                              ORDER BY {d2('p', 'c')}, c.cid) = 1),
 m{it} AS (
-  SELECT a.cid, g.i, round(avg(p.v[g.i]), 6) AS m
+  SELECT a.cid, g.i,
+         round(CAST(sum(CAST(p.v[g.i] AS DECIMAL(30,15))) AS DOUBLE)
+               / count(*), 6) AS m
   FROM a{it} a JOIN pts p USING (vec_id)
   CROSS JOIN generate_series(1, {dim}) g(i)
   GROUP BY 1, 2),

@@ -112,10 +112,21 @@ def zorder_key(cols, bits: int = 16):
     n = len(cols)
     if n == 0:
         raise ValueError("zorder_key needs >= 1 column")
+    # the interleaved key must fit in 63 bits: bit position n*bits-1
+    # reaching 63 would set the long's sign bit and INVERT the sort
+    # order for the most significant bit, silently degrading the
+    # clustered layout. Scale bits down automatically (63 // n) so any
+    # column count works, KEEPING each value's most significant bits
+    # (coarser quantization — graceful degradation, not misordering).
+    eff = min(bits, 63 // n)
+    if eff == 0:
+        raise ValueError(f"zorder_key supports at most 63 columns, got {n}")
+    drop = bits - eff
     key = F.lit(0).cast("long")
-    for b in range(bits):
+    for b in range(eff):
         for j, c in enumerate(cols):
-            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(1)
+            bit = F.shiftrightunsigned(c.cast("long"),
+                                       b + drop).bitwiseAND(1)
             key = key + F.shiftleft(bit, b * n + j)
     return key
 

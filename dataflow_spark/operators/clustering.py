@@ -18,7 +18,12 @@ md5(seed||id) (a data-dependent, layout-independent "random" draw),
 distance ties break by centroid id, and centroids are quantized to
 ``round_digits`` decimals after every update so independent engines
 (the DuckDB oracle unrolls the same iterations in SQL) stay bit-equal
-instead of drifting apart in the last ulp of a float sum.
+instead of drifting apart in the last ulp of a float sum. The per-dim
+mean itself is computed as an EXACT decimal(30,15) sum divided once —
+a float avg() depends on partition summation order, and near a
+round-half boundary that last-ulp wobble would flip the quantized 6th
+decimal (the failure mode the PageRank docstring cites); decimal sums
+are associative, so the result is layout-independent.
 """
 
 from __future__ import annotations
@@ -95,8 +100,10 @@ class KMeansClusteringOperator(Operator):
             means = (assigned.join(pts, "_pid")
                      .select("_cid", F.posexplode("_v").alias("_i", "_x"))
                      .groupBy("_cid", "_i")
-                     .agg(F.round(F.avg("_x"), self.round_digits)
-                          .alias("_m"))
+                     .agg(F.round(
+                         F.sum(F.col("_x").cast("decimal(30,15)"))
+                         .cast("double") / F.count(F.lit(1)),
+                         self.round_digits).alias("_m"))
                      .groupBy("_cid")
                      .agg(F.array_sort(F.collect_list(
                          F.struct("_i", "_m"))).alias("_s"))

@@ -177,21 +177,28 @@ class TableProfileOperator(Operator):
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         cols = self.columns or df.columns
         aggs = [F.count(F.lit(1)).alias("_n")]
-        for c in cols:
-            col = F.col(c)
+        # intermediate aliases are POSITIONAL (_null_0, _nd_0, ...): raw
+        # column names must never enter the stack() SQL string — CSV-
+        # inferred schemas routinely carry spaces/dots/quotes that would
+        # make the expression unparseable. Backtick-quoting makes F.col
+        # treat dots as part of the name, not nested-field access.
+        for i, c in enumerate(cols):
+            col = F.col("`" + c.replace("`", "``") + "`")
             # orderable rendering for any type (arrays/structs included)
             s = col.cast("string")
             aggs += [
-                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}"),
-                F.count_distinct(s).alias(f"_nd_{c}"),
-                F.min(s).alias(f"_min_{c}"),
-                F.max(s).alias(f"_max_{c}"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}"),
+                F.count_distinct(s).alias(f"_nd_{i}"),
+                F.min(s).alias(f"_min_{i}"),
+                F.max(s).alias(f"_max_{i}"),
             ]
         row = df.agg(*aggs)
         stack = F.expr("stack({}, {})".format(
             len(cols),
             ", ".join(
-                f"'{c}', _null_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols)
+                "'{}', _null_{i}, _nd_{i}, _min_{i}, _max_{i}".format(
+                    c.replace("\\", "\\\\").replace("'", "\\'"), i=i)
+                for i, c in enumerate(cols))
         )).alias("column", "_nulls", "n_distinct", "min_value", "max_value")
         return (
             row.select(F.col("_n").alias("n_rows"), stack)

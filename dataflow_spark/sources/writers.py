@@ -144,14 +144,25 @@ def compact_parquet(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
                     cluster_by: list[str] | None = None) -> int:
     """Compact a small-file parquet directory in place: read, coalesce
     to ceil(total_bytes / target_file_bytes) outputs (optionally
-    re-clustered on ``cluster_by``), atomically swap directories.
-    Returns the new file count.
+    re-clustered on ``cluster_by``), swap directories. Returns the new
+    file count.
 
     The small-file problem is the canonical 100 TB table-maintenance
     task: a streaming/incremental writer leaves thousands of KB-sized
     files whose per-file open/footer cost dominates scans. Compaction
     restores ~target-sized files; with ``cluster_by`` it also restores
     range clustering (parquet min/max skipping) in the same pass.
+
+    LIMITATIONS (this helper is a local-filesystem maintenance tool,
+    not the cluster-scale path): ``os.walk``/``os.rename`` require a
+    POSIX filesystem — on an object store or HDFS, compact via a table
+    format's native rewrite (e.g. a transactional REPLACE / rewrite-
+    data-files operation), which gives atomic commits. The directory
+    swap here is two renames, NOT atomic: a crash between them leaves
+    the dataset at ``<path>.compact_tmp`` (new data, complete) and/or
+    ``<path>.compact_old`` (original data, untouched) — recovery is
+    renaming whichever is complete back to ``path``; no data is lost,
+    but readers racing the swap can observe a missing path.
     """
     import math
     import shutil

@@ -279,3 +279,25 @@ class TestTableProfile:
         assert out["id"]["min_value"] == "1" and out["id"]["max_value"] == "4"
         assert out["s"]["null_frac"] == 0.25
         assert out["s"]["n_distinct"] == 2  # nulls not counted
+
+    def test_profile_non_identifier_column_names(self, spark):
+        """CSV-inferred schemas carry spaces/dots/quotes: raw names must
+        never enter the stack() SQL string (positional aliases)."""
+        from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                       StructType)
+
+        from dataflow_spark.core.registry import get_operator
+
+        schema = StructType([
+            StructField("order id", StringType()),
+            StructField("price.usd", DoubleType()),
+            StructField("it's a name", StringType()),
+        ])
+        df = spark.createDataFrame(
+            [("a", 1.5, "x"), ("b", 2.5, None)], schema)
+        out = {r["column"]: r for r in
+               get_operator("TableProfileOperator", {}).run(df).collect()}
+        assert set(out) == {"order id", "price.usd", "it's a name"}
+        assert out["order id"]["n_distinct"] == 2
+        assert out["price.usd"]["min_value"] == "1.5"
+        assert out["it's a name"]["null_frac"] == 0.5

@@ -47,3 +47,36 @@ def test_salted_join_matches_plain(spark, sf_dir):
     salted = sorted(map(tuple, salted_join(orders, cust, ["o_custkey"],
                                            n_salts=5).collect()))
     assert plain == salted
+
+
+def test_zorder_key_scales_bits_down_keeps_msbs(spark):
+    """4 columns at bits=16 would reach bit 63 (the long sign bit);
+    zorder_key must scale to 15 bits/column keeping each value's MOST
+    significant bits, and every key must stay non-negative."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.vector import zorder_key
+
+    df = spark.createDataFrame(
+        [(65535, 65535, 65535, 65535), (0, 0, 0, 0),
+         (65535, 0, 65535, 0), (32768, 32768, 0, 0)],
+        ["a", "b", "c", "d"])
+    cols = [F.col(c) for c in ["a", "b", "c", "d"]]
+    out = [r["z"] for r in df.select(
+        zorder_key(cols, bits=16).alias("z")).collect()]
+    assert all(z >= 0 for z in out)
+    assert max(out) < (1 << 60)  # 4 cols x 15 bits
+    # max input must still produce the max key (MSBs kept, not dropped)
+    assert out[0] == (1 << 60) - 1
+    assert out[1] == 0
+
+
+def test_zorder_key_rejects_too_many_columns(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.vector import zorder_key
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1)] * 64, bits=16)
