@@ -275,11 +275,20 @@ class FunnelAnalysisOperator(Operator):
 
     Output: one row per step — (step int, step_name, n_users).
 
-    Scale: step i is ``filter(type == step_i)`` joined to step i-1's
-    per-user first-completion times — K tiny aggregates co-partitioned
-    on the user key, never a sequence self-join. The classic min-time
-    forward pass: first(step_i) = min ts of step_i events after
-    first(step_{i-1}).
+    Scale: ONE scan of the event log (filtered to funnel step types,
+    pushed into the source) and ONE shuffle on the user key; each
+    user's step events fold through a higher-order ``F.aggregate`` in
+    timestamp order, computing the classic min-time forward pass
+    first(step_i) = min ts of step_i events strictly after
+    first(step_{i-1}) without ever re-scanning or re-joining (the
+    previous formulation read the log once per step: 6 scans /
+    8 shuffles for a 4-step funnel). The fold is exactly equivalent:
+    when an event with ts > first(step_{i-1}) is processed, the
+    earlier qualifying event has already set slot i-1, and equal
+    timestamps never qualify under the strict inequality, so
+    processing order among ties is immaterial. Per-user state is the
+    collected list of that user's STEP events only — bounded by user
+    activity, the standard funnel working set.
     """
 
     def __init__(self, steps: Sequence[str], user_key: str = "user_id",
@@ -295,30 +304,45 @@ class FunnelAnalysisOperator(Operator):
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         u, t, ty = self.user_key, self.ts_key, self.type_key
+        steps, k, w = self.steps, len(self.steps), self.within_seconds
         ts_sec = F.unix_timestamp(F.col(t))
-        prev = (df.filter(F.col(ty) == self.steps[0])
-                .groupBy(u).agg(F.min(ts_sec).alias("_t")))
-        levels = [prev]
-        for step in self.steps[1:]:
-            ev = df.filter(F.col(ty) == step).select(
-                u, ts_sec.alias("_ts"))
-            cond = F.col("_ts") > F.col("_t")
-            if self.within_seconds is not None:
-                cond = cond & (F.col("_ts") <= F.col("_t") + self.within_seconds)
-            prev = (ev.join(levels[-1].select(u, "_t"), u)
-                    .filter(cond)
-                    .groupBy(u).agg(F.min("_ts").alias("_t")))
-            levels.append(prev)
-        counts = None
-        for i, lv in enumerate(levels):
-            # global agg (not groupBy): an empty level still yields its
-            # 0-count row, so the funnel always has len(steps) rows
-            c = lv.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("step"),
-                F.lit(self.steps[i]).alias("step_name"),
-                "n_users")
-            counts = c if counts is None else counts.unionByName(c)
-        return counts
+        ev = (df.filter(F.col(ty).isin(steps))
+              .select(F.col(u).alias("_u"), ts_sec.alias("_ts"),
+                      F.col(ty).alias("_ty")))
+        per_user = ev.groupBy("_u").agg(
+            F.sort_array(F.collect_list(F.struct("_ts", "_ty")))
+            .alias("_evs"))
+        steps_arr = F.array(*[F.lit(s) for s in steps])
+        init = F.array_repeat(F.lit(None).cast("long"), k)
+
+        def merge(acc, e):
+            def upd(slot, j):
+                # F.get is 0-based and null-safe out of bounds, so
+                # j=0 reads index -1 -> null (no previous step)
+                prev_t = F.get(acc, j - F.lit(1))
+                chain = prev_t.isNotNull() & (e["_ts"] > prev_t)
+                if w is not None:
+                    chain = chain & (e["_ts"] <= prev_t + F.lit(w))
+                qual = ((e["_ty"] == F.get(steps_arr, j))
+                        & ((j == F.lit(0)) | chain))
+                return F.coalesce(slot, F.when(qual, e["_ts"]))
+
+            return F.transform(acc, upd)
+
+        firsts = per_user.select(
+            F.aggregate("_evs", init, merge).alias("_st"))
+        # one global single-row agg: count(col) skips nulls, and an
+        # all-null slot still yields its 0 row, so the funnel always
+        # has len(steps) rows
+        counts_row = firsts.agg(
+            *[F.count(F.col("_st")[i]).alias(f"_c{i}") for i in range(k)])
+        rows = F.array(*[
+            F.struct(F.lit(i + 1).alias("step"),
+                     F.lit(steps[i]).alias("step_name"),
+                     F.col(f"_c{i}").alias("n_users"))
+            for i in range(k)])
+        return (counts_row.select(F.explode(rows).alias("_r"))
+                .select("_r.step", "_r.step_name", "_r.n_users"))
 
 
 @OPERATOR_REGISTRY.register()
