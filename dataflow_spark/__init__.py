@@ -20,6 +20,8 @@ from dataflow_spark.core.storage import StepStore
 # Importing the operators package registers every operator; core modules
 # above must already be loaded (operators import from core).
 from dataflow_spark import operators as _operators  # noqa: E402,F401
+# Importing the prompts package registers the 98 named prompt classes.
+from dataflow_spark.prompts import PROMPT_REGISTRY, get_prompt  # noqa: E402
 from dataflow_spark.plans import audit, assert_scalable, PlanScaleError  # noqa: E402
 
 __version__ = "0.1.0"
@@ -29,6 +31,8 @@ __all__ = [
     "Operator",
     "OPERATOR_REGISTRY",
     "get_operator",
+    "PROMPT_REGISTRY",
+    "get_prompt",
     "Pipeline",
     "StepStore",
     "audit",

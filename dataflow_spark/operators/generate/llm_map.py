@@ -29,12 +29,55 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.serving.base import LLMServing
 
 
-def llm_map(df: DataFrame, serving: LLMServing, prompt_template: str,
+def _prompt_renderer(prompt_template, input_key: str):
+    """Resolve ``prompt_template`` to (render(value) -> str, system).
+
+    Accepts: a plain ``str.format`` template; a ``PromptABC`` instance
+    from the prompt library; or the NAME of a registered prompt class
+    (a bare identifier resolving in PROMPT_REGISTRY — reference
+    pipelines reference prompts by class name). Prompt instances whose
+    ``build_prompt`` takes no argument are treated as instruction
+    prefixes (prompt + row value, the reference's scorer convention);
+    one-argument ``build_prompt`` receives the row value positionally;
+    otherwise the value is passed as ``input_key=value``.
+    """
+    import inspect
+
+    from dataflow_spark.core.prompt import PROMPT_REGISTRY, PromptABC
+
+    if (isinstance(prompt_template, str) and prompt_template.isidentifier()
+            and prompt_template in PROMPT_REGISTRY):
+        prompt_template = PROMPT_REGISTRY.get(prompt_template)()
+    if isinstance(prompt_template, PromptABC):
+        pt = prompt_template
+        n_params = len([
+            p for p in
+            inspect.signature(pt.build_prompt).parameters.values()
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)])
+        if n_params == 0:
+            render = (lambda v, _pt=pt: _pt.build_prompt() + str(v))
+        elif n_params == 1:
+            render = (lambda v, _pt=pt: _pt.build_prompt(v))
+        else:
+            render = (lambda v, _pt=pt, _k=input_key:
+                      _pt.build_prompt(**{_k: v}))
+        system = (pt.build_system_prompt()
+                  if hasattr(pt, "build_system_prompt") else "")
+        return render, system
+    template = str(prompt_template)
+    return (lambda v, _t=template, _k=input_key:
+            _t.format(**{_k: v})), ""
+
+
+def llm_map(df: DataFrame, serving: LLMServing, prompt_template,
             input_key: str, output_key: str, system_prompt: str = "") -> DataFrame:
     """Append ``output_key`` = LLM(prompt_template.format(**row)).
 
-    The serving object is pickled into the closure; executor-side state
-    (HTTP sessions, models) must be lazy inside the serving class.
+    ``prompt_template`` may be a format string, a ``PromptABC``
+    instance, or a registered prompt-class name (see
+    ``_prompt_renderer``). The serving object is pickled into the
+    closure; executor-side state (HTTP sessions, models) must be lazy
+    inside the serving class.
     """
     if output_key in df.columns:  # in-place overwrite (refiner-style use)
         out_schema = StructType([
@@ -45,11 +88,13 @@ def llm_map(df: DataFrame, serving: LLMServing, prompt_template: str,
         out_schema = StructType(df.schema.fields + [StructField(output_key, StringType())])
     bs = serving.batch_size
     prompt_cols = [input_key]
+    render, prompt_system = _prompt_renderer(prompt_template, input_key)
+    system_prompt = system_prompt or prompt_system
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             prompts = [
-                (system_prompt + prompt_template.format(**{k: row[k] for k in prompt_cols}))
+                system_prompt + render(row[input_key])
                 for _, row in pdf[prompt_cols].iterrows()
             ]
             outputs: list[str] = []
