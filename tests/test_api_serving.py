@@ -87,3 +87,52 @@ def test_embedding_generator_through_api(stub_url, spark):
         serving=APIEmbeddingServing(api_url=f"{stub_url}/v1/embeddings", dim=2))
     rows = {r["text"]: r["embedding"] for r in op.run(df).collect()}
     assert rows == {"abc": [3.0, 1.0], "de": [2.0, 1.0]}
+
+
+class TestLocalModelServingSeam:
+    """LocalModelLLMServing_{vllm,sglang}: reference constructor
+    surface validates and stores params; the backend import is lazy and
+    raises a clear ImportError in this container (documented seam)."""
+
+    def test_vllm_constructor_surface(self):
+        from dataflow_spark.serving import (LocalModelLLMServing,
+                                            LocalModelLLMServing_vllm)
+
+        s = LocalModelLLMServing_vllm(
+            hf_model_name_or_path="org/model",
+            vllm_tensor_parallel_size=2,
+            vllm_temperature=0.1, vllm_top_p=0.8, vllm_max_tokens=256,
+            vllm_top_k=20, vllm_repetition_penalty=1.1, vllm_seed=7,
+            vllm_max_model_len=4096, vllm_gpu_memory_utilization=0.8)
+        assert s.tensor_parallel_size == 2
+        assert s.sampling["temperature"] == 0.1
+        assert LocalModelLLMServing is LocalModelLLMServing_vllm
+
+    def test_requires_model_path(self):
+        import pytest
+
+        from dataflow_spark.serving import LocalModelLLMServing_vllm
+
+        with pytest.raises(ValueError):
+            LocalModelLLMServing_vllm()
+
+    def test_lazy_import_error_in_container(self):
+        import pytest
+
+        from dataflow_spark.serving import (LocalModelLLMServing_sglang,
+                                            LocalModelLLMServing_vllm)
+
+        for cls, kw in ((LocalModelLLMServing_vllm, {}),
+                        (LocalModelLLMServing_sglang, {})):
+            s = cls(hf_model_name_or_path="org/model", **kw)
+            with pytest.raises(ImportError, match="APILLMServing"):
+                s.generate_batch(["hi"])
+
+    def test_picklable_for_closures(self):
+        import pickle
+
+        from dataflow_spark.serving import LocalModelLLMServing_vllm
+
+        s = LocalModelLLMServing_vllm(hf_model_name_or_path="org/model")
+        s2 = pickle.loads(pickle.dumps(s))
+        assert s2.hf_model_name_or_path == "org/model"
