@@ -36,6 +36,15 @@ SHIFT_COLS = {
 }
 
 
+# single-file single-row-group parquet makes every scan ONE task (a
+# row group is the minimum split unit — maxPartitionBytes cannot split
+# inside it), serializing scans and Python UDF work and poisoning the
+# scale-check ratios. Write fact tables across enough files that a
+# local[32] scan parallelizes; this also mirrors how a real writer
+# must lay out files at 100 TB.
+_OUT_FILES = 32
+
+
 def generate(spark, src: str, out: str, factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -55,8 +64,8 @@ def generate(spark, src: str, out: str, factor: int) -> None:
                 F.when(F.col("_r") == 0, F.col("text")).otherwise(
                     F.concat(F.col("text"), F.lit(" #r"),
                              F.col("_r").cast("string"))))
-        rep.drop("_r").write.mode("overwrite").parquet(
-            os.path.join(out, f"{table}.parquet"))
+        rep.drop("_r").repartition(_OUT_FILES).write.mode(
+            "overwrite").parquet(os.path.join(out, f"{table}.parquet"))
 
 
 def ensure_scaled_data(spark, src: str = "/root/testdata/sf0.1",
@@ -66,10 +75,15 @@ def ensure_scaled_data(spark, src: str = "/root/testdata/sf0.1",
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".bench_data", "sf1")
     marker = os.path.join(out, "_GENERATED")
-    if not os.path.exists(marker):
+    stamp = f"v2 factor={factor} src={src} files={_OUT_FILES}\n"
+    current = ""
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read()
+    if current != stamp:  # regenerate on layout/format changes too
         generate(spark, src, out, factor)
         with open(marker, "w") as f:
-            f.write(f"factor={factor} src={src}\n")
+            f.write(stamp)
     return out
 
 
