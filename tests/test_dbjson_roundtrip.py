@@ -99,3 +99,112 @@ def test_jdbc_roundtrip_embedded_derby(spark, user_df, tmp_path):
     assert got == want
     sysr = restored.select("pipeline_id", "task_id").distinct().collect()
     assert [(r.pipeline_id, r.task_id) for r in sysr] == [("p-jdbc", 3)]
+
+
+class TestDatabaseManager:
+    """Driver-side text2sql DatabaseManager (reference
+    utils/text2sql/database_manager.py shape) over real sqlite files."""
+
+    @staticmethod
+    def _mkdb(tmp_path, name="school"):
+        import sqlite3
+
+        p = str(tmp_path / f"{name}.sqlite")
+        conn = sqlite3.connect(p)
+        conn.execute("CREATE TABLE students (id INTEGER PRIMARY KEY, "
+                     "name TEXT, grade REAL)")
+        conn.executemany("INSERT INTO students VALUES (?, ?, ?)",
+                         [(1, "ann", 3.5), (2, "bob", 2.0)])
+        conn.commit(); conn.close()
+        return p
+
+    def test_discovery_execute_and_schema(self, tmp_path):
+        from dataflow_spark.sources.database_manager import DatabaseManager
+
+        self._mkdb(tmp_path)
+        mgr = DatabaseManager(db_type="sqlite",
+                              config={"root_path": str(tmp_path)})
+        assert mgr.list_databases() == ["school"]
+        res = mgr.execute_query("school",
+                                "SELECT name FROM students ORDER BY id")
+        assert res.success and [r["name"] for r in res.data] == ["ann", "bob"]
+        bad = mgr.execute_query("school", "SELECT nope FROM students")
+        assert not bad.success and "OperationalError" in bad.error
+        creates, inserts = \
+            mgr.get_create_statements_and_insert_statements("school")
+        assert any("CREATE TABLE students" in c for c in creates)
+        assert any("INSERT INTO students" in i for i in inserts)
+        assert "students" in mgr.get_db_details("school")
+
+    def test_batch_and_compare(self, tmp_path):
+        from dataflow_spark.sources.database_manager import DatabaseManager
+
+        self._mkdb(tmp_path)
+        mgr = DatabaseManager(db_type="sqlite",
+                              config={"root_path": str(tmp_path)})
+        out = mgr.batch_execute_queries([
+            ("school", "SELECT count(*) AS n FROM students"),
+            ("school", "SELECT 1 AS one")])
+        assert [r.success for r in out] == [True, True]
+        cmp_ = mgr.compare_queries(
+            "school",
+            "SELECT name FROM students ORDER BY id",
+            "SELECT name FROM students ORDER BY name DESC")
+        assert cmp_["equal"]  # order-insensitive comparison
+        ex = mgr.batch_explain_queries(
+            [("school", "SELECT * FROM students WHERE id = 1")])
+        assert ex[0].success
+
+    def test_sqlite_vec_is_documented_seam(self, tmp_path):
+        import pytest
+
+        from dataflow_spark.sources.database_manager import DatabaseManager
+
+        self._mkdb(tmp_path)
+        mgr = DatabaseManager(db_type="sqlite-vec",
+                              config={"root_path": str(tmp_path)})
+        with pytest.raises(ImportError, match="sqlite-vec"):
+            mgr.execute_query("school", "SELECT 1")
+
+    def test_lembed_rewrite(self):
+        from dataflow_spark.serving.mock import HashEmbeddingServing
+        from dataflow_spark.sources.database_manager import SQLiteVecConnector
+
+        c = SQLiteVecConnector(embedder=HashEmbeddingServing(dim=4))
+        out = c.preprocess_sql(
+            "SELECT * FROM t WHERE emb MATCH lembed('hello') LIMIT 5")
+        assert "lembed" not in out and out.count(",") >= 3
+
+    def test_unknown_type_rejected(self):
+        import pytest
+
+        from dataflow_spark.sources.database_manager import DatabaseManager
+
+        with pytest.raises(ValueError):
+            DatabaseManager(db_type="oracle")
+
+
+class TestClickHousePaging:
+    def test_pool_is_documented_seam(self):
+        import pytest
+
+        from dataflow_spark.sources.clickhouse import ClickHouseConnectionPool
+
+        with pytest.raises(ImportError, match="clickhouse-driver"):
+            ClickHouseConnectionPool("h", 9000, "u", "p", "db")
+
+    def test_paged_query_contract(self):
+        from dataflow_spark.sources.clickhouse import paged_query
+
+        sql = paged_query("docs", page_size=100, page_num=3,
+                          where="lang = 'en'", order_by="id")
+        assert sql.endswith("LIMIT 100 OFFSET 300")
+        assert "WHERE lang = 'en'" in sql and "ORDER BY id" in sql
+
+    def test_jdbc_page_predicates_cover_range(self):
+        from dataflow_spark.sources.clickhouse import jdbc_page_predicates
+
+        preds = jdbc_page_predicates("id", 0, 249, page_size=100)
+        assert len(preds) == 3
+        assert preds[0] == "id >= 0 AND id <= 99"
+        assert preds[-1] == "id >= 200 AND id <= 249"
