@@ -41,5 +41,11 @@ def get_prompt(name: str, args: dict | None = None):
     return cls(**(args or {}))
 
 
+# wire the reference's per-operator prompt whitelists onto our classes
+from dataflow_spark.prompts.restrictions import apply_restrictions  # noqa: E402
+
+apply_restrictions()
+
+
 __all__ = ["PROMPT_REGISTRY", "PromptABC", "DIYPromptABC",
            "prompt_restrict", "get_prompt"]

