@@ -79,6 +79,21 @@ def cmd_desc(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prompts(args: argparse.Namespace) -> int:
+    from dataflow_spark.prompts import PROMPT_REGISTRY
+
+    names = sorted(PROMPT_REGISTRY.keys())
+    if args.grep:
+        names = [n for n in names if args.grep.lower() in n.lower()]
+    for n in names:
+        if args.desc:
+            print(f"{n}: {PROMPT_REGISTRY.get(n).get_desc()}")
+        else:
+            print(n)
+    print(f"-- {len(names)} prompt templates", file=sys.stderr)
+    return 0
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     import runpy
 
@@ -406,6 +421,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("desc", help="describe one operator")
     sp.add_argument("name")
     sp.set_defaults(fn=cmd_desc)
+
+    sp = sub.add_parser("prompts", help="list registered prompt templates")
+    sp.add_argument("--grep", default=None)
+    sp.add_argument("--desc", action="store_true")
+    sp.set_defaults(fn=cmd_prompts)
 
     sp = sub.add_parser("run", help="execute a pipeline script")
     sp.add_argument("script")
