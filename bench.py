@@ -102,6 +102,7 @@ def main() -> None:
     # scaling check: the scale-critical subset on a 10x replica of sf0.1
     # (generated once into .bench_data/sf1) — catches O(n^2) regressions
     # while still local. Disable with SPARK_GRAFT_SCALE_CHECK=0.
+    full_scale: dict = {}
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "1":
         from tools.make_scaled_data import ensure_scaled_data
 
@@ -139,10 +140,11 @@ def main() -> None:
         }
         full_scale = {"sf1_queries": s_timings, "sf01_base": base}
 
-    # verbose artifact for local debugging (raw sf1 timings, sf0.1 bases)
+    # verbose artifact for local debugging (raw sf1 timings, sf0.1
+    # bases); untracked — see .gitignore
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_last_full.json"), "w") as fh:
-        json.dump({**result, **locals().get("full_scale", {})}, fh, indent=1)
+        json.dump({**result, **full_scale}, fh, indent=1)
 
     # the driver keeps only a ~2000-char tail of this process's output and
     # parses the last JSON line — emit exactly ONE compact line (<=1500

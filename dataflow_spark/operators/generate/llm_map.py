@@ -50,19 +50,33 @@ def _prompt_renderer(prompt_template, input_key: str):
         prompt_template = PROMPT_REGISTRY.get(prompt_template)()
     if isinstance(prompt_template, PromptABC):
         pt = prompt_template
-        n_params = len([
-            p for p in
-            inspect.signature(pt.build_prompt).parameters.values()
-            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)])
-        if n_params == 0:
-            render = (lambda v, _pt=pt: _pt.build_prompt() + str(v))
-        elif n_params == 1:
+        params = inspect.signature(pt.build_prompt).parameters.values()
+        required = [p for p in params
+                    if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)
+                    and p.default is inspect.Parameter.empty]
+        has_var_kw = any(p.kind == p.VAR_KEYWORD for p in params)
+        if len(required) == 1 and not has_var_kw:
             render = (lambda v, _pt=pt: _pt.build_prompt(v))
+        elif len(required) == 0 and not has_var_kw:
+            # argless prompts are instruction prefixes (scorer convention)
+            render = (lambda v, _pt=pt: _pt.build_prompt() + str(v))
         else:
+            # template-style prompts (FormatStrPrompt, DiyCodePrompt) and
+            # multi-field prompts take the row value by input_key name
             render = (lambda v, _pt=pt, _k=input_key:
                       _pt.build_prompt(**{_k: v}))
-        system = (pt.build_system_prompt()
-                  if hasattr(pt, "build_system_prompt") else "")
+        system = ""
+        sys_fn = getattr(pt, "build_system_prompt", None)
+        if callable(sys_fn):
+            sys_required = [
+                p for p in inspect.signature(sys_fn).parameters.values()
+                if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)
+                and p.default is inspect.Parameter.empty]
+            # only an argless system prompt can be assembled here; ones
+            # that need per-row fields (Alpagasus, Treeinstruct) are the
+            # caller's job via the explicit system_prompt argument
+            if not sys_required:
+                system = sys_fn()
         return render, system
     template = str(prompt_template)
     return (lambda v, _t=template, _k=input_key:

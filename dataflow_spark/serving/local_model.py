@@ -61,11 +61,9 @@ class LocalModelLLMServing_vllm(LLMServing):
         self.max_model_len = vllm_max_model_len
         self.gpu_memory_utilization = vllm_gpu_memory_utilization
 
-    # engine handles are NOT picklable; exclude them from closures and
-    # rebuild lazily per process
-    def __getstate__(self):
-        return {k: v for k, v in self.__dict__.items()}
-
+    # engine handles live in the module-level _ENGINE_CACHE, never on
+    # self, so instances pickle cleanly into closures as-is and each
+    # executor process rebuilds its engine lazily on first use
     def _engine(self):
         key = f"vllm::{self.hf_model_name_or_path}"
         if key not in _ENGINE_CACHE:

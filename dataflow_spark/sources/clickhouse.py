@@ -84,21 +84,43 @@ class ClickHouseConnectionPool:
     @contextmanager
     def get_connection(self):
         """Checkout/return a pooled client; blocks when max in use."""
+        import time as _time
+
+        deadline = _time.monotonic() + self._config["connect_timeout"]
         with self._cond:
             if self._closed:
                 raise ClickHousePoolError("pool is closed")
+            # deadline-based wait: spurious/stolen wakeups re-wait for
+            # the REMAINING time instead of failing immediately
             while not self._pool and self._in_use >= self._max:
-                self._cond.wait(timeout=self._config["connect_timeout"])
-                if self._closed:
-                    raise ClickHousePoolError("pool is closed")
-                if not self._pool and self._in_use >= self._max:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
                     raise TooManyConnections(
                         f"{self._max} connections in use")
+                self._cond.wait(timeout=remaining)
+                if self._closed:
+                    raise ClickHousePoolError("pool is closed")
             client = self._pool.pop() if self._pool else self._create()
             self._in_use += 1
-        healthy = self._alive(client)
-        if not healthy:
-            client = self._create()
+        try:
+            # health probe, skipped when this client was verified within
+            # health_check_interval (reference pool semantics)
+            now = _time.monotonic()
+            last = getattr(client, "_df_last_checked", 0.0)
+            if now - last > self._health_check_interval:
+                if not self._alive(client):
+                    try:
+                        client.disconnect()
+                    except Exception:
+                        pass
+                    client = self._create()
+                client._df_last_checked = _time.monotonic()
+        except BaseException:
+            # replacement failed: release the reserved slot
+            with self._cond:
+                self._in_use -= 1
+                self._cond.notify()
+            raise
         try:
             yield client
         finally:
@@ -162,6 +184,8 @@ def jdbc_page_predicates(key: str, lo: int, hi: int,
     """
     if hi < lo:
         raise ValueError("hi must be >= lo")
+    if page_size <= 0:
+        raise ValueError("page_size must be > 0")
     preds = []
     start = lo
     while start <= hi:

@@ -298,14 +298,19 @@ class DatabaseManager:
 
     def __init__(self, db_type: str = "sqlite",
                  config: Optional[Dict] = None, max_workers: int = 4,
-                 max_rows: int = 10_000):
+                 max_rows: int = 10_000,
+                 connector_kwargs: Optional[Dict] = None):
+        """``connector_kwargs`` is forwarded to the connector class —
+        e.g. ``{"embedder": <EmbeddingServing>}`` for 'sqlite-vec' so
+        its lembed('text') rewrite actually has an embedder."""
         if db_type not in self.CONNECTOR_CLASSES:
             raise ValueError(
                 f"unsupported db_type {db_type!r}; register a "
                 "DatabaseConnectorABC subclass in CONNECTOR_CLASSES")
         self.db_type = db_type
         self.config = config or {}
-        self.connector = self.CONNECTOR_CLASSES[db_type]()
+        self.connector = self.CONNECTOR_CLASSES[db_type](
+            **(connector_kwargs or {}))
         self.max_workers = max_workers
         self.max_rows = max_rows
         self.cache = CacheManager()

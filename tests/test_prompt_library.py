@@ -215,3 +215,34 @@ def test_restriction_rejects_wrong_prompt():
         assert "accepts prompt templates" not in str(e), e
     except Exception:
         pass
+
+
+def test_prompt_renderer_template_style_and_system_arg_prompts(spark):
+    """FormatStrPrompt/DiyCodePrompt route through the kwargs branch
+    (not positional), and prompts whose build_system_prompt needs
+    per-row args don't crash the renderer (system stays '')."""
+    from dataflow_spark.operators.generate.llm_map import _prompt_renderer
+
+    # FormatStrPrompt: need_fields default + **kwargs -> kwargs branch
+    render, system = _prompt_renderer(
+        get_prompt("FormatStrPrompt", {"f_str_template": "T: {text}"}),
+        "text")
+    assert render("hello") == "T: hello" and system == ""
+
+    # DiyCodePrompt(**kwargs only) -> kwargs branch keyed by input_key
+    render, _ = _prompt_renderer(
+        get_prompt("DiyCodePrompt",
+                   {"prompt_template": "Do: {instruction}"}),
+        "instruction")
+    assert render("sort a list") == "Do: sort a list"
+
+    # Alpagasus/Treeinstruct: build_system_prompt requires args -> the
+    # renderer must not call it (crash), system falls back to ""
+    for name in ("AlpagasusPrompt", "TreeinstructPrompt"):
+        render, system = _prompt_renderer(get_prompt(name), "text")
+        assert system == ""
+
+    # argless-system prompts still get their system picked up
+    _, system = _prompt_renderer(
+        get_prompt("AtomicTaskGeneratorGetIdentifierPrompt"), "text")
+    assert "content_identifier" in system
