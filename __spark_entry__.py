@@ -1527,6 +1527,27 @@ _REFINERS: list[tuple[str, str, dict | None, str]] = [
 for _name, _op, _params, _expr in _REFINERS:
     q(_name, f"SELECT doc_id, {_expr} AS text FROM documents")(_refiner_query(_op, _params))
 
+# Unicode NFC normalization: fixtures are ASCII, so the query grafts a
+# decomposed suffix ('e' + U+0301 combining acute) onto each doc; the
+# refiner must compose it to the single codepoint U+00E9 — DuckDB's
+# nfc_normalize is the oracle, and the codepoint count proves the
+# composition actually happened (not a pass-through)
+@q("r_unicode_nfc", """
+SELECT doc_id,
+       nfc_normalize(text || ' cafe' || chr(769)) AS text,
+       length(nfc_normalize(text || ' cafe' || chr(769))) AS n_chars
+FROM documents
+""")
+def r_unicode_nfc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    prepped = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"))  # decomposed e + U+0301
+    out = get_operator("UnicodeNormalizationRefiner",
+                       {"input_key": "text", "form": "NFC"}).run(prepped)
+    return out.select("doc_id", "text", F.length("text").alias("n_chars"))
+
+
 # RE2 has no backreferences -> oracle walks characters instead: drop any
 # char equal to its predecessor when both sit in the ASCII punct ranges
 q("r_remove_repetition_punct", """

@@ -9,6 +9,8 @@ a file between each.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -160,3 +162,42 @@ class TextNormalizationRefiner(RefineOperator):
     def refine_expr(self, col: Column) -> Column:
         c = F.translate(col, "‘’“”–—", "''\"\"--")
         return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+@OPERATOR_REGISTRY.register()
+class UnicodeNormalizationRefiner(RefineOperator):
+    """Normalize text to a Unicode normal form (NFC default; NFD/NFKC/
+    NFKD selectable).
+
+    Canonical-equivalent strings ('é' composed vs 'e'+combining acute)
+    hash differently, so exact/near dedup, decontamination, and
+    fingerprinting silently miss duplicates on mixed-source corpora —
+    normalizing FIRST is the standard fix (the reference normalizes
+    inside individual refiners, e.g. text_normalization_refiner.py;
+    this exposes the step as its own operator). Arrow-batched
+    pandas_udf over unicodedata (the JVM has no normalization
+    expression); NFC matches DuckDB's nfc_normalize for cross-engine
+    oracle checks.
+    """
+
+    FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+    def __init__(self, input_key: str = "text", form: str = "NFC"):
+        super().__init__(input_key)
+        if form not in self.FORMS:
+            raise ValueError(f"form must be one of {self.FORMS}")
+        self.form = form
+
+    def refine_expr(self, col: Column) -> Column:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        form = self.form
+
+        @pandas_udf("string")
+        def norm(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: None if t is None
+                         else unicodedata.normalize(form, t))
+
+        return norm(col)

@@ -46,3 +46,23 @@ def test_refiner_chain_single_stage(spark, docs):
     out = pipe.forward(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow chain, no shuffle
+
+
+def test_unicode_normalization_refiner_forms(spark):
+    from dataflow_spark.core.registry import get_operator
+
+    decomposed = "café ﬁne"   # e+combining acute, fi ligature
+    df = spark.createDataFrame([(1, decomposed), (2, None)],
+                               ["doc_id", "text"])
+    nfc = {r.doc_id: r.text for r in get_operator(
+        "UnicodeNormalizationRefiner", {"form": "NFC"}).run(df).collect()}
+    assert nfc[1] == "café ﬁne"   # composed; ligature kept
+    assert nfc[2] is None
+    nfkc = {r.doc_id: r.text for r in get_operator(
+        "UnicodeNormalizationRefiner", {"form": "NFKC"}).run(df).collect()}
+    assert nfkc[1] == "café fine"      # ligature expanded
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_operator("UnicodeNormalizationRefiner", {"form": "bogus"})

@@ -316,3 +316,52 @@ def test_rolling_std(spark):
     # the late event only sees itself -> sample std undefined
     assert got[3]["rolling_count"] == 1
     assert got[3]["rolling_std"] is None
+
+
+def test_funnel_fold_matches_iterative_reference_randomized(spark):
+    """Single-scan fold == iterative per-step min-time reference on a
+    randomized event log (500 users, duplicate timestamps, missing
+    steps, out-of-order arrival), with and without within_seconds."""
+    import random
+
+    from datetime import datetime, timedelta
+
+    from dataflow_spark.core.registry import get_operator
+
+    rng = random.Random(4242)
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+    rows = []
+    by_user = {}
+    for u in range(500):
+        n = rng.randint(0, 8)
+        evs = [(rng.choice(steps + ["noise"]), rng.randint(0, 50))
+               for _ in range(n)]
+        rng.shuffle(evs)
+        by_user[u] = evs
+        for ty, off in evs:
+            rows.append((u, ty, base + timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+
+    def reference_counts(within):
+        firsts_per_step = [0] * len(steps)
+        for evs in by_user.values():
+            prev = None
+            for i, s in enumerate(steps):
+                cands = [t for ty, t in evs if ty == s
+                         and (i == 0 or (prev is not None and t > prev
+                                         and (within is None
+                                              or t <= prev + within)))]
+                if not cands:
+                    break
+                prev = min(cands)
+                firsts_per_step[i] += 1
+        return firsts_per_step
+
+    for within in (None, 10):
+        op = get_operator("FunnelAnalysisOperator", {
+            "steps": steps, "within_seconds": within})
+        got = {r["step"]: r["n_users"] for r in op.run(df).collect()}
+        want = reference_counts(within)
+        assert [got[i + 1] for i in range(len(steps))] == want, within
