@@ -19,6 +19,9 @@ at 100 TB):
   sort + single-partition state) — fine on a lookup table, fatal on a
   corpus. Partition the window (or pass ``allow_global_window=True``
   for genuinely small frames);
+- ``Exchange SinglePartition``: a repartition(1)/coalesce-to-one
+  shuffle funnels the whole dataset through one task — legitimate only
+  for provably tiny frames (pass ``allow_single_partition=True``);
 - scans reading far more columns than any operator consumes is
   reported in ``audit()['scans']`` for review (the engine cannot know
   intent, so it reports rather than raises).
@@ -87,6 +90,9 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
     return {
         "scans": scans,
         "unpartitioned_windows": unpartitioned_windows,
+        # only Exchange nodes carry a SinglePartition Arguments form
+        "single_partition_exchanges": len(re.findall(
+            r"Arguments: SinglePartition", plan)),
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "broadcasts": len(re.findall(
             r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan)),
@@ -101,7 +107,8 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
 
 
 def assert_scalable(df: DataFrame, allow_nested_loop: bool = False,
-                    allow_global_window: bool = False) -> dict:
+                    allow_global_window: bool = False,
+                    allow_single_partition: bool = False) -> dict:
     """Raise ``PlanScaleError`` if the plan has a scale red flag.
 
     ``allow_nested_loop`` permits BroadcastNestedLoopJoin — legitimate
@@ -129,6 +136,11 @@ def assert_scalable(df: DataFrame, allow_nested_loop: bool = False,
             f"{a['unpartitioned_windows']} unpartitioned Window node(s) "
             "(single-task global sort; partition the window or pass "
             "allow_global_window=True for small frames)")
+    if not allow_single_partition and a["single_partition_exchanges"]:
+        problems.append(
+            f"{a['single_partition_exchanges']} Exchange SinglePartition "
+            "node(s) (whole dataset through one task; pass "
+            "allow_single_partition=True for provably tiny frames)")
     if problems:
         raise PlanScaleError("; ".join(problems))
     return a

@@ -57,8 +57,10 @@ def test_assert_scalable_flags_single_shard_pack(spark):
                        {"budget": 300, "num_shards": 1}).run(df)
     with pytest.raises(PlanScaleError, match="unpartitioned Window"):
         assert_scalable(out)
-    # escape hatch for genuinely small frames
-    a = assert_scalable(out, allow_global_window=True)
+    # escape hatch for genuinely small frames (the global window also
+    # plans an Exchange SinglePartition, so both flags apply)
+    a = assert_scalable(out, allow_global_window=True,
+                        allow_single_partition=True)
     assert a["unpartitioned_windows"] == 1
 
 
@@ -86,3 +88,11 @@ def test_sequence_packing_default_shards_derived(spark):
     assert len(shards) > 1  # local[32] => 32 derived shards
     assert all(0 <= int(s) < n_par for s in shards)
     assert_scalable(out)
+
+
+def test_assert_scalable_flags_single_partition_exchange(spark):
+    df = spark.range(1000).repartition(1).selectExpr("id * 2 AS x")
+    with pytest.raises(PlanScaleError, match="SinglePartition"):
+        assert_scalable(df)
+    a = assert_scalable(df, allow_single_partition=True)
+    assert a["single_partition_exchanges"] == 1
