@@ -189,15 +189,25 @@ class UnicodeNormalizationRefiner(RefineOperator):
         self.form = form
 
     def refine_expr(self, col: Column) -> Column:
-        import unicodedata
-
         from pyspark.sql.functions import pandas_udf
 
         form = self.form
 
         @pandas_udf("string")
         def norm(s: pd.Series) -> pd.Series:
-            return s.map(lambda t: None if t is None
-                         else unicodedata.normalize(form, t))
+            # unicodedata is C-implemented; is_normalized() is a
+            # quick-check scan that returns without rebuilding the
+            # string, so already-normalized docs (the common case on
+            # real corpora) cost one pass and zero allocations.
+            # (pyarrow's utf8_normalize is NOT usable here: as of
+            # pyarrow 16 it decomposes regardless of the form option.)
+            import unicodedata
+
+            def one(t):
+                if t is None or unicodedata.is_normalized(form, t):
+                    return t
+                return unicodedata.normalize(form, t)
+
+            return s.map(one)
 
         return norm(col)
