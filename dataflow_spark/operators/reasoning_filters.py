@@ -200,7 +200,11 @@ class ReasoningAnswerPipelineRootFilter(Operator):
         self.input_answer_key = input_answer_key
         self.input_gt_key = input_gt_key
         self.branch_key = branch_key
-        self.input_keys = (input_answer_key, input_gt_key)
+        # BOTH inputs are optional at run time (missing gt -> all rows
+        # branch False; missing answer -> no backfill), so declare no
+        # required keys: the root filter may sit before the answer
+        # generator in a pipeline (reference pretrain pipeline order)
+        self.input_keys = ()
         self.output_keys = (input_gt_key, branch_key)
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:

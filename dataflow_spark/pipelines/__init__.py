@@ -175,3 +175,199 @@ PIPELINES = {
     "kbc": kbc_pipeline,
     "agentic_rag": agentic_rag_pipeline,
 }
+
+
+def code_pt_filter_pipeline(input_key: str = "code",
+                            metadata_gates: bool = False) -> Pipeline:
+    """Code pretrain-filter pipeline (reference:
+    statics/pipelines/cpu_pipelines/code_pt_filter.py — same step
+    sequence: autogen gate, length, text composition, encoded-data,
+    document quality, then — when the input carries the reference's
+    file metadata columns (filetype/filename/line_count) and a
+    precomputed ``score`` — the file-type content and generic score
+    gates; ``metadata_gates=True`` enables those two)."""
+    ops = [
+        get_operator("CodeAutoGeneratedFilter", {"input_key": input_key}),
+        get_operator("CodeLengthSampleFilter", {"input_key": input_key}),
+        get_operator("CodeTextCompositionFilter", {"input_key": input_key}),
+        get_operator("CodeEncodedDataFilter", {"input_key": input_key}),
+        get_operator("CodeDocumentQualityFilter", {"input_key": input_key}),
+    ]
+    if metadata_gates:
+        ops += [
+            get_operator("CodeFileTypeContentFilter", {}),
+            get_operator("CodeGenericScoreFilter", {}),
+        ]
+    return Pipeline(ops)
+
+
+def code_gen_dataset_pipeline(serving,
+                              instruction_key: str = "instruction") -> Pipeline:
+    """Code SFT synthesis (reference:
+    statics/pipelines/api_pipelines/code_gen_dataset_pipeline.py:
+    instruction enhancement -> code generation -> LLM pair quality ->
+    score gate -> sandbox execution check)."""
+    return Pipeline([
+        get_operator("CodeEnhancementInstructionGenerator",
+                     {"serving": serving, "input_key": instruction_key}),
+        get_operator("CodeInstructionToCodeGenerator",
+                     {"serving": serving,
+                      "input_key": "enhanced_instruction"}),
+        get_operator("CodeQualitySampleEvaluator",
+                     {"serving": serving, "input_key": "code"}),
+        get_operator("CodeSandboxSampleEvaluator", {"input_key": "code"}),
+    ])
+
+
+def func_call_synthesis_pipeline(serving, chat_key: str = "chat") -> Pipeline:
+    """Function-calling conversation synthesis (reference:
+    statics/pipelines/api_pipelines/func_call_synthesis.py — the full
+    9-step chain: scenario extract/expand -> atomic task -> sequential
+    + parallel composition -> decomposition gate -> function schemas ->
+    multi-turn conversation -> conversation quality score)."""
+    return Pipeline([
+        get_operator("ScenarioExtractGenerator",
+                     {"serving": serving, "input_key": chat_key}),
+        get_operator("ScenarioExpandGenerator", {"serving": serving}),
+        get_operator("AtomTaskGenerator", {"serving": serving}),
+        get_operator("SequentialTaskGenerator", {"serving": serving}),
+        get_operator("ParaSeqTaskGenerator", {"serving": serving}),
+        get_operator("CompositionTaskFilter", {"serving": serving}),
+        get_operator("FunctionGenerator", {"serving": serving}),
+        get_operator("MultiTurnConversationGenerator",
+                     {"serving": serving, "seed_key": chat_key}),
+        get_operator("FuncCallConversationSampleEvaluator",
+                     {"serving": serving, "input_key": "conversations"}),
+    ])
+
+
+def text2qa_pipeline(serving, input_key: str = "text",
+                     num_samples: int = 100) -> Pipeline:
+    """Text→QA synthesis (reference:
+    statics/pipelines/api_pipelines/text2qa_pipeline.py: KCenterGreedy
+    content choice -> QA generation -> QA quality scoring)."""
+    return Pipeline([
+        get_operator("KCenterGreedyFilter", {"num_samples": num_samples}),
+        get_operator("Text2QAGenerator",
+                     {"serving": serving, "input_key": input_key}),
+        get_operator("Text2QASampleEvaluator",
+                     {"serving": serving, "input_key": input_key}),
+    ])
+
+
+def text_sft_synthesis_pipeline(serving, num_pairs: int = 50) -> Pipeline:
+    """SFT synthesis from scratch (reference:
+    statics/pipelines/api_pipelines/text_sft_synthesis_pipeline.py:
+    Condor generate -> Condor critique/refine -> Alpagasus gate)."""
+    return Pipeline([
+        get_operator("CondorGenerator",
+                     {"serving": serving, "num_pairs": num_pairs}),
+        get_operator("CondorRefiner", {"serving": serving}),
+        get_operator("AlpagasusFilter",
+                     {"serving": serving, "input_key": "answer"}),
+    ])
+
+
+def conversation_synthesis_pipeline(serving,
+                                    num_per_topic: int = 2) -> Pipeline:
+    """Multi-turn conversation synthesis (reference:
+    statics/pipelines/api_pipelines/
+    text_conversation_synthesis_pipeline.py: ConsistentChat)."""
+    return Pipeline([
+        get_operator("ConsistentChatGenerator",
+                     {"serving": serving, "num_per_topic": num_per_topic}),
+    ])
+
+
+def chemistry_pipeline() -> Pipeline:
+    """SMILES extraction + equivalence scoring (reference:
+    statics/pipelines/api_pipelines/chemistry_smiles.py)."""
+    return Pipeline([
+        get_operator("ExtractSmilesFromTextGenerator", {}),
+        get_operator("SmilesEquivalenceDatasetEvaluator", {}),
+    ])
+
+
+def bench_eval_pipeline(serving, match_mode: str = "exact",
+                        question_key: str = "question",
+                        gt_key: str = "gold") -> Pipeline:
+    """Benchmark answer generation + unified scoring (reference:
+    statics/pipelines/gpu_pipelines/benchmark_eval/
+    unified_bench_eval_type{1..6}.py — the type variants differ only in
+    serving backend and match mode, parameterized here)."""
+    return Pipeline([
+        get_operator("BenchAnswerGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("UnifiedBenchDatasetEvaluator",
+                     {"answer_key": "model_answer", "gt_key": gt_key,
+                      "match_mode": match_mode}),
+    ])
+
+
+def text2sql_refine_pipeline(serving, db_path: str | None = None) -> Pipeline:
+    """Text2SQL refinement (reference:
+    statics/pipelines/api_pipelines/text2sql_pipeline_refine.py:
+    executability gate -> variation -> re-gate -> question ->
+    correspondence gate -> prompt -> CoT -> CoT voting -> hardness)."""
+    return Pipeline([
+        get_operator("SQLExecutabilityFilter", {"db_path": db_path}),
+        get_operator("SQLVariationGenerator", {"serving": serving}),
+        get_operator("SQLExecutabilityFilter", {"db_path": db_path}),
+        get_operator("Text2SQLQuestionGenerator", {"serving": serving}),
+        get_operator("Text2SQLCorrespondenceFilter", {"serving": serving}),
+        get_operator("Text2SQLPromptGenerator", {}),
+        get_operator("Text2SQLCoTGenerator", {"serving": serving}),
+        get_operator("Text2SQLCoTVotingGenerator", {"serving": serving}),
+        get_operator("SQLComponentClassifier", {}),
+    ])
+
+
+def reasoning_pretrain_pipeline(serving,
+                                question_key: str = "question") -> Pipeline:
+    """Reasoning data -> pretrain-format text (reference:
+    statics/pipelines/api_pipelines/reasoning_pretrain_pipeline.py:
+    question gate -> has-ground-truth branch -> answer generation ->
+    n-gram repetition gate -> SFT-to-pretrain format convert)."""
+    return Pipeline([
+        get_operator("ReasoningQuestionFilter",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerPipelineRootFilter", {}),
+        get_operator("ReasoningAnswerGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerNgramFilter",
+                     {"input_key": "solution"}),
+        get_operator("ReasoningPretrainFormatConvertGenerator",
+                     {"question_key": question_key,
+                      "answer_key": "solution"}),
+    ])
+
+
+def prompted_core_text_pipeline(kind: str, serving,
+                                prompt_template: str = "{text}",
+                                input_key: str = "text") -> Pipeline:
+    """One-step prompted eval/filter/refine (reference:
+    statics/pipelines/core_text/prompted_{eval,filter,refine}.py)."""
+    ops = {"eval": "PromptedEvaluator", "filter": "PromptedFilter",
+           "refine": "PromptedRefiner"}
+    if kind not in ops:
+        raise ValueError("kind must be eval|filter|refine")
+    return Pipeline([
+        get_operator(ops[kind], {"serving": serving,
+                                 "prompt_template": prompt_template,
+                                 "input_key": input_key}),
+    ])
+
+
+PIPELINES.update({
+    "code_pt_filter": code_pt_filter_pipeline,
+    "code_gen_dataset": code_gen_dataset_pipeline,
+    "func_call_synthesis": func_call_synthesis_pipeline,
+    "text2qa": text2qa_pipeline,
+    "text_sft_synthesis": text_sft_synthesis_pipeline,
+    "conversation_synthesis": conversation_synthesis_pipeline,
+    "chemistry_smiles": chemistry_pipeline,
+    "bench_eval": bench_eval_pipeline,
+    "text2sql_refine": text2sql_refine_pipeline,
+    "reasoning_pretrain": reasoning_pretrain_pipeline,
+    "prompted_core_text": prompted_core_text_pipeline,
+})

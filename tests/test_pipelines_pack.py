@@ -8,13 +8,16 @@ from dataflow_spark.serving import MockLLMServing
 
 def test_all_builders_construct():
     mock = MockLLMServing(mode="echo")
+    no_args = {"text_pt_filter", "reasoning_cpu", "code_pt_filter",
+               "chemistry_smiles"}
     for name, builder in P.PIPELINES.items():
-        if name in ("text_pt_filter",):
-            builder()
-        elif name == "reasoning_cpu":
+        if name in no_args:
             builder()
         elif name == "text_sft_filter":
             builder(serving=mock)
+        elif name == "prompted_core_text":
+            for kind in ("eval", "filter", "refine"):
+                builder(kind, mock)
         else:
             builder(mock)
 
@@ -71,3 +74,58 @@ def test_text_sft_filter_pipeline_runs(spark, docs):
     out = P.text_sft_filter_pipeline().forward(docs.limit(50))
     assert "superfiltering_score" in out.columns
     assert out.count() <= 50
+
+
+def test_code_pt_filter_pipeline_runs(spark):
+    rows = [
+        (1, "def add(a, b):\n    \"\"\"Add two numbers together and "
+            "return their sum as a value.\"\"\"\n    return a + b\n"
+            "result = add(1, 2)\nprint(result)\n"),
+        (2, "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVo=" * 40),  # base64 blob
+    ]
+    df = spark.createDataFrame(rows, ["id", "code"])
+    out = P.code_pt_filter_pipeline().forward(df)
+    ids = [r.id for r in out.collect()]
+    assert 2 not in ids  # encoded-data blob filtered
+
+
+def test_bench_eval_pipeline_runs(spark):
+    mock = MockLLMServing(mode="template", template="42")
+    df = spark.createDataFrame(
+        [("What is 6*7?", "42"), ("What is 2+2?", "4")],
+        ["question", "gold"])
+    out = P.bench_eval_pipeline(mock).forward(df)
+    rows = out.collect()
+    # UnifiedBenchDatasetEvaluator aggregates: one accuracy row
+    assert len(rows) == 1
+    assert rows[0]["n"] == 2 and abs(rows[0]["accuracy"] - 0.5) < 1e-9
+
+
+def test_reasoning_pretrain_pipeline_runs(spark):
+    mock = MockLLMServing(
+        mode="template",
+        template='{{"judgement_test": true}} Solution: fine \\boxed{{4}}')
+    df = spark.createDataFrame(
+        [("What is 2+2?", "4")], ["question", "golden_answer"])
+    out = P.reasoning_pretrain_pipeline(mock).forward(df)
+    rows = out.collect()
+    assert rows and "text" in out.columns
+
+
+def test_chemistry_pipeline_runs(spark):
+    df = spark.createDataFrame(
+        [("The monomer SMILES is C1=CC=CC=C1 here", "C1=CC=CC=C1")],
+        ["text", "gt_smiles"])
+    out = P.chemistry_pipeline().forward(df)
+    assert out.count() >= 0  # structural: chain compiles and executes
+
+
+def test_prompted_core_text_pipeline_runs(spark, docs):
+    mock = MockLLMServing(mode="template", template="4.5")
+    out = P.prompted_core_text_pipeline(
+        "eval", mock, prompt_template="Rate: {text}").forward(docs.limit(3))
+    assert out.count() == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        P.prompted_core_text_pipeline("bogus", mock)
