@@ -385,11 +385,19 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
               f"{', '.join(sorted(pl.PIPELINES))}", file=sys.stderr)
         return 1
     builder = pl.PIPELINES[args.name]
+    params = inspect.signature(builder).parameters
     kwargs = {}
-    if "serving" in inspect.signature(builder).parameters:
+    if "serving" in params:
         # mock serving keeps the pipeline runnable offline; a real
         # OpenAI-compatible LLMServing slots in programmatically
         kwargs["serving"] = MockLLMServing(mode="hash")
+    missing = [n for n, p in params.items()
+               if p.default is inspect.Parameter.empty and n not in kwargs]
+    if missing:
+        print(f"pipeline {args.name!r} needs arguments {missing} — "
+              "build it programmatically via dataflow_spark.pipelines",
+              file=sys.stderr)
+        return 1
     pipe = builder(**kwargs) if kwargs else builder()
     spark = get_spark(f"pipeline-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
