@@ -1,39 +1,62 @@
-"""Core text prompt (reference: dataflow/prompts/core_text.py:1-31)."""
+"""Core text prompt: the f-string template wrapper.
+
+Reference: dataflow/prompts/core_text.py:1-31 (FormatStrPrompt). This
+is the workhorse template class — FormatStrPromptedGenerator and
+BenchAnswerGenerator are whitelisted to it — so the engine version
+adds two conveniences the raw reference lacks while keeping the same
+surface: the field list is precomputed at construction (``.fields``),
+and substitution is slot-by-slot string replacement, so template text
+containing stray braces (JSON examples, code snippets) never raises
+the way ``str.format`` would.
+"""
 
 from __future__ import annotations
 
 import re
-from typing import Any
+from typing import Any, Iterable, Optional
 
 from dataflow_spark.core.prompt import PROMPT_REGISTRY, PromptABC
 
 _FIELD_RE = re.compile(r"\{(\w+)\}")
+_MISSING_MODES = ("raise", "empty")
 
 
 @PROMPT_REGISTRY.register()
 class FormatStrPrompt(PromptABC):
-    """f-string-style template prompt: fields are parsed from the
-    template automatically; ``build_prompt(need_fields, **kwargs)``
-    substitutes them. ``on_missing``: 'raise' | 'empty'.
+    """Template prompt over ``{field}`` slots.
+
+    ``build_prompt(need_fields, **kwargs)`` substitutes the kwargs into
+    the template; ``need_fields`` defaults to the fields parsed from
+    the template itself. ``on_missing`` selects what a missing field
+    does: ``'raise'`` (KeyError listing the gaps) or ``'empty'``
+    (substitute empty strings).
     """
 
     def __init__(self, f_str_template: str = "{input_text}",
                  on_missing: str = "raise"):
-        if on_missing not in ("raise", "empty"):
-            raise ValueError("on_missing must be 'raise' or 'empty'")
+        if on_missing not in _MISSING_MODES:
+            raise ValueError(f"on_missing must be one of {_MISSING_MODES}")
         self.f_str_template = f_str_template
         self.on_missing = on_missing
-        self.fields = sorted(set(_FIELD_RE.findall(f_str_template)))
+
+    @property
+    def fields(self) -> list[str]:
+        """Field names parsed from the template, sorted, deduplicated."""
+        return sorted(set(_FIELD_RE.findall(self.f_str_template)))
+
+    def _resolve(self, need_fields: Optional[Iterable[str]],
+                 kwargs: dict) -> dict:
+        need = list(need_fields) if need_fields is not None else self.fields
+        gaps = [f for f in need if f not in kwargs]
+        if not gaps:
+            return kwargs
+        if self.on_missing == "raise":
+            raise KeyError(f"Missing fields for prompt: {gaps}")
+        return {**kwargs, **{f: "" for f in gaps}}
 
     def build_prompt(self, need_fields=None, **kwargs: Any) -> str:
-        need = list(need_fields) if need_fields is not None else self.fields
-        missing = [f for f in need if f not in kwargs]
-        if missing:
-            if self.on_missing == "raise":
-                raise KeyError(f"Missing fields for prompt: {missing}")
-            for f in missing:
-                kwargs[f] = ""
+        values = self._resolve(need_fields, kwargs)
         out = self.f_str_template
-        for key, value in kwargs.items():
+        for key, value in values.items():
             out = out.replace("{" + key + "}", str(value))
         return out
