@@ -392,3 +392,43 @@ def prefix_length(threshold: float, size_col: Column) -> Column:
     return (size_col
             - ceil_lower_bound(F.lit(threshold) * size_col)
             + 1).cast("int")
+
+
+def optimal_bands(threshold: float, num_perm: int,
+                  fp_weight: float = 0.5, fn_weight: float = 0.5
+                  ) -> tuple[int, int]:
+    """Optimal LSH banding (bands, rows_per_band) for a Jaccard
+    threshold.
+
+    Minimizes the weighted false-positive/false-negative area of the
+    LSH S-curve P(candidate | s) = 1 - (1 - s^r)^b over all (b, r)
+    with b*r <= num_perm — the same parameter search the reference's
+    datasketch MinHashLSH backend performs at construction
+    (general_text/filter/minhash_deduplicate_filter.py uses
+    MinHashLSH(threshold, num_perm), which auto-tunes internally).
+    Pure arithmetic, evaluated once at operator construction.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+
+    def _prob(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    n_steps = 100
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r == 0:
+            break
+        # midpoint-rule integrals of the S-curve error on each side
+        fp = sum(_prob(threshold * (i + 0.5) / n_steps, b, r)
+                 for i in range(n_steps)) * threshold / n_steps
+        fn = sum(1.0 - _prob(threshold + (1 - threshold) * (i + 0.5)
+                             / n_steps, b, r)
+                 for i in range(n_steps)) * (1 - threshold) / n_steps
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best

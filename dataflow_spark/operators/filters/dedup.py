@@ -416,7 +416,8 @@ class MinHashDeduplicateFilter(_NearDupBase):
     """
 
     def __init__(self, input_key: str = "text", threshold: float = 0.9,
-                 num_perm: int = 64, num_bands: int = 4, shingle_n: int = 5,
+                 num_perm: int = 64, num_bands: int | str = 4,
+                 shingle_n: int = 5,
                  order_key: str | None = None, verify_jaccard: bool = True,
                  pair_expansion: str = "star", hash_impl: str = "fast",
                  assign_key: str | None = None):
@@ -425,8 +426,15 @@ class MinHashDeduplicateFilter(_NearDupBase):
         self.assign_key = assign_key
         self.threshold = threshold
         self.num_perm = num_perm
-        self.num_bands = num_bands
-        self.rows_per_band = num_perm // num_bands
+        if num_bands == "auto":
+            # S-curve-optimal banding for the threshold — what the
+            # reference's datasketch MinHashLSH backend auto-tunes to
+            # (may use fewer than num_perm rows: b*r <= num_perm)
+            self.num_bands, self.rows_per_band = H.optimal_bands(
+                threshold, num_perm)
+        else:
+            self.num_bands = num_bands
+            self.rows_per_band = num_perm // num_bands
         self.shingle_n = shingle_n
         self.verify_jaccard = verify_jaccard
         #: 'fast' = splitmix64 numpy rolling hash (production);

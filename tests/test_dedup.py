@@ -270,3 +270,27 @@ def test_incremental_minhash(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         op.run(new)
+
+
+def test_minhash_auto_banding(spark):
+    """num_bands='auto' picks the S-curve-optimal (b, r) (datasketch-
+    canonical values) and the filter still deduplicates correctly."""
+    from dataflow_spark.core.registry import get_operator
+    from dataflow_spark.functions.hashing import optimal_bands
+
+    assert optimal_bands(0.9, 128) == (5, 25)   # datasketch's answer
+    assert optimal_bands(0.5, 64) == (14, 4)
+
+    op = get_operator("MinHashDeduplicateFilter", {
+        "input_key": "text", "order_key": "doc_id",
+        "threshold": 0.9, "num_bands": "auto"})
+    assert (op.num_bands, op.rows_per_band) == optimal_bands(0.9, 64)
+    assert op.num_bands * op.rows_per_band <= 64
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again in the summer meadow ") * 3
+    rows = [(0, base), (1, base + "tail!"), (2, "completely different "
+            "content about distributed query engines and shuffles " * 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in op.run(df).collect())
+    assert kept == [0, 2]
