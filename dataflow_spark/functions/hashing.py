@@ -416,19 +416,20 @@ def optimal_bands(threshold: float, num_perm: int,
     def _prob(s: float, b: int, r: int) -> float:
         return 1.0 - (1.0 - s ** r) ** b
 
-    n_steps = 100
+    n_steps = 1000  # fine enough to match datasketch's 0.001-step scan
     best, best_err = (1, num_perm), float("inf")
+    # full search over every (b, r) with b*r <= num_perm — restricting
+    # r to num_perm // b misses better combinations (e.g. t=0.8/64:
+    # full search finds (5, 11), the restricted one only (6, 10))
     for b in range(1, num_perm + 1):
-        r = num_perm // b
-        if r == 0:
-            break
-        # midpoint-rule integrals of the S-curve error on each side
-        fp = sum(_prob(threshold * (i + 0.5) / n_steps, b, r)
-                 for i in range(n_steps)) * threshold / n_steps
-        fn = sum(1.0 - _prob(threshold + (1 - threshold) * (i + 0.5)
-                             / n_steps, b, r)
-                 for i in range(n_steps)) * (1 - threshold) / n_steps
-        err = fp_weight * fp + fn_weight * fn
-        if err < best_err:
-            best, best_err = (b, r), err
+        for r in range(1, num_perm // b + 1):
+            # midpoint-rule integrals of the S-curve error on each side
+            fp = sum(_prob(threshold * (i + 0.5) / n_steps, b, r)
+                     for i in range(n_steps)) * threshold / n_steps
+            fn = sum(1.0 - _prob(threshold + (1 - threshold) * (i + 0.5)
+                                 / n_steps, b, r)
+                     for i in range(n_steps)) * (1 - threshold) / n_steps
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best, best_err = (b, r), err
     return best

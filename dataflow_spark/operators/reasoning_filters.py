@@ -200,11 +200,13 @@ class ReasoningAnswerPipelineRootFilter(Operator):
         self.input_answer_key = input_answer_key
         self.input_gt_key = input_gt_key
         self.branch_key = branch_key
-        # BOTH inputs are optional at run time (missing gt -> all rows
-        # branch False; missing answer -> no backfill), so declare no
-        # required keys: the root filter may sit before the answer
-        # generator in a pipeline (reference pretrain pipeline order)
-        self.input_keys = ()
+        # the gt column is required at compile time (a misnamed gold
+        # column should fail loudly, not silently branch every row to
+        # has_gt=False); the ANSWER key stays optional — the root
+        # filter legitimately sits before the answer generator in the
+        # reference pretrain pipeline order, so no backfill source
+        # exists yet
+        self.input_keys = (input_gt_key,)
         self.output_keys = (input_gt_key, branch_key)
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:

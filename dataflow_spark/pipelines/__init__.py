@@ -215,6 +215,9 @@ def code_gen_dataset_pipeline(serving,
                       "input_key": "enhanced_instruction"}),
         get_operator("CodeQualitySampleEvaluator",
                      {"serving": serving, "input_key": "code"}),
+        get_operator("CodeGenericScoreFilter",
+                     {"input_score_key": "code_quality_score",
+                      "score_threshold": 8}),
         get_operator("CodeSandboxSampleEvaluator", {"input_key": "code"}),
     ])
 
@@ -242,16 +245,23 @@ def func_call_synthesis_pipeline(serving, chat_key: str = "chat") -> Pipeline:
 
 
 def text2qa_pipeline(serving, input_key: str = "text",
-                     num_samples: int = 100) -> Pipeline:
+                     num_samples: int = 100,
+                     embedding_serving=None) -> Pipeline:
     """Text→QA synthesis (reference:
     statics/pipelines/api_pipelines/text2qa_pipeline.py: KCenterGreedy
-    content choice -> QA generation -> QA quality scoring)."""
+    content choice -> QA generation -> QA quality scoring). The
+    reference's input carries precomputed embeddings; here an
+    EmbeddingGenerator stage produces them from the text column
+    (``embedding_serving`` defaults to the deterministic hash
+    embedder), and the judge scores the GENERATED question."""
     return Pipeline([
+        get_operator("EmbeddingGenerator",
+                     {"serving": embedding_serving, "input_key": input_key}),
         get_operator("KCenterGreedyFilter", {"num_samples": num_samples}),
         get_operator("Text2QAGenerator",
                      {"serving": serving, "input_key": input_key}),
         get_operator("Text2QASampleEvaluator",
-                     {"serving": serving, "input_key": input_key}),
+                     {"serving": serving, "input_key": "question"}),
     ])
 
 

@@ -19,9 +19,14 @@ at 100 TB):
   sort + single-partition state) — fine on a lookup table, fatal on a
   corpus. Partition the window (or pass ``allow_global_window=True``
   for genuinely small frames);
-- ``Exchange SinglePartition``: a repartition(1)/coalesce-to-one
-  shuffle funnels the whole dataset through one task — legitimate only
-  for provably tiny frames (pass ``allow_single_partition=True``);
+- explicit ``repartition(1)`` (``Exchange SinglePartition,
+  REPARTITION``): funnels the whole dataset through one task —
+  legitimate only for provably tiny frames (pass
+  ``allow_single_partition=True``). A SinglePartition exchange from
+  ENSURE_REQUIREMENTS (a global aggregate's final combine of one
+  partial row per task) is scalable and NOT flagged; ``coalesce(1)``
+  plans a Coalesce node with no Exchange and is likewise out of this
+  lint's reach;
 - scans reading far more columns than any operator consumes is
   reported in ``audit()['scans']`` for review (the engine cannot know
   intent, so it reports rather than raises).
@@ -90,9 +95,11 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
     return {
         "scans": scans,
         "unpartitioned_windows": unpartitioned_windows,
-        # only Exchange nodes carry a SinglePartition Arguments form
+        # only user-requested repartition(1) (shuffle origin REPARTITION*)
+        # — ENSURE_REQUIREMENTS SinglePartition is a global aggregate's
+        # final combine of one partial row per task, which scales fine
         "single_partition_exchanges": len(re.findall(
-            r"Arguments: SinglePartition", plan)),
+            r"Arguments: SinglePartition, REPARTITION", plan)),
         "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "broadcasts": len(re.findall(
             r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan)),
@@ -138,9 +145,10 @@ def assert_scalable(df: DataFrame, allow_nested_loop: bool = False,
             "allow_global_window=True for small frames)")
     if not allow_single_partition and a["single_partition_exchanges"]:
         problems.append(
-            f"{a['single_partition_exchanges']} Exchange SinglePartition "
-            "node(s) (whole dataset through one task; pass "
-            "allow_single_partition=True for provably tiny frames)")
+            f"{a['single_partition_exchanges']} repartition(1) "
+            "Exchange SinglePartition node(s) (whole dataset through "
+            "one task; pass allow_single_partition=True for provably "
+            "tiny frames)")
     if problems:
         raise PlanScaleError("; ".join(problems))
     return a

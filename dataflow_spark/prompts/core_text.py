@@ -13,6 +13,7 @@ the way ``str.format`` would.
 from __future__ import annotations
 
 import re
+from functools import cached_property
 from typing import Any, Iterable, Optional
 
 from dataflow_spark.core.prompt import PROMPT_REGISTRY, PromptABC
@@ -39,9 +40,10 @@ class FormatStrPrompt(PromptABC):
         self.f_str_template = f_str_template
         self.on_missing = on_missing
 
-    @property
+    @cached_property
     def fields(self) -> list[str]:
-        """Field names parsed from the template, sorted, deduplicated."""
+        """Field names parsed from the template, sorted, deduplicated
+        (parsed once — build_prompt runs per row inside LLM-map)."""
         return sorted(set(_FIELD_RE.findall(self.f_str_template)))
 
     def _resolve(self, need_fields: Optional[Iterable[str]],

@@ -280,6 +280,10 @@ def test_minhash_auto_banding(spark):
 
     assert optimal_bands(0.9, 128) == (5, 25)   # datasketch's answer
     assert optimal_bands(0.5, 64) == (14, 4)
+    # cases where the full (b, r) search beats restricting r to
+    # num_perm // b (regression for the exhaustive search)
+    assert optimal_bands(0.8, 64) == (5, 11)
+    assert optimal_bands(0.1, 64) == (15, 1)
 
     op = get_operator("MinHashDeduplicateFilter", {
         "input_key": "text", "order_key": "doc_id",
