@@ -1548,6 +1548,138 @@ def r_unicode_nfc(spark, sf_dir):
     return out.select("doc_id", "text", F.length("text").alias("n_chars"))
 
 
+# Pipeline-level oracle for the code pretrain-filter chain
+# (pipelines.code_pt_filter_pipeline): a deterministic "code" column is
+# synthesized from each fixture doc, with failure modes injected by
+# doc_id residue — %13 auto-generated marker, %17 base64 blob (encoded
+# ratio > 0.5), %19 a 1200-char line (length gate), %23 duplicated
+# lines (dup fraction), %29 an all-caps word run (caps fraction). The
+# oracle replays all five filters (autogen, length, composition,
+# encoded-data, document quality incl. duplicate-line fraction, caps
+# fraction, curly fraction, and unigram entropy) in DuckDB SQL.
+_CODE_SYNTH_SQL = """
+  SELECT doc_id,
+    (CASE WHEN doc_id % 13 = 0
+          THEN '# auto-generated; do not edit' || chr(10) ELSE '' END)
+    || 'def handler_' || doc_id::VARCHAR || '():' || chr(10)
+    || '    \"\"\"' || substr(text, 1, 120) || '\"\"\"' || chr(10)
+    || (CASE WHEN doc_id % 17 = 0
+             THEN '    blob = \"' || repeat('QUJEa0x5', 40) || '\"' || chr(10)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 19 = 0
+             THEN '    s = \"' || repeat('x', 1200) || '\"' || chr(10)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 23 = 0
+             THEN repeat('    retry = retry + 1' || chr(10), 4)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 29 = 0
+             THEN '    FLAG BIT MODE ON OFF HIGH LOW MAX MIN TOP END ALL'
+                  || chr(10)
+             ELSE '' END)
+    || '    return ' || (doc_id % 7)::VARCHAR AS code
+  FROM documents
+"""
+
+_CODE_FILTER_ORACLE_SQL = f"""
+WITH src AS ({_CODE_SYNTH_SQL}),
+lines_t AS (
+  SELECT doc_id, code, string_split(code, chr(10)) AS ls FROM src),
+flags AS (
+  SELECT doc_id,
+    NOT regexp_matches(lower(array_to_string(ls[1:10], chr(10))),
+        'auto-generated|autogenerated|automatically generated|'
+        || 'generated by|do not edit|do not modify') AS pass_autogen,
+    (list_max(list_transform(ls, l -> length(l))) <= 1000
+     AND len(ls) BETWEEN 1 AND 1000) AS pass_length,
+    (length(regexp_replace(code, '[^A-Za-z]', '', 'g'))::DOUBLE
+     / greatest(length(code), 1)) >= 0.25 AS pass_composition,
+    ((coalesce(list_sum(list_transform(
+         regexp_extract_all(code, '[A-Za-z0-9+/=]{{64,}}'),
+         m -> length(m))), 0)
+      + coalesce(list_sum(list_transform(
+         regexp_extract_all(code, '(?:\\\\x[0-9a-fA-F]{{2}}){{8,}}'),
+         m -> length(m))), 0)
+      + coalesce(list_sum(list_transform(
+         regexp_extract_all(code, '(?:\\\\u[0-9a-fA-F]{{4}}){{4,}}'),
+         m -> length(m))), 0))::DOUBLE
+     / greatest(length(code), 1)) <= 0.5 AS pass_encoded,
+    len(ls) AS n_lines, length(code) AS n_chars,
+    ((length(code) - length(replace(replace(code, '{{', ''), '}}', '')))
+     ::DOUBLE / greatest(length(code), 1)) AS curly_frac
+  FROM lines_t),
+sl_ex AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(ls, l -> trim(l)), l -> l != '')) AS l
+  FROM lines_t),
+dup_stats AS (
+  SELECT doc_id,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0)::DOUBLE / sum(c) AS dup
+  FROM (SELECT doc_id, l, count(*) AS c FROM sl_ex GROUP BY 1, 2)
+  GROUP BY doc_id),
+w_ex AS (
+  SELECT doc_id, unnest(regexp_extract_all(code, '\\w+')) AS w FROM src),
+word_stats AS (
+  SELECT doc_id, count(*) AS n_words,
+         coalesce(sum(CASE WHEN length(w) > 1
+                       AND regexp_matches(w, '^[^a-z]*[A-Z][^a-z]*$')
+                      THEN 1 END), 0) AS caps
+  FROM w_ex GROUP BY doc_id),
+ent_stats AS (
+  SELECT doc_id, -sum((c::DOUBLE / n) * ln(c::DOUBLE / n)) AS entropy
+  FROM (SELECT doc_id, w, count(*) AS c,
+               sum(count(*)) OVER (PARTITION BY doc_id) AS n
+        FROM w_ex GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT f.doc_id FROM flags f
+LEFT JOIN dup_stats d USING (doc_id)
+LEFT JOIN word_stats w USING (doc_id)
+LEFT JOIN ent_stats e USING (doc_id)
+WHERE f.pass_autogen AND f.pass_length AND f.pass_composition
+  AND f.pass_encoded
+  AND f.n_chars BETWEEN 1 AND 100000
+  AND coalesce(w.n_words, 0) BETWEEN 1 AND 100000
+  AND f.n_lines BETWEEN 1 AND 100000
+  AND coalesce(d.dup, 0.0) <= 0.25
+  AND f.curly_frac <= 0.05
+  AND coalesce(w.caps::DOUBLE / w.n_words, 0.0) <= 0.15
+  AND coalesce(e.entropy, 0.0) >= 1.0
+"""
+
+
+@q("q_pipeline_code_filter", _CODE_FILTER_ORACLE_SQL)
+def q_pipeline_code_filter(spark, sf_dir):
+    """Full code pretrain-filter chain as ONE Catalyst plan over a
+    synthesized code column; survivors = docs passing all five filters
+    (the oracle replays every predicate in SQL)."""
+    from dataflow_spark.pipelines import code_pt_filter_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    code = F.concat(
+        F.when(did % 13 == 0,
+               F.lit("# auto-generated; do not edit\n")).otherwise(""),
+        F.lit("def handler_"), did.cast("string"), F.lit("():"), nl,
+        F.lit('    """'), F.substring("text", 1, 120), F.lit('"""'), nl,
+        F.when(did % 17 == 0,
+               F.concat(F.lit('    blob = "'),
+                        F.lit("QUJEa0x5" * 40), F.lit('"\n'))).otherwise(""),
+        F.when(did % 19 == 0,
+               F.concat(F.lit('    s = "'), F.lit("x" * 1200),
+                        F.lit('"\n'))).otherwise(""),
+        F.when(did % 23 == 0,
+               F.lit("    retry = retry + 1\n" * 4)).otherwise(""),
+        F.when(did % 29 == 0,
+               F.lit("    FLAG BIT MODE ON OFF HIGH LOW MAX MIN TOP END "
+                     "ALL\n")).otherwise(""),
+        F.lit("    return "), (did % 7).cast("string"))
+    src = docs.select("doc_id", code.alias("code"))
+    pipe = code_pt_filter_pipeline(quality_thresholds={
+        "max_frac_duplicate_lines": 0.25, "max_frac_curly_bracket": 0.05,
+        "max_frac_all_caps_words": 0.15, "min_entropy_unigram": 1.0})
+    return pipe.forward(src).select("doc_id")
+
+
 # RE2 has no backreferences -> oracle walks characters instead: drop any
 # char equal to its predecessor when both sit in the ASCII punct ranges
 q("r_remove_repetition_punct", """

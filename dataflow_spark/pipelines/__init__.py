@@ -178,7 +178,9 @@ PIPELINES = {
 
 
 def code_pt_filter_pipeline(input_key: str = "code",
-                            metadata_gates: bool = False) -> Pipeline:
+                            metadata_gates: bool = False,
+                            quality_thresholds: dict | None = None
+                            ) -> Pipeline:
     """Code pretrain-filter pipeline (reference:
     statics/pipelines/cpu_pipelines/code_pt_filter.py — same step
     sequence: autogen gate, length, text composition, encoded-data,
@@ -191,7 +193,9 @@ def code_pt_filter_pipeline(input_key: str = "code",
         get_operator("CodeLengthSampleFilter", {"input_key": input_key}),
         get_operator("CodeTextCompositionFilter", {"input_key": input_key}),
         get_operator("CodeEncodedDataFilter", {"input_key": input_key}),
-        get_operator("CodeDocumentQualityFilter", {"input_key": input_key}),
+        get_operator("CodeDocumentQualityFilter",
+                     {"input_key": input_key,
+                      "thresholds": quality_thresholds}),
     ]
     if metadata_gates:
         ops += [
