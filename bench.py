@@ -114,6 +114,7 @@ def main() -> None:
             "x_decontaminate", "r_segment_dedup", "q_pipeline_corpus_curation",
             "q_rolling_features", "q_cohort_retention",
             "q_kmeans", "q_bm25_topk", "q_global_shuffle",
+            "q_funnel", "q_pipeline_code_filter", "r_unicode_nfc",
         ]
         s_timings: dict[str, object] = {}
         for name in scale_queries:
