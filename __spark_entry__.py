@@ -1646,6 +1646,48 @@ WHERE f.pass_autogen AND f.pass_length AND f.pass_composition
 """
 
 
+# Pipeline-level oracle for the SFT-filter chain
+# (pipelines.text_sft_filter_pipeline without the LLM judge): basic
+# gates + exact dedup + the two deterministic hash-proxy quality
+# scorers, replayed end-to-end in SQL (md5-digest first 4 bytes over
+# 0xFFFFFFFF, the documented proxy formula).
+_HASH_SCORE = (
+    "round(list_aggregate(list_transform(generate_series(1, 8), "
+    "i -> (strpos('0123456789abcdef', substr(lower(md5('{salt}' || text)), i, 1)) - 1)"
+    " * power(16, 8 - i)), 'sum') / 4294967295.0, 6)")
+
+
+@q("q_pipeline_sft_filter", f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+    AND len({W('text')}) BETWEEN 5 AND 100000),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base) WHERE rn = 1)
+SELECT doc_id,
+       {_HASH_SCORE.format(salt='SuperfilteringSampleEvaluator')}
+         AS superfiltering_score,
+       {_HASH_SCORE.format(salt='DeitaQualitySampleEvaluator')}
+         AS deita_quality_score
+FROM kept
+""")
+def q_pipeline_sft_filter(spark, sf_dir):
+    """SFT-quality chain as ONE Catalyst plan: null/short gates ->
+    exact dedup -> two deterministic proxy quality scores; oracle
+    replays every stage including the md5 proxy formula."""
+    from dataflow_spark.pipelines import text_sft_filter_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    out = text_sft_filter_pipeline().forward(docs)
+    return out.select(
+        "doc_id",
+        F.round("superfiltering_score", 6).alias("superfiltering_score"),
+        F.round("deita_quality_score", 6).alias("deita_quality_score"))
+
+
 @q("q_pipeline_code_filter", _CODE_FILTER_ORACLE_SQL)
 def q_pipeline_code_filter(spark, sf_dir):
     """Full code pretrain-filter chain as ONE Catalyst plan over a
