@@ -1646,6 +1646,110 @@ WHERE f.pass_autogen AND f.pass_length AND f.pass_composition
 """
 
 
+# Pipeline-level oracle for the FLAGSHIP text pretrain-filter chain
+# (pipelines.text_pt_filter_pipeline, dedup=False): three refiners
+# (whitespace collapse, emoji strip, URL strip — applied in builder
+# order) then all 19 rule-based gates at the pipeline's thresholds,
+# replayed as one SQL conjunction over the refined text.
+_PT_EMOJI_CLASS = (
+    "[\\x{1F300}-\\x{1F5FF}\\x{1F600}-\\x{1F64F}\\x{1F680}-\\x{1F6FF}"
+    "\\x{1F900}-\\x{1F9FF}\\x{2600}-\\x{26FF}\\x{2700}-\\x{27BF}\\x{FE0F}]")
+_PT_REFINED = (
+    "regexp_replace(regexp_replace("
+    r"trim(regexp_replace(text, '\s+', ' ', 'g')), "
+    f"'{_PT_EMOJI_CLASS}', '', 'g'), "
+    r"'https?://[^\s]+', '', 'g')")
+_PT_PREDS = [
+    f"len(list_filter({LW('text')}, x -> "
+    "list_contains(['spam','viagra','casino'], x))) <= 0",
+    f"len({W('text')}) BETWEEN 20 AND 100000",
+    "NOT regexp_matches(trim(text), ':$')",
+    r"len(list_filter(regexp_split_to_array(text, '[.!?]+'), "
+    "x -> trim(x) != '')) BETWEEN 3 AND 7500",
+    r"len(string_split(text, chr(10))) = 0 OR "
+    r"len(list_filter(string_split(text, chr(10)), "
+    r"ln -> regexp_matches(trim(ln), '(\.\.\.|…)$')))::DOUBLE"
+    r" / len(string_split(text, chr(10))) <= 0.3",
+    "text IS NOT NULL AND trim(text) != ''",
+    f"len({W('text')}) > 0 AND "
+    f"(list_sum(list_transform({W('text')}, x -> len(x)))::DOUBLE "
+    f"/ len({W('text')})) BETWEEN 3.0 AND 10.0",
+    f"len({W('text')}) = 0 OR "
+    f"(len(text) - len(translate(text, '#|…', '')))::DOUBLE "
+    f"/ len({W('text')}) <= 0.4",
+    "NOT regexp_matches(text, '&(amp|lt|gt|quot|apos|nbsp|#[0-9]{1,6});')",
+    r"list_max(list_transform(regexp_split_to_array(text, '[.!?;:,]'),"
+    r" s -> len(list_filter(regexp_split_to_array(s, '\s+'), "
+    "x -> x != '')))) <= 112",
+    r"NOT regexp_matches(text, '[\x{FFFD}\x{0}-\x{8}\x{B}\x{C}"
+    r"\x{E}-\x{1F}]')",
+    "NOT regexp_matches(text, '(Copyright|Watermark|Confidential)')",
+    "CASE WHEN len(text) > 0 THEN (len(text) - "
+    "len(translate(text, '{}', '')))::DOUBLE / len(text) "
+    "ELSE 0.0 END <= 0.025",
+    f"len({W('text')}) = 0 OR "
+    f"len(list_filter({W('text')}, x -> x = upper(x) AND "
+    f"regexp_matches(x, '[A-Za-z]')))::DOUBLE / len({W('text')}) <= 0.2",
+    "NOT contains(lower(text), 'lorem ipsum')",
+    f"len({LW('text')}) > 0 AND "
+    f"len(list_distinct({LW('text')}))::DOUBLE / len({LW('text')}) >= 0.1",
+    "len(text) >= 100",
+    r"len(string_split(text, chr(10))) = 0 OR "
+    r"len(list_filter(string_split(text, chr(10)), "
+    r"ln -> regexp_matches(ln, '^\s*([-*•‣⁃]|[0-9]+[.)])')))::DOUBLE"
+    r" / len(string_split(text, chr(10))) <= 0.9",
+    "len(list_filter(string_split(text, chr(10)), "
+    "ln -> contains(lower(ln), 'javascript'))) <= 3",
+]
+
+
+# the fixture docs carry no sentence punctuation, so a punctuated
+# suffix is grafted on BOTH sides — the SentenceNumberFilter gate
+# (min 3, the reference threshold) then discriminates on real content
+# instead of vacuously rejecting everything
+_PT_SUFFIX = " First note here. Second note there. Third note ends."
+
+
+@q("q_pipeline_text_filter", f"""
+WITH src AS (
+  SELECT doc_id, text || '{_PT_SUFFIX}'
+    || (CASE WHEN doc_id % 31 = 0 THEN ' Confidential material.'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 37 = 0 THEN ' lorem ipsum filler text.'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 41 = 0 THEN repeat(' ###', 60) ELSE '' END)
+    || (CASE WHEN doc_id % 43 = 0 THEN ' spam offer inside' ELSE '' END)
+    AS text
+  FROM documents),
+r AS (SELECT doc_id, {_PT_REFINED} AS text FROM src)
+SELECT doc_id FROM r WHERE {' AND '.join(f'({p})' for p in _PT_PREDS)}
+""")
+def q_pipeline_text_filter(spark, sf_dir):
+    """The flagship 22-step text pretrain cleaning chain (3 refiners +
+    19 rule-based gates, dedup disabled for SQL replayability) as ONE
+    Catalyst plan; failure modes injected by doc_id residue (%31
+    watermark, %37 lorem-ipsum, %41 symbol-ratio, %43 blocklist) so
+    the gates discriminate; the oracle replays refiners and every gate
+    at the pipeline's thresholds."""
+    from dataflow_spark.pipelines import text_pt_filter_pipeline
+
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(_PT_SUFFIX),
+            F.when(did % 31 == 0,
+                   F.lit(" Confidential material.")).otherwise(""),
+            F.when(did % 37 == 0,
+                   F.lit(" lorem ipsum filler text.")).otherwise(""),
+            F.when(did % 41 == 0, F.lit(" ###" * 60)).otherwise(""),
+            F.when(did % 43 == 0,
+                   F.lit(" spam offer inside")).otherwise(""),
+        ).alias("text"))
+    out = text_pt_filter_pipeline(dedup=False).forward(docs)
+    return out.select("doc_id")
+
+
 # Pipeline-level oracle for the SFT-filter chain
 # (pipelines.text_sft_filter_pipeline without the LLM judge): basic
 # gates + exact dedup + the two deterministic hash-proxy quality
