@@ -1966,7 +1966,17 @@ WITH RECURSIVE
 {_mh_sig_ctes('', num_perm, shingle_n, seed)},
 banded AS (SELECT doc_id AS _id, b.band,
              array_to_string(s[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',') AS h
-           FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
+           FROM sig, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b
+           UNION ALL
+           -- identity pseudo-band: the operator collapses docs with
+           -- IDENTICAL full signatures and links them unconditionally
+           -- (dedup.py:_collapse_exact); star edges within ordinary
+           -- band buckets can miss that link when the bucket root
+           -- fails the similarity verify, so the oracle must band on
+           -- the full signature too (the verify passes trivially at
+           -- estimated jaccard 1.0)
+           SELECT doc_id AS _id, -1 AS band,
+                  array_to_string(s, ',') AS h FROM sig),
 {_cc_survivor_sql(verify, f"SELECT doc_id FROM {source}", "doc_id", assign)}"""
 
 
@@ -2033,7 +2043,12 @@ bs AS (SELECT doc_id,
 sim AS (SELECT d.doc_id, coalesce({pack}, 0) AS sim
         FROM d LEFT JOIN bs ON d.doc_id = bs.doc_id),
 banded AS (SELECT doc_id AS _id, b.band, (sim >> b.band * {width}) & {mask} AS h
-           FROM sim, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b),
+           FROM sim, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band) b
+           UNION ALL
+           -- identity pseudo-band mirroring the operator's
+           -- exact-signature collapse (see the minhash oracle note);
+           -- hamming(x, x) = 0 passes the verify trivially
+           SELECT doc_id AS _id, -1 AS band, sim AS h FROM sim),
 {_cc_survivor_sql(verify, "SELECT doc_id FROM documents", "doc_id")}"""
 
 
@@ -2063,7 +2078,14 @@ def _hyperplane_band_sql(src: str, id_expr: str, emb: str = "embedding",
         bits = " + ".join(
             f"(CASE WHEN d{b * width + j} > 0 THEN {1 << (width - 1 - j)} ELSE 0 END)"
             for j in range(width))
-        bands.append(f"SELECT _id, {b} AS band, {bits} AS h FROM dots")
+        bands.append(
+            f"SELECT _id, {b} AS band, ({bits})::BIGINT AS h FROM dots")
+    # identity pseudo-band mirroring the operator's exact-embedding
+    # collapse (see the minhash oracle note); cosine(x, x) = 1 passes
+    # the verify trivially
+    # hash() is UBIGINT; >> 1 fits BIGINT (grouping preserved)
+    bands.append("SELECT _id, -1 AS band, (hash(v) >> 1)::BIGINT AS h "
+                 "FROM dots")
     return f"""
 ev AS (SELECT {id_expr} AS _id, list_transform({emb}, x -> x::DOUBLE) AS v
        FROM {src} WHERE {emb} IS NOT NULL AND len({emb}) = {dim}),
