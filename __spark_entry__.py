@@ -385,15 +385,26 @@ def q_cube_orders(spark, sf_dir):
 
 @q("q_events_hourly", """
 SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-       event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+       event_type, count(*) AS n_events,
+       ((200 * sum(round(value * 100)::BIGINT) + count(*))
+        // (2 * count(*))) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """)
 def q_events_hourly(spark, sf_dir):
+    """4-decimal bucket mean via EXACT integer arithmetic. The fixture
+    values carry exactly 2 decimals, so S = sum(value*100) is an exact
+    integer and round_half_up(mean, 4) = floor((200S + n) / 2n) / 1e4 —
+    bucket means of 2-dp values land on .00005 boundaries constantly,
+    where float round() disagrees across engines (Spark rounds the
+    double's exact binary expansion, DuckDB its shortest decimal repr;
+    seen diverging at sf0.1). Integer arithmetic sidesteps both."""
     ev = _t(spark, sf_dir, "events")
+    s = F.sum(F.round(F.col("value") * 100).cast("long"))
+    n = F.count(F.lit(1))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(n.alias("n_events"),
+             (F.floor((200 * s + n) / (2 * n)) / 10000.0).alias("avg_value"))
         .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
                 "event_type", "n_events", "avg_value")
     )
@@ -5107,10 +5118,18 @@ def _register_pipeline_queries():
     hexval = ("round(list_aggregate(list_transform(generate_series(1, 8), "
               "i -> (strpos('0123456789abcdef', substr(lower(md5(concat('{salt}', text))), i, 1)) - 1)"
               " * power(16, 8 - i)), 'sum') / 4294967295.0, 6)")
+    # the pipeline includes HashDeduplicateFilter — the oracle must too
+    # (invisible at sf0.01 where every fixture text is unique; sf0.1
+    # carries duplicate texts and the missing stage showed up there)
     sft_sql = f"""
-WITH k AS (SELECT doc_id, text FROM documents
+WITH b AS (SELECT doc_id, text FROM documents
            WHERE text IS NOT NULL AND trim(text) != ''
-             AND len({W('text')}) BETWEEN 5 AND 100000)
+             AND len({W('text')}) BETWEEN 5 AND 100000),
+k AS (SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM b) WHERE rn = 1)
 SELECT doc_id,
        {hexval.format(salt='SuperfilteringSampleEvaluator')} AS superfiltering_score,
        {hexval.format(salt='DeitaQualitySampleEvaluator')} AS deita_quality_score
