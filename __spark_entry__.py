@@ -1138,16 +1138,20 @@ r AS (SELECT doc_id, term,
       FROM s),
 k AS (SELECT doc_id, list(term ORDER BY rn) AS keywords
       FROM r WHERE rn <= 5 GROUP BY doc_id)
-SELECT d.doc_id, coalesce(k.keywords, []) AS keywords
+SELECT d.doc_id,
+       array_to_string(coalesce(k.keywords, []), ',') AS keywords
 FROM documents d LEFT JOIN k USING (doc_id)
 """)
 def t_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per doc (linear smoothed idf (N+1)/(df+1)
     so the ranking is bit-identical across engines; ties break by
-    term)."""
+    term). Output is the comma-joined keyword list: the driver's pandas
+    canonicalizer cannot hash array-typed cells, so every contract query
+    must emit scalar columns only (enforced by tools/verify_oracle.py)."""
     docs = _t(spark, sf_dir, "documents")
     op = get_operator("TfIdfKeywordsEvaluator", {"k": 5})
-    return op.run(docs).select("doc_id", "keywords")
+    return op.run(docs).select(
+        "doc_id", F.concat_ws(",", "keywords").alias("keywords"))
 
 
 @q("e_unigram_kl", f"""
@@ -5728,9 +5732,11 @@ def q_containment_join(spark, sf_dir):
 #   2. never-driver-checked queries;
 #   3. everything already green in r1/r2 (lowest information value).
 _REVERIFY_HEAD = [
-    # r3's only red row: array-typed result column crashed the driver's
-    # pandas canonicalizer; now stringified (concat_ws / array_to_string)
-    "q_region_nation_list",
+    # r4's only red row: array-typed `keywords` column crashed the
+    # driver's pandas canonicalizer; now stringified (concat_ws /
+    # array_to_string) — the last array-out query; verify_oracle.py now
+    # hard-fails any contract query with array/map/struct output.
+    "t_tfidf_keywords",
 ]
 
 # Round-1 driver check covered these 50 names.
@@ -5792,7 +5798,30 @@ _CHECKED_R3 = {
     "t_gopher_repetition",
 }
 
-_CHECKED = _CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3
+# Round-4 driver check covered these 50 names (CORRECTNESS_r04.json) —
+# 49 green; t_tfidf_keywords (canonicalizer crash, fixed above) stays in
+# _REVERIFY_HEAD until re-proven.
+_CHECKED_R4 = {
+    "q_region_nation_list", "q_split_assign", "q_pipeline_corpus_curation",
+    "x_percentile_filter", "s_centroid_sim", "e_unigram_kl",
+    "r_truncate_words", "q_rolling_features", "q_funnel",
+    "q_zscore_outliers", "q_cohort_retention", "q_table_profile",
+    "q_sliding_counts", "q_session_windows", "q_stream_sessions",
+    "r_unicode_nfc", "q_pipeline_text_filter", "q_pipeline_sft_filter",
+    "q_pipeline_code_filter", "d_minhash_clusters", "m_image_resize",
+    "e_llm_judges", "g_funccall_chain", "g_consistent_chat", "m_vqa",
+    "m_speech2text", "g_multihop_qa", "x_pdf_merge", "e_unified_bench",
+    "e_bench_question_level", "x_question_fusion", "e_question_judges",
+    "x_reasoning_gt_filter", "x_reasoning_boxed_filter",
+    "x_reasoning_token_length", "x_reasoning_ngram_filter",
+    "x_reasoning_pipeline_root", "f_ngram_threshold",
+    "f_presidio_threshold", "f_lexical_diversity_threshold",
+    "f_langkit_threshold", "f_debertav3_threshold", "x_code_filters",
+    "x_mineru_markdown", "x_general_filter", "x_score_range",
+    "x_qurating_filter", "x_fineweb_filter", "f_code_length",
+}
+
+_CHECKED = _CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3 | _CHECKED_R4
 
 
 def _ordered(d: dict) -> dict:

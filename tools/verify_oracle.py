@@ -80,6 +80,18 @@ def main():
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            # The driver's pandas canonicalizer cannot hash array/map/
+            # struct cells (TypeError: unhashable type). Fail loudly so
+            # this class of contract bug can never re-enter the suite.
+            bad = [f.name for f in sdf.schema.fields
+                   if f.dataType.typeName() in ("array", "map", "struct")]
+            if bad:
+                print(f"FAIL  {name}: non-scalar output columns {bad} "
+                      "(array/map/struct break the driver canonicalizer; "
+                      "stringify with concat_ws/to_json)")
+                n_fail += 1
+                failures.append(name)
+                continue
             srec = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
