@@ -397,14 +397,21 @@ def q_events_hourly(spark, sf_dir):
     bucket means of 2-dp values land on .00005 boundaries constantly,
     where float round() disagrees across engines (Spark rounds the
     double's exact binary expansion, DuckDB its shortest decimal repr;
-    seen diverging at sf0.1). Integer arithmetic sidesteps both."""
+    seen diverging at sf0.1). Integer arithmetic sidesteps both. The
+    floor-div runs in decimal(38,0) via SQL `div` (integral division) —
+    long/long `/` is evaluated in doubles, whose exactness silently
+    degrades once 200*S+n exceeds 2^53 at large scale factors."""
     ev = _t(spark, sf_dir, "events")
     s = F.sum(F.round(F.col("value") * 100).cast("long"))
     n = F.count(F.lit(1))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(n.alias("n_events"),
-             (F.floor((200 * s + n) / (2 * n)) / 10000.0).alias("avg_value"))
+        .agg(n.alias("n_events"), s.alias("_s"))
+        .withColumn("avg_value", F.expr(
+            "(cast(200 as decimal(38,0)) * cast(_s as decimal(38,0))"
+            " + cast(n_events as decimal(38,0)))"
+            " div (cast(2 as decimal(38,0)) * cast(n_events as decimal(38,0)))"
+        ) / 10000.0)
         .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
                 "event_type", "n_events", "avg_value")
     )

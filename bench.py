@@ -102,8 +102,14 @@ def main() -> None:
     # scaling check: the scale-critical subset on a 10x replica of sf0.1
     # (generated once into .bench_data/sf1) — catches O(n^2) regressions
     # while still local. Disable with SPARK_GRAFT_SCALE_CHECK=0.
+    # Statistically honest since r5: n>=3 timed iterations per query at
+    # BOTH scales, ratio = median(sf1) / median(sf0.1), so a single
+    # GC/JIT hiccup can't masquerade as a scaling regression. Any ratio
+    # > 3 for 10x data is flagged on the wire for investigation.
     full_scale: dict = {}
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "1":
+        import statistics
+
         from tools.make_scaled_data import ensure_scaled_data
 
         sf1_dir = ensure_scaled_data(spark, src=sf_dir)
@@ -116,30 +122,45 @@ def main() -> None:
             "q_kmeans", "q_bm25_topk", "q_global_shuffle",
             "q_funnel", "q_pipeline_code_filter", "r_unicode_nfc",
         ]
-        s_timings: dict[str, object] = {}
-        for name in scale_queries:
-            s_timings[name] = run_one(qs[name], sf1_dir)
-        # scale-only queries (not in HEADLINE) get a dedicated sf0.1 base
-        # run so their scaleup ratio is still meaningful
-        base: dict[str, object] = {}
+        n_iter = max(3, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "3")))
+
+        def run_n(fn, data_dir: str):
+            """1 warm-up + n_iter timed runs; {'med','min'} or {'err'}."""
+            try:
+                fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+                samples = []
+                for _ in range(n_iter):
+                    t0 = time.time()
+                    fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+                    samples.append(time.time() - t0)
+                return {"med": round(statistics.median(samples), 3),
+                        "min": round(min(samples), 3),
+                        "samples": [round(s, 3) for s in samples]}
+            except Exception as e:  # noqa: BLE001
+                return {"err": f"{type(e).__name__}: {str(e)[:160]}"}
+
+        s_stats = {k: run_n(qs[k], sf1_dir) for k in scale_queries}
+        base_stats = {k: run_n(qs[k], sf_dir) for k in scale_queries}
+        ratios = {}
         for k in scale_queries:
-            b = timings.get(k)
-            if not isinstance(b, float):
-                b = run_one(qs[k], sf_dir)
-            base[k] = b if isinstance(b, float) else None
-        # compact on the wire: total sf1 seconds + per-query 10x-data
-        # scale-up ratios (raw sf1 timings land in .bench_last_full.json)
+            s, b = s_stats[k], base_stats[k]
+            ok = "med" in s and "med" in b and b["med"] > 0
+            ratios[k] = round(s["med"] / b["med"], 2) if ok else None
+        flagged = sorted(k for k, r in ratios.items()
+                         if r is not None and r > 3.0)
+        # compact on the wire: totals + per-query median ratios + flags
+        # (raw per-iteration samples land in .bench_last_full.json)
+        # key semantics: n = timed iterations per query per scale;
+        # value = sum of sf1 per-query MEDIANS; scaleup_ratio =
+        # median(sf1)/median(sf0.1); flagged = ratios > 3 for 10x data
         result["scale_check"] = {
-            "sf": 1.0, "factor_vs_headline": 10,
-            "value": round(sum(v for v in s_timings.values()
-                               if isinstance(v, float)), 2),
-            "scaleup_ratio": {
-                k: round(s_timings[k] / base[k], 2)
-                if isinstance(s_timings[k], float)
-                and isinstance(base[k], float) and base[k] > 0 else None
-                for k in scale_queries},
+            "sf": 1.0, "factor_vs_headline": 10, "n": n_iter,
+            "value": round(sum(v["med"] for v in s_stats.values()
+                               if "med" in v), 2),
+            "scaleup_ratio": ratios,
+            "flagged": flagged,
         }
-        full_scale = {"sf1_queries": s_timings, "sf01_base": base}
+        full_scale = {"sf1_stats": s_stats, "sf01_stats": base_stats}
 
     # verbose artifact for local debugging (raw sf1 timings, sf0.1
     # bases); untracked — see .gitignore
@@ -151,6 +172,10 @@ def main() -> None:
     # parses the last JSON line — emit exactly ONE compact line (<=1500
     # chars), nothing after it
     line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1500 and "scale_check" in result:
+        # shed the per-query ratios first; keep n / total / flags
+        result["scale_check"].pop("scaleup_ratio", None)
+        line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1500:
         result.pop("scale_check", None)
         line = json.dumps(result, separators=(",", ":"))

@@ -129,7 +129,20 @@ def cmd_eval(args: argparse.Namespace) -> int:
     op = get_operator("UnifiedBenchDatasetEvaluator", {
         "answer_key": args.answer_key, "gt_key": args.gt_key,
         "match_mode": args.match_mode, "group_key": args.group_key})
-    rows = [r.asDict() for r in op.run(df).collect()]
+    # aggregated result: 1 row, or one per group. Stream partitions to
+    # the driver (toLocalIterator = one partition in memory at a time)
+    # and cap the materialized group list — an unbounded collect() here
+    # would OOM the driver if group_key were high-cardinality.
+    limit = args.limit
+    rows = []
+    for r in op.run(df).toLocalIterator():
+        rows.append(r.asDict())
+        if len(rows) > limit:
+            print(f"warning: more than --limit={limit} groups; result "
+                  "truncated — raise --limit or aggregate coarser",
+                  file=sys.stderr)
+            rows = rows[:limit]
+            break
     result = {
         "bench": args.bench_name or os.path.basename(args.input),
         "input_file": args.input,
@@ -277,14 +290,19 @@ def _prepare_sft_dataset(spark, df, text_key: str, output: str,
     sft = out.select(
         F.col("question").alias("instruction"),
         F.col("answer").alias("output"))
-    rows = [r.asDict() for r in sft.collect()]
     import json as _json
 
     os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+    # stream to the single user-named jsonl file: toLocalIterator pulls
+    # one partition at a time, so driver memory stays bounded no matter
+    # how large the generated SFT set is (the old collect() was a
+    # scale-killer on a real corpus)
+    n = 0
     with open(output, "w") as f:
-        for r in rows:
-            f.write(_json.dumps(r, default=str) + "\n")
-    return len(rows)
+        for r in sft.toLocalIterator():
+            f.write(_json.dumps(r.asDict(), default=str) + "\n")
+            n += 1
+    return n
 
 
 def cmd_text2model(args: argparse.Namespace) -> int:
@@ -448,6 +466,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--group-key", default=None)
     sp.add_argument("--bench-name", default=None)
     sp.add_argument("--output", default="eval_results/accuracy.json")
+    sp.add_argument("--limit", type=int, default=100_000,
+                    help="max per-group rows materialized on the driver")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("webui", help="serve the operator registry browser")

@@ -286,19 +286,42 @@ class FunnelAnalysisOperator(Operator):
     when an event with ts > first(step_{i-1}) is processed, the
     earlier qualifying event has already set slot i-1, and equal
     timestamps never qualify under the strict inequality, so
-    processing order among ties is immaterial. Per-user state is the
-    collected list of that user's STEP events only — bounded by user
-    activity, the standard funnel working set.
+    processing order among ties is immaterial.
+
+    Per-user state is the collected list of that user's STEP events
+    only, and — because one hot user (a bot logging millions of step
+    events) would otherwise blow a single task's memory — the list is
+    bounded before the groupBy by two pre-prunes on the same user-key
+    partitioning (no extra shuffle; verified subset-satisfied):
+
+    1. EXACT prune against the user's first step-1 time m0: step-1
+       events other than m0 itself can never set a slot, and a step-i
+       event can only qualify with m0 < ts (the chain is strictly
+       increasing) and, when ``within_seconds`` is set, ts <= m0 + i*w
+       (first(step_i) <= m0 + i*w by induction). Users with no step-1
+       event contribute nothing and are dropped. Skipped when ``steps``
+       repeats a type (the event->step mapping is then ambiguous).
+    2. CAP (``max_events_per_step``, default 10_000): per (user, step
+       type), only the cap-EARLIEST events by timestamp are kept.
+       Overflow rule: a user whose funnel would complete only via a
+       qualifying event later than their cap-earliest events of that
+       type is counted as not completing that step — funnel first-times
+       are early-biased, so at the default cap this is adversarial-bot
+       territory, not organic behavior.
     """
 
     def __init__(self, steps: Sequence[str], user_key: str = "user_id",
                  ts_key: str = "ts", type_key: str = "event_type",
-                 within_seconds: int | None = None):
+                 within_seconds: int | None = None,
+                 max_events_per_step: int = 10_000):
         if len(steps) < 2:
             raise ValueError("a funnel needs at least two steps")
+        if max_events_per_step < 1:
+            raise ValueError("max_events_per_step must be >= 1")
         self.steps = list(steps)
         self.user_key, self.ts_key, self.type_key = user_key, ts_key, type_key
         self.within_seconds = within_seconds
+        self.max_events_per_step = max_events_per_step
         self.input_keys = (user_key, ts_key, type_key)
         self.output_keys = ("step", "step_name", "n_users")
 
@@ -309,6 +332,25 @@ class FunnelAnalysisOperator(Operator):
         ev = (df.filter(F.col(ty).isin(steps))
               .select(F.col(u).alias("_u"), ts_sec.alias("_ts"),
                       F.col(ty).alias("_ty")))
+        # both windows cluster on _u (the second on (_u, _ty), which
+        # hashpartitioning(_u) already satisfies) and the groupBy below
+        # reuses the same partitioning: the prunes add zero shuffles
+        if len(set(steps)) == len(steps):
+            wu = Window.partitionBy("_u")
+            m0 = F.min(F.when(F.col("_ty") == steps[0], F.col("_ts"))).over(wu)
+            idx = F.array_position(
+                F.array(*[F.lit(s) for s in steps]), F.col("_ty")) - 1
+            later = F.col("_ts") > m0
+            if w is not None:
+                later = later & (F.col("_ts") <= m0 + idx * F.lit(w))
+            ev = (ev.withColumn("_keep", m0.isNotNull() & F.when(
+                      idx == 0, F.col("_ts") == m0).otherwise(later))
+                  .filter("_keep").drop("_keep"))
+        rn = F.row_number().over(
+            Window.partitionBy("_u", "_ty").orderBy("_ts"))
+        ev = (ev.withColumn("_rn", rn)
+              .filter(F.col("_rn") <= self.max_events_per_step)
+              .drop("_rn"))
         per_user = ev.groupBy("_u").agg(
             F.sort_array(F.collect_list(F.struct("_ts", "_ty")))
             .alias("_evs"))

@@ -73,25 +73,35 @@ def audit(df: DataFrame, plan: str | None = None) -> dict:
                       "pushed": pushed.group(1) if pushed else "",
                       "columns": cols})
     # a Window node's Arguments line carries [exprs], [partitionSpec],
-    # [orderSpec]; the partition list is OMITTED (two lists, not three)
-    # when the window is unpartitioned — or partitioned by a constant,
-    # which Catalyst folds away: single-task global window either way
+    # [orderSpec] — but Catalyst OMITS any empty list from argString, so
+    # bracket-group COUNT alone is ambiguous at 2 groups: it is either
+    # (exprs, orderSpec) = unpartitioned (single-task global window) or
+    # (exprs, partitionSpec) = partitioned-but-unordered (a scalable
+    # group-total shape). Disambiguate by content: an orderSpec entry
+    # always prints with an ASC/DESC direction token; a partition spec
+    # never does.
     unpartitioned_windows = 0
     for m in re.finditer(
             r"\(\d+\) Window\n(?:.*\n)*?(?=\(\d+\)|\Z)", plan):
         args = re.search(r"Arguments: (.*)", m.group(0))
         if not args:
             continue
-        depth, groups = 0, 0
-        for ch in args.group(1):
+        groups, depth, start = [], 0, -1
+        for i, ch in enumerate(args.group(1)):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i + 1
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
-            unpartitioned_windows += 1
+                if depth == 0:
+                    groups.append(args.group(1)[start:i])
+        if len(groups) >= 3:
+            continue  # exprs + partitionSpec + orderSpec: partitioned
+        if len(groups) == 2 and not re.search(
+                r"\b(ASC|DESC)\b", groups[1]):
+            continue  # second group is a partitionSpec (no order): fine
+        unpartitioned_windows += 1
     return {
         "scans": scans,
         "unpartitioned_windows": unpartitioned_windows,

@@ -62,6 +62,7 @@ class ClickHouseConnectionPool:
         self._min, self._max = min_connections, max_connections
         self._health_check_interval = health_check_interval
         self._pool: list = []
+        self._count_lock = threading.Lock()
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._closed = False
@@ -71,7 +72,12 @@ class ClickHouseConnectionPool:
             self._pool.append(self._create())
 
     def _create(self):
-        self._total_created += 1
+        # the health-probe replacement path calls this while holding the
+        # main (non-reentrant) lock and the checkout path while not, so
+        # the counter gets its own tiny lock (ordering main -> count,
+        # never the reverse: no deadlock)
+        with self._count_lock:
+            self._total_created += 1
         return self._Client(**self._config)
 
     def _alive(self, client) -> bool:
@@ -128,7 +134,16 @@ class ClickHouseConnectionPool:
                 self._in_use -= 1
                 if not self._closed:
                     self._pool.append(client)
+                    client = None
                 self._cond.notify()
+            if client is not None:
+                # pool closed while this client was checked out: close()
+                # only drained the idle list, so disconnect here instead
+                # of silently leaking the socket
+                try:
+                    client.disconnect()
+                except Exception:
+                    pass
 
     def close(self) -> None:
         with self._cond:

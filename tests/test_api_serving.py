@@ -136,3 +136,45 @@ class TestLocalModelServingSeam:
         s = LocalModelLLMServing_vllm(hf_model_name_or_path="org/model")
         s2 = pickle.loads(pickle.dumps(s))
         assert s2.hf_model_name_or_path == "org/model"
+
+    def test_engine_cache_keyed_by_full_config(self, monkeypatch):
+        """Advisor-reported: cache keyed only by model path silently
+        shared one engine across different tp/max_len configs, and one
+        instance's cleanup() evicted engines siblings still held."""
+        import sys
+        import types
+
+        built = []
+
+        class _FakeLLM:
+            def __init__(self, **kw):
+                self.kw = kw
+                built.append(kw)
+
+        fake = types.ModuleType("vllm")
+        fake.LLM = _FakeLLM
+        fake.SamplingParams = lambda **kw: kw
+        monkeypatch.setitem(sys.modules, "vllm", fake)
+
+        from dataflow_spark.serving import LocalModelLLMServing_vllm
+        from dataflow_spark.serving import local_model as lm
+
+        lm._ENGINE_CACHE.clear()
+        lm._ENGINE_REFS.clear()
+        a = LocalModelLLMServing_vllm(hf_model_name_or_path="org/model",
+                                      vllm_tensor_parallel_size=1)
+        b = LocalModelLLMServing_vllm(hf_model_name_or_path="org/model",
+                                      vllm_tensor_parallel_size=4)
+        c = LocalModelLLMServing_vllm(hf_model_name_or_path="org/model",
+                                      vllm_tensor_parallel_size=4)
+        ea, eb, ec = a._engine(), b._engine(), c._engine()
+        # different configs -> different engines; same config -> shared
+        assert ea is not eb and eb is ec
+        assert len(built) == 2
+        assert eb.kw["tensor_parallel_size"] == 4
+        # cleanup by one holder must not evict a sibling's engine
+        b.cleanup()
+        assert c._engine() is ec and len(built) == 2
+        c.cleanup()
+        a.cleanup()
+        assert not lm._ENGINE_CACHE and not lm._ENGINE_REFS

@@ -208,3 +208,74 @@ class TestClickHousePaging:
         assert len(preds) == 3
         assert preds[0] == "id >= 0 AND id <= 99"
         assert preds[-1] == "id >= 200 AND id <= 249"
+
+
+class _FakeCHClient:
+    """Stands in for clickhouse_driver.Client: counts live sockets."""
+
+    live = []
+
+    def __init__(self, **kw):
+        self.disconnected = False
+        _FakeCHClient.live.append(self)
+
+    def execute(self, sql):
+        return [(1,)]
+
+    def disconnect(self):
+        self.disconnected = True
+
+
+class TestClickHousePoolLifecycle:
+    def _pool(self, monkeypatch, **kw):
+        import sys
+        import types
+
+        fake = types.ModuleType("clickhouse_driver")
+        fake.Client = _FakeCHClient
+        errs = types.ModuleType("clickhouse_driver.errors")
+        errs.Error = RuntimeError
+        fake.errors = errs
+        monkeypatch.setitem(sys.modules, "clickhouse_driver", fake)
+        monkeypatch.setitem(sys.modules, "clickhouse_driver.errors", errs)
+        _FakeCHClient.live = []
+        from dataflow_spark.sources.clickhouse import ClickHouseConnectionPool
+
+        return ClickHouseConnectionPool("h", 9000, "u", "p", "db", **kw)
+
+    def test_checkout_return_reuses_client(self, monkeypatch):
+        pool = self._pool(monkeypatch, min_connections=1, max_connections=2)
+        with pool.get_connection() as c1:
+            pass
+        with pool.get_connection() as c2:
+            pass
+        assert c1 is c2
+        assert pool.get_status()["total_created"] == 1
+
+    def test_close_while_checked_out_disconnects_client(self, monkeypatch):
+        """Advisor-reported socket leak: close() drains only the idle
+        list, so a client checked out during close() used to be dropped
+        on return without disconnect."""
+        pool = self._pool(monkeypatch, min_connections=1, max_connections=2)
+        with pool.get_connection() as c:
+            pool.close()
+        assert c.disconnected
+        assert all(cl.disconnected for cl in _FakeCHClient.live)
+
+    def test_total_created_counter_matches_instances(self, monkeypatch):
+        import threading
+
+        pool = self._pool(monkeypatch, min_connections=0,
+                          max_connections=16)
+
+        def work():
+            for _ in range(20):
+                with pool.get_connection():
+                    pass
+
+        ts = [threading.Thread(target=work) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert pool.get_status()["total_created"] == len(_FakeCHClient.live)

@@ -1,0 +1,86 @@
+"""Driver-memory guard: every ``.collect()`` in engine source must be
+provably bounded (an explicit ``.limit(...)``, a size-capped sample, or
+a k x dim aggregate) — an unbounded collect is a 100 TB scale-killer.
+
+New collect sites must either carry an inline bound visible on the same
+statement or be added to the audited allowlist below WITH a justification
+comment. CLI export paths stream via ``toLocalIterator`` instead (one
+partition in driver memory at a time).
+"""
+
+import re
+from pathlib import Path
+
+SRC = Path(__file__).resolve().parent.parent / "dataflow_spark"
+
+# (path suffix, substring that must appear on the collect line) -> why
+# the site is bounded. Audited one by one; keep this list short.
+ALLOWED = {
+    # probe collects exactly driver_max_edges+1 rows to decide
+    # driver-union-find vs distributed large-star/small-star CC
+    ("operators/filters/dedup.py", "limit(driver_max_edges + 1)"):
+        "bounded probe",
+    # pool is sampled down to <= max_collect before collecting
+    ("operators/filters/coreset.py", "rows = pool.collect()"):
+        "sample(max_collect/n) upstream; documented driver selection",
+    # k centroid seeds
+    ("operators/clustering.py", "limit(self.k).collect()"):
+        "k rows",
+    # k x dim centroid means per Lloyd iteration
+    ("operators/clustering.py", 'groupBy("_cid")'):
+        "k x dim aggregate (one row per cluster)",
+    # diversity metrics operate on a content-hash-ordered bounded sample
+    ("operators/eval/diversity.py", "limit(max_rows).collect()"):
+        "max_rows cap",
+    # probe collects max_broadcast_queries+1 ids to guard the broadcast
+    ("operators/similarity.py", "limit(self.max_broadcast_queries + 1)"):
+        "bounded probe",
+    # IVF trains on a train_sample-row sample
+    ("operators/similarity.py", "limit(self.train_sample)"):
+        "train_sample cap",
+    # documented row-limited driver-side writer (xlsx/pickle)
+    ("sources/writers.py", "df.limit(limit).collect()"):
+        "explicit limit",
+}
+
+
+def _collect_sites():
+    # a chained statement may put .collect() on its own line — match the
+    # marker against the statement window (the 8 lines ending at the call)
+    out = []
+    for py in SRC.rglob("*.py"):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
+            if re.search(r"\.collect\(\)", line):
+                window = " ".join(
+                    x.strip() for x in lines[max(0, i - 8):i])
+                out.append((py, i, window))
+    return out
+
+
+def test_every_collect_is_bounded():
+    unexplained = []
+    for py, i, line in _collect_sites():
+        rel = py.relative_to(SRC).as_posix()
+        if not any(rel.endswith(suf) and marker in line
+                   for (suf, marker) in ALLOWED):
+            unexplained.append(f"{rel}:{i}: {line}")
+    assert not unexplained, (
+        "unbounded (or un-audited) .collect() in engine source — bound it "
+        "or audit it into ALLOWED:\n" + "\n".join(unexplained))
+
+
+def test_allowlist_entries_still_exist():
+    # a stale allowlist entry means the bound moved — re-audit
+    sites = [(py.relative_to(SRC).as_posix(), line)
+             for py, _, line in _collect_sites()]
+    for (suf, marker) in ALLOWED:
+        assert any(rel.endswith(suf) and marker in line
+                   for rel, line in sites), f"stale allowlist: {suf} {marker}"
+
+
+def test_cli_has_no_collect():
+    # CLI export paths must stream (toLocalIterator), never collect
+    cli = (SRC / "cli.py").read_text()
+    assert ".collect()" not in cli
+    assert "toLocalIterator" in cli

@@ -75,6 +75,29 @@ def test_assert_scalable_passes_partitioned_window(spark):
     assert a["unpartitioned_windows"] == 0
 
 
+def test_window_lint_disambiguates_two_group_argstring(spark):
+    """Catalyst omits empty lists from a Window node's argString, so
+    BOTH an unpartitioned-ordered window and a partitioned-unordered
+    window print 2 bracket groups. The lint must tell them apart by the
+    ASC/DESC tokens only an orderSpec carries (advisor-reported
+    miscount: a scalable group-total shape used to raise)."""
+    from pyspark.sql import Window as W
+
+    from dataflow_spark.plans import audit
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    # partitioned-but-unordered group total: 2 groups, NO order tokens
+    part_only = df.withColumn("s", F.sum("id").over(W.partitionBy("k")))
+    assert audit(part_only)["unpartitioned_windows"] == 0
+    assert_scalable(part_only)  # must not raise
+    # unpartitioned-but-ordered: 2 groups WITH order tokens — must fire
+    ord_only = df.withColumn("r", F.row_number().over(W.orderBy("id")))
+    assert audit(ord_only)["unpartitioned_windows"] == 1
+    # unpartitioned AND unordered global total — must fire
+    glob = df.withColumn("s", F.sum("id").over(W.partitionBy()))
+    assert audit(glob)["unpartitioned_windows"] == 1
+
+
 def test_sequence_packing_default_shards_derived(spark):
     """Default num_shards=None derives from cluster parallelism — the
     single-task footgun default is gone."""
