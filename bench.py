@@ -152,7 +152,14 @@ def main() -> None:
         # (raw per-iteration samples land in .bench_last_full.json)
         # key semantics: n = timed iterations per query per scale;
         # value = sum of sf1 per-query MEDIANS; scaleup_ratio =
-        # median(sf1)/median(sf0.1); flagged = ratios > 3 for 10x data
+        # median(sf1)/median(sf0.1); flagged = ratios > 3 for 10x data.
+        # Interpreting a flag: on FIXED local cores, 10x data at perfect
+        # linear scaling costs 10x time — a ratio in (3, 10) means the
+        # query's compute now dominates its fixed per-query overhead
+        # (sub-second absolutes at sf0.1 are mostly scheduling/planning),
+        # which is healthy; only ratios >= ~10 indicate superlinear work
+        # and demand a plan fix. The flags exist so a round-over-round
+        # JUMP in a stable median is visible, not because 3x is bad.
         result["scale_check"] = {
             "sf": 1.0, "factor_vs_headline": 10, "n": n_iter,
             "value": round(sum(v["med"] for v in s_stats.values()

@@ -42,12 +42,19 @@ class GeneralFilter(Operator):
 
 @OPERATOR_REGISTRY.register()
 class TransformOperator(Operator):
-    """Apply a list of DataFrame -> DataFrame callables in order."""
+    """Apply a list of DataFrame -> DataFrame callables in order.
 
-    def __init__(self, transforms: Sequence[Callable[[DataFrame], DataFrame]]):
+    ``provides``/``consumes`` optionally declare the columns the
+    transforms add/read so ``Pipeline.compile`` can validate key flow
+    through an otherwise-opaque callable.
+    """
+
+    def __init__(self, transforms: Sequence[Callable[[DataFrame], DataFrame]],
+                 provides: Sequence[str] = (),
+                 consumes: Sequence[str] = ()):
         self.transforms = list(transforms)
-        self.input_keys = ()
-        self.output_keys = ()
+        self.input_keys = tuple(consumes)
+        self.output_keys = tuple(provides)
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         for t in self.transforms:

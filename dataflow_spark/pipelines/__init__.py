@@ -385,3 +385,360 @@ PIPELINES.update({
     "reasoning_pretrain": reasoning_pretrain_pipeline,
     "prompted_core_text": prompted_core_text_pipeline,
 })
+
+
+def reasoning_diy_pipeline(serving,
+                           question_key: str = "question") -> Pipeline:
+    """DIY reasoning synthesis (reference:
+    statics/pipelines/api_pipelines/reasoning_diy_pipeline.py: question
+    gate -> question synthesis -> answer generation -> n-gram
+    repetition gate)."""
+    return Pipeline([
+        get_operator("ReasoningQuestionFilter",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningQuestionGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerNgramFilter",
+                     {"input_key": "solution"}),
+    ])
+
+
+def reasoning_general_pipeline(serving, question_key: str = "question",
+                               reference_key: str = "golden_answer"
+                               ) -> Pipeline:
+    """General (non-math) reasoning synthesis (reference:
+    statics/pipelines/api_pipelines/reasoning_general_pipeline.py —
+    the DIY chain plus the model-judge answer gate between generation
+    and the n-gram gate; the judge labels rather than drops, as the
+    reference's keep_all_samples=True)."""
+    return Pipeline([
+        get_operator("ReasoningQuestionFilter",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningQuestionGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("ReasoningAnswerModelJudgeFilter",
+                     {"serving": serving, "question_key": question_key,
+                      "answer_key": "solution",
+                      "reference_key": reference_key,
+                      "keep_all_samples": True}),
+        get_operator("ReasoningAnswerNgramFilter",
+                     {"input_key": "solution"}),
+    ])
+
+
+_FUSION_PROMPTS = {
+    # same three fusion modes as the reference's
+    # MathQuestion{Sequential,Parallel,Condition}FusionGeneratorPrompt;
+    # original prose, same output contract (#New Problem# marker)
+    "sequential": (
+        "Chain these two math problems so the answer of the first feeds "
+        "the second, then state the merged problem after a line "
+        "'#New Problem#'.\nProblem 1: {question}\n"
+        "Problem 2: {most_similar_problem}"),
+    "parallel": (
+        "Combine these two independent math problems into one problem "
+        "with two parts, then state it after a line '#New Problem#'.\n"
+        "Problem 1: {question}\nProblem 2: {most_similar_problem}"),
+    "condition": (
+        "Use a condition from the second problem to constrain the "
+        "first, then state the merged problem after a line "
+        "'#New Problem#'.\nProblem 1: {question}\n"
+        "Problem 2: {most_similar_problem}"),
+}
+
+
+def reasoning_math_mathfusion_pipeline(serving, embedding_serving=None,
+                                       question_key: str = "question",
+                                       knn: str = "brute") -> Pipeline:
+    """MathFusion synthesis (reference: statics/pipelines/api_pipelines/
+    reasoning_math_pipeline_mathfusion.py: embed questions -> pair each
+    with its most-similar peer -> sequential/parallel/condition fusion
+    -> combine all generated questions long-format -> solvable judge ->
+    extract the '#New Problem#' body).
+
+    Spark-first deviation: the reference finds the most-similar peer
+    with an all-pairs GPU matmul (torch.matmul(E, E.T) on a single
+    node); here the pairing is the engine's KNN operator — exact
+    broadcast top-1 (``knn='brute'``, guarded by its broadcast bound)
+    or hyperplane-LSH top-1 (``knn='lsh'``) for corpus scale.
+    """
+    if knn not in ("brute", "lsh"):
+        raise ValueError("knn must be brute|lsh")
+
+    def most_similar(df):
+        from pyspark.sql import functions as F
+
+        base = df.withColumn("_qid", F.xxhash64(question_key))
+        op = get_operator("BruteForceKNN" if knn == "brute" else "LSHKNN",
+                          {"id_key": "_qid", "embedding_key": "embedding",
+                           "k": 1})
+        pairs = op.run(base.select("_qid", "embedding").distinct())
+        nq = base.select(F.col("_qid").alias("neighbor_id"),
+                         F.col(question_key).alias("most_similar_problem"))
+        return (base
+                .join(pairs.withColumnRenamed("query_id", "_qid"),
+                      "_qid", "left")
+                .join(nq.dropDuplicates(["neighbor_id"]),
+                      "neighbor_id", "left")
+                .drop("neighbor_id", "cosine_sim", "_qid", "embedding"))
+
+    def combine_long(df):
+        from pyspark.sql import functions as F
+
+        cols = [question_key] + [c for c in df.columns
+                                 if c.endswith("_question")]
+        stacked = df.select(F.explode(F.array(
+            *[F.col(c) for c in cols])).alias("questions"))
+        return stacked.filter(F.col("questions").isNotNull()).distinct()
+
+    def extract_new_problem(df):
+        from pyspark.sql import functions as F
+
+        got = F.regexp_extract("questions",
+                               r"(?s)#New Problem#[:\s]*(.*)", 1)
+        return (df.withColumn("refined_question", F.trim(got))
+                .filter(F.col("refined_question") != ""))
+
+    fusions = [
+        get_operator("FormatStrPromptedGenerator", {
+            "serving": serving, "format_str": tmpl,
+            "input_keys": [question_key, "most_similar_problem"],
+            "output_key": f"{mode}_question"})
+        for mode, tmpl in _FUSION_PROMPTS.items()]
+    return Pipeline([
+        get_operator("EmbeddingGenerator",
+                     {"serving": embedding_serving,
+                      "input_key": question_key}),
+        get_operator("PandasOperator",
+                     {"transforms": [most_similar],
+                      "consumes": ["embedding", question_key],
+                      "provides": ["most_similar_problem"]}),
+        *fusions,
+        get_operator("PandasOperator",
+                     {"transforms": [combine_long],
+                      "consumes": [question_key],
+                      "provides": ["questions"]}),
+        get_operator("ReasoningQuestionSolvableSampleEvaluator",
+                     {"serving": serving, "input_key": "questions"}),
+        get_operator("PandasOperator",
+                     {"transforms": [extract_new_problem],
+                      "consumes": ["questions"],
+                      "provides": ["refined_question"]}),
+    ])
+
+
+def text2vecsql_gen_pipeline(serving, schema_key: str = "schema_ddl",
+                             db_path: str | None = None) -> Pipeline:
+    """Vector-SQL synthesis (reference: statics/pipelines/api_pipelines/
+    text2vecsql_pipeline_gen.py: column-driven SQL generation ->
+    executability gate -> question -> prompt -> component hardness ->
+    execution-status classifier; the reference points DatabaseManager at
+    sqlite-vec databases — the lembed() preprocessing lives in
+    SQLiteVecConnector)."""
+    return Pipeline([
+        get_operator("SQLByColumnGenerator",
+                     {"serving": serving, "schema_key": schema_key}),
+        get_operator("SQLExecutionFilter", {"db_path": db_path}),
+        get_operator("Text2SQLQuestionGenerator", {"serving": serving}),
+        get_operator("Text2SQLPromptGenerator", {"schema_key": schema_key}),
+        get_operator("SQLComponentClassifier", {}),
+        get_operator("SQLExecutionClassifier", {"db_path": db_path}),
+    ])
+
+
+def text2sql_cpu_pipeline(db_path: str | None = None,
+                          schema_key: str = "schema_ddl") -> Pipeline:
+    """No-LLM Text2SQL curation (reference:
+    statics/pipelines/cpu_pipelines/text2sql_pipeline.py: executability
+    gate -> prompt build -> component hardness; the only statics
+    pipeline that runs fully without a serving)."""
+    return Pipeline([
+        get_operator("SQLExecutionFilter", {"db_path": db_path}),
+        get_operator("Text2SQLPromptGenerator", {"schema_key": schema_key}),
+        get_operator("SQLComponentClassifier", {}),
+    ])
+
+
+def kbc_url_pipeline(chunk_size: int = 1000,
+                     api_key: str | None = None) -> Pipeline:
+    """URL knowledge-base cleaning (reference:
+    statics/pipelines/cpu_pipelines/kbcleaning_pipeline_url.py:
+    URL/file -> markdown via the MinerU API seam -> chunking)."""
+    return Pipeline([
+        get_operator("FileOrURLToMarkdownConverterAPI",
+                     {"api_key": api_key}),
+        get_operator("KBCChunkGenerator", {"chunk_size": chunk_size}),
+    ])
+
+
+def code_code_to_sft_pipeline(serving) -> Pipeline:
+    """Raw code -> SFT pairs (reference: statics/pipelines/api_pipelines/
+    code_code_to_sft_data_pipeline.py: back-translate instruction ->
+    regenerate code -> LLM pair quality -> score gate -> sandbox
+    check)."""
+    return Pipeline([
+        get_operator("CodeCodeToInstructionGenerator",
+                     {"serving": serving, "input_key": "code"}),
+        get_operator("CodeInstructionToCodeGenerator",
+                     {"serving": serving, "input_key": "back_instruction"}),
+        get_operator("CodeQualitySampleEvaluator",
+                     {"serving": serving, "input_key": "code"}),
+        get_operator("CodeQualityScoreFilter",
+                     {"serving": serving,
+                      "instruction_key": "back_instruction"}),
+        get_operator("CodeSandboxSampleEvaluator", {"input_key": "code"}),
+    ])
+
+
+def bencheval_semantic_pipeline(answer_key: str = "answer",
+                                gt_key: str = "gold") -> Pipeline:
+    """Single-step per-sample benchmark scoring (reference:
+    statics/pipelines/api_pipelines/
+    core_text_bencheval_semantic_pipeline.py: BenchDatasetEvaluator
+    over an answers file)."""
+    return Pipeline([
+        get_operator("BenchDatasetEvaluator",
+                     {"answer_key": answer_key, "gt_key": gt_key}),
+    ])
+
+
+def bencheval_question_pipeline(serving,
+                                question_key: str = "question",
+                                gt_key: str = "gold") -> Pipeline:
+    """Generate answers then score at question level (reference:
+    statics/pipelines/api_pipelines/
+    core_text_bencheval_semantic_pipeline_question.py:
+    ReasoningAnswerGenerator -> BenchDatasetEvaluatorQuestion; the
+    reference backs generation with a local vLLM — any LLMServing slots
+    in here)."""
+    return Pipeline([
+        get_operator("ReasoningAnswerGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("BenchDatasetEvaluatorQuestion",
+                     {"answer_key": "solution", "gt_key": gt_key}),
+    ])
+
+
+def bencheval_question_single_step_pipeline(answer_key: str = "answer",
+                                            gt_key: str = "gold") -> Pipeline:
+    """Question-level scoring over pre-generated answers (reference:
+    statics/pipelines/api_pipelines/
+    core_text_bencheval_semantic_pipeline_question_single_step.py)."""
+    return Pipeline([
+        get_operator("BenchDatasetEvaluatorQuestion",
+                     {"answer_key": answer_key, "gt_key": gt_key}),
+    ])
+
+
+def pdf_vqa_extract_pipeline(serving, mineru_backend: str = "local",
+                             chunk_chars: int = 2000) -> Pipeline:
+    """PDF -> VQA pairs (reference: statics/pipelines/api_pipelines/
+    pdf_vqa_extract_pipeline.py: merge per-page PDFs -> MinerU markdown
+    -> LLM-input layout -> chunked QA extraction -> parse LLM output ->
+    merge QA back per document -> VQA conversation format)."""
+    converter = ("FileOrURLToMarkdownConverterFlash"
+                 if mineru_backend == "flash"
+                 else "FileOrURLToMarkdownConverterLocal")
+    return Pipeline([
+        get_operator("PDF_Merger", {}),
+        get_operator(converter, {}),
+        get_operator("MinerU2LLMInputOperator", {}),
+        get_operator("ChunkedPromptedGenerator",
+                     {"serving": serving, "chunk_chars": chunk_chars,
+                      "prompt_template":
+                          "Extract question-answer pairs grounded in "
+                          "this page:\n{chunk}",
+                      "output_key": "llm_output"}),
+        get_operator("LLMOutputParser",
+                     {"fields": {"question": "question",
+                                 "answer": "answer"}}),
+        get_operator("QA_Merger", {}),
+        get_operator("VQAFormatter", {}),
+    ])
+
+
+def agentic_rag_multihop_pipeline(serving, corpus, embedder=None,
+                                  question_key: str = "question",
+                                  depth: int = 2) -> Pipeline:
+    """Multi-hop RAG QA synthesis (reference:
+    statics/pipelines/api_pipelines/
+    agentic_rag_multihop_core_pipeline.py — retrieve supporting docs,
+    generate atomic QA, deepen into multi-hop chains, verify-filter).
+    The reference drives ~20 FormatStrPromptedGenerator/PandasOperator
+    steps plus three driver-side verify loops; the chain here keeps the
+    same retrieve -> atomic -> deepen -> verify skeleton with the
+    engine's agentic operators (each one LLM-map per step, no
+    per-row loops). ``corpus`` is the retrieval corpus DataFrame."""
+    from dataflow_spark.serving import HashEmbeddingServing
+
+    embedder = embedder or HashEmbeddingServing(dim=64)
+    return Pipeline([
+        (get_operator("RetrievalGenerator",
+                      {"serving": serving, "embedder": embedder,
+                       "input_key": question_key}), {"corpus": corpus}),
+        get_operator("AgenticRAGAtomicTaskGenerator",
+                     {"serving": serving, "input_key": question_key}),
+        get_operator("AgenticRAGDepthQAGenerator",
+                     {"serving": serving, "depth": depth}),
+        get_operator("GeneralFilter",
+                     {"predicates": ["depth_task IS NOT NULL",
+                                     "length(depth_task) > 0"]}),
+    ])
+
+
+PIPELINES.update({
+    "pdf_vqa_extract": pdf_vqa_extract_pipeline,
+    "reasoning_diy": reasoning_diy_pipeline,
+    "reasoning_general": reasoning_general_pipeline,
+    "reasoning_math_mathfusion": reasoning_math_mathfusion_pipeline,
+    "text2vecsql_gen": text2vecsql_gen_pipeline,
+    "text2sql_cpu": text2sql_cpu_pipeline,
+    "kbc_url": kbc_url_pipeline,
+    "code_code_to_sft": code_code_to_sft_pipeline,
+    "bencheval_semantic": bencheval_semantic_pipeline,
+    "bencheval_question": bencheval_question_pipeline,
+    "bencheval_question_single_step": bencheval_question_single_step_pipeline,
+    "agentic_rag_multihop": agentic_rag_multihop_pipeline,
+})
+
+# Reference statics module -> PIPELINES entry, exhaustively: a reference
+# user can find every statics pipeline by its original module name
+# (tests/test_pipelines_pack.py asserts this map covers the reference
+# statics directory listing and that every value exists).
+REFERENCE_STATICS_MAP = {
+    # api_pipelines/
+    "agentic_rag_multihop_core_pipeline": "agentic_rag_multihop",
+    "agentic_rag_pipeline": "agentic_rag",
+    "chemistry_smiles": "chemistry_smiles",
+    "code_code_to_sft_data_pipeline": "code_code_to_sft",
+    "code_gen_dataset_pipeline": "code_gen_dataset",
+    "core_text_bencheval_semantic_pipeline": "bencheval_semantic",
+    "core_text_bencheval_semantic_pipeline_question": "bencheval_question",
+    "core_text_bencheval_semantic_pipeline_question_single_step":
+        "bencheval_question_single_step",
+    "func_call_synthesis": "func_call_synthesis",
+    "kbcleaning_pipeline": "kbc",
+    "pdf_vqa_extract_pipeline": "pdf_vqa_extract",
+    "reasoning_diy_pipeline": "reasoning_diy",
+    "reasoning_general_pipeline": "reasoning_general",
+    "reasoning_math_pipeline": "reasoning_api",
+    "reasoning_math_pipeline_mathfusion": "reasoning_math_mathfusion",
+    "reasoning_pretrain_pipeline": "reasoning_pretrain",
+    "text2qa_pipeline": "text2qa",
+    "text2sql_pipeline_gen": "text2sql",
+    "text2sql_pipeline_refine": "text2sql_refine",
+    "text2vecsql_pipeline_gen": "text2vecsql_gen",
+    "text_conversation_synthesis_pipeline": "conversation_synthesis",
+    "text_sft_synthesis_pipeline": "text_sft_synthesis",
+    # cpu_pipelines/
+    "code_pt_filter": "code_pt_filter",
+    "kbcleaning_pipeline_url": "kbc_url",
+    "reasoning_pipeline": "reasoning_cpu",
+    "text2sql_pipeline": "text2sql_cpu",
+    "text_pt_filter": "text_pt_filter",
+    "text_sft_filter": "text_sft_filter",
+}
