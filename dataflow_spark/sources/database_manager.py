@@ -151,15 +151,59 @@ class SQLiteConnector(DatabaseConnectorABC):
 
 class SQLiteVecConnector(SQLiteConnector):
     """sqlite + the sqlite-vec extension (reference
-    sqlite_vec_connector.py): vector KNN via MATCH/distance, with
-    ``lembed('<text>')`` calls rewritten to vector literals through an
-    EmbeddingServing. The extension is a documented seam — absent in
-    this container, a clear ImportError points to the install."""
+    sqlite_vec_connector.py:24-163): vector KNN via MATCH/distance,
+    with ``lembed(...)`` calls rewritten to vector literals through an
+    EmbeddingServing (the reference registers a sqlite_lembed model
+    instead; same query surface).
 
-    LEMBED_RE = re.compile(r"lembed\(\s*'((?:[^']|'')*)'\s*\)")
+    When the native extension is absent (this container), the connector
+    FALLS BACK to a functional pure-python emulation instead of
+    erroring: the sqlite-vec distance functions are registered as
+    Python scalar functions over JSON-text vectors, and the canonical
+    KNN shape the reference's own VecSQL prompt mandates
+    (``<col> MATCH <vec>`` plus ``LIMIT n`` or ``AND k = n``,
+    text2sql.py:690-725) is rewritten to an equivalent
+    ORDER BY distance query. Queries outside that grammar still run —
+    any remaining MATCH falls through to sqlite and errors into the
+    QueryResult, same taxonomy as the reference.
+    """
+
+    # one-arg lembed('text') and two-arg lembed('model', "text") forms
+    LEMBED_RE = re.compile(
+        r"""lembed\(\s*(?:'[^']*'\s*,\s*)?(?:'((?:[^']|'')*)'|"([^"]*)")\s*\)""")
+    _MATCH_RE = re.compile(
+        r"""(\w+(?:\.\w+)?)\s+MATCH\s+('\[[^']*\]')""", re.IGNORECASE)
+    _K_RE = re.compile(r"\s+AND\s+k\s*=\s*(\d+)", re.IGNORECASE)
+    _LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
 
     def __init__(self, embedder=None):
         self.embedder = embedder
+        self._native = None  # resolved at first connect
+
+    @staticmethod
+    def _parse_vec(v):
+        import json
+
+        if isinstance(v, (bytes, bytearray)):  # vec_f32 blob: 4-byte LE floats
+            import struct
+
+            return list(struct.unpack(f"<{len(v) // 4}f", bytes(v)))
+        if isinstance(v, str):
+            return json.loads(v)
+        return list(v)
+
+    @classmethod
+    def _dist_l2(cls, a, b):
+        va, vb = cls._parse_vec(a), cls._parse_vec(b)
+        return sum((x - y) ** 2 for x, y in zip(va, vb)) ** 0.5
+
+    @classmethod
+    def _dist_cosine(cls, a, b):
+        va, vb = cls._parse_vec(a), cls._parse_vec(b)
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        return 1.0 - dot / (na * nb) if na and nb else 1.0
 
     def connect(self, connection_info: Dict) -> sqlite3.Connection:
         conn = super().connect(connection_info)
@@ -169,24 +213,67 @@ class SQLiteVecConnector(SQLiteConnector):
             conn.enable_load_extension(True)
             sqlite_vec.load(conn)
             conn.enable_load_extension(False)
-        except ImportError as e:
-            raise ImportError(
-                "SQLiteVecConnector needs the 'sqlite-vec' package "
-                "(not in this container): pip install sqlite-vec. "
-                "Plain SQLiteConnector handles non-vector queries.") from e
+            self._native = True
+        except ImportError:
+            # pure-python fallback: same function names sqlite-vec
+            # exports, vectors as JSON text (or vec_f32 blobs)
+            self._native = False
+            conn.create_function("vec_distance_l2", 2, self._dist_l2)
+            conn.create_function("vec_distance_cosine", 2, self._dist_cosine)
+            conn.create_function(
+                "vec_length", 1, lambda v: len(self._parse_vec(v)))
         return conn
 
     def preprocess_sql(self, sql: str) -> str:
-        """Rewrite lembed('text') calls to json vector literals
-        (reference database_manager.py:391-400)."""
-        if self.embedder is None:
+        """Rewrite lembed(...) calls to json vector literals (reference
+        sqlite_lembed registers the model in-database instead; the query
+        text contract is identical) and, in fallback mode, lower the
+        vec0 MATCH-KNN shape onto plain sqlite."""
+        if self.embedder is not None:
+            def repl(m: re.Match) -> str:
+                text = (m.group(1).replace("''", "'")
+                        if m.group(1) is not None else m.group(2))
+                vec = self.embedder.embed_batch([text])[0]
+                return "'[" + ",".join(f"{x:.6f}" for x in vec) + "]'"
+
+            sql = self.LEMBED_RE.sub(repl, sql)
+        if self._native is False:
+            sql = self._lower_knn(sql)
+        return sql
+
+    def _lower_knn(self, sql: str) -> str:
+        """`col MATCH '<vec>' (AND k = n | ... LIMIT n)` ->
+        `ORDER BY vec_distance_l2(col, '<vec>') LIMIT n` (vec0's MATCH
+        is an l2 top-k; `distance` references resolve to the same
+        expression, mirroring vec0's implicit distance column)."""
+        m = self._MATCH_RE.search(sql)
+        if not m:
             return sql
-
-        def repl(m: re.Match) -> str:
-            vec = self.embedder.embed_batch([m.group(1).replace("''", "'")])[0]
-            return "'" + "[" + ",".join(f"{x:.6f}" for x in vec) + "]" + "'"
-
-        return self.LEMBED_RE.sub(repl, sql)
+        col, vec = m.group(1), m.group(2)
+        dist = f"vec_distance_l2({col}, {vec})"
+        sql = sql[:m.start()] + "1=1" + sql[m.end():]
+        k = None
+        km = self._K_RE.search(sql)
+        if km:
+            k = int(km.group(1))
+            sql = sql[:km.start()] + sql[km.end():]
+        # vec0 exposes the match distance as a `distance` column
+        sql = re.sub(r"\bdistance\b", dist, sql)
+        has_limit = self._LIMIT_RE.search(sql)
+        has_order = re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE)
+        tail = ""
+        if not has_order:
+            tail += f" ORDER BY {dist}"
+        if k is not None and not has_limit:
+            tail += f" LIMIT {k}"
+        if tail:
+            sql = sql.rstrip().rstrip(";")
+            lm = self._LIMIT_RE.search(sql)
+            if lm:  # ORDER BY must precede an existing LIMIT
+                sql = sql[:lm.start()] + tail.lstrip() + " " + sql[lm.start():]
+            else:
+                sql += tail
+        return sql
 
     def execute_query(self, connection, sql, params=None) -> QueryResult:
         return super().execute_query(connection, self.preprocess_sql(sql),

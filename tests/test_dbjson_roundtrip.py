@@ -155,16 +155,18 @@ class TestDatabaseManager:
             [("school", "SELECT * FROM students WHERE id = 1")])
         assert ex[0].success
 
-    def test_sqlite_vec_is_documented_seam(self, tmp_path):
-        import pytest
-
+    def test_sqlite_vec_fallback_is_functional(self, tmp_path):
+        """Without the native extension, the connector emulates the
+        vec0 contract in pure python: non-vector SQL just runs and
+        returns the standard QueryResult shape."""
         from dataflow_spark.sources.database_manager import DatabaseManager
 
         self._mkdb(tmp_path)
         mgr = DatabaseManager(db_type="sqlite-vec",
                               config={"root_path": str(tmp_path)})
-        with pytest.raises(ImportError, match="sqlite-vec"):
-            mgr.execute_query("school", "SELECT 1")
+        res = mgr.execute_query("school", "SELECT 1 AS one")
+        assert res.success and res.data == [{"one": 1}]
+        assert res.columns == ["one"] and res.row_count == 1
 
     def test_lembed_rewrite(self):
         from dataflow_spark.serving.mock import HashEmbeddingServing
@@ -174,6 +176,56 @@ class TestDatabaseManager:
         out = c.preprocess_sql(
             "SELECT * FROM t WHERE emb MATCH lembed('hello') LIMIT 5")
         assert "lembed" not in out and out.count(",") >= 3
+        # reference two-arg form: lembed('model', "semantic text")
+        # (prompts/text2sql.py:708 — first arg is the model name)
+        out2 = c.preprocess_sql(
+            "SELECT * FROM t WHERE emb MATCH "
+            "lembed('all-MiniLM-L6-v2', \"a coffee shop\") AND k = 3")
+        assert "lembed" not in out2 and "all-MiniLM" not in out2
+
+    def test_vec_knn_query_end_to_end_without_extension(self, tmp_path):
+        """The reference's canonical VecSQL shape (MATCH lembed(...)
+        plus `AND k = n` or LIMIT, prompts/text2sql.py:690-725) runs on
+        plain sqlite3 through the fallback: l2 top-k with the implicit
+        `distance` column, standard QueryResult shape."""
+        import json
+        import sqlite3
+
+        from dataflow_spark.serving.mock import HashEmbeddingServing
+        from dataflow_spark.sources.database_manager import DatabaseManager
+
+        embedder = HashEmbeddingServing(dim=8)
+        qvec = embedder.embed_batch(["the query"])[0]
+        # three docs: one exactly at the query vector, two offset
+        conn = sqlite3.connect(tmp_path / "vecdb.sqlite")
+        conn.execute("CREATE TABLE docs(name TEXT, content_embedding TEXT)")
+        rows = [("exact", qvec),
+                ("near", [x + 0.1 for x in qvec]),
+                ("far", [x + 5.0 for x in qvec])]
+        for name, v in rows:
+            conn.execute("INSERT INTO docs VALUES (?, ?)",
+                         (name, json.dumps([round(x, 6) for x in v])))
+        conn.commit()
+        conn.close()
+
+        mgr = DatabaseManager(db_type="sqlite-vec",
+                              config={"root_path": str(tmp_path)},
+                              connector_kwargs={"embedder": embedder})
+        res = mgr.execute_query(
+            "vecdb",
+            "SELECT name, distance FROM docs "
+            "WHERE content_embedding MATCH lembed('the query') AND k = 2")
+        assert res.success, res.error
+        assert res.columns[0] == "name" and res.row_count == 2
+        assert [r["name"] for r in res.data] == ["exact", "near"]
+        d = [list(r.values())[1] for r in res.data]
+        assert d[0] < 1e-6 and d[0] < d[1]
+        # LIMIT form of the same query
+        res2 = mgr.execute_query(
+            "vecdb",
+            "SELECT name FROM docs WHERE content_embedding MATCH "
+            "lembed('the query') LIMIT 1")
+        assert res2.success and [r["name"] for r in res2.data] == ["exact"]
 
     def test_unknown_type_rejected(self):
         import pytest
