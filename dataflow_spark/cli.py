@@ -175,6 +175,59 @@ def _webui_index_html() -> str:
             f"<table border=1>{rows}</table></body></html>")
 
 
+def _webui_builder_html() -> str:
+    """Interactive pipeline builder (reference webui/operator_pipeline.py
+    assembles operator chains drag-drop in Gradio; this is the same
+    loop — pick operators, set args, validate key flow — as a
+    zero-dependency HTML page over the /ops and /compile APIs)."""
+    return """<!doctype html><html><head><meta charset="utf-8">
+<title>dataflow_spark pipeline builder</title><style>
+body{font-family:sans-serif;margin:2em;max-width:70em}
+table{border-collapse:collapse}td,th{border:1px solid #999;padding:4px 8px}
+textarea,input{font-family:monospace}#out{white-space:pre-wrap;
+background:#f4f4f4;padding:1em;border:1px solid #ccc}</style></head><body>
+<h1>pipeline builder</h1>
+<p>source columns (comma-separated):
+<input id="cols" size="60" value="text,doc_id"></p>
+<p>operator: <select id="op"></select>
+args (JSON): <input id="args" size="40" value="{}">
+<button onclick="addStep()">add step</button></p>
+<table id="steps"><tr><th>#</th><th>operator</th><th>args</th><th></th></tr>
+</table>
+<p><button onclick="compile()">validate pipeline</button></p>
+<div id="out"></div>
+<script>
+let steps=[];
+fetch('/ops').then(r=>r.json()).then(d=>{
+  const sel=document.getElementById('op');
+  Object.keys(d).sort().forEach(n=>{
+    const o=document.createElement('option');o.value=o.textContent=n;
+    sel.appendChild(o);});});
+function render(){
+  const t=document.getElementById('steps');
+  t.innerHTML='<tr><th>#</th><th>operator</th><th>args</th><th></th></tr>';
+  steps.forEach((s,i)=>{const r=t.insertRow();
+    r.insertCell().textContent=i;
+    r.insertCell().textContent=s.op;
+    r.insertCell().textContent=JSON.stringify(s.args);
+    const b=document.createElement('button');b.textContent='x';
+    b.onclick=()=>{steps.splice(i,1);render();};
+    r.insertCell().appendChild(b);});}
+function addStep(){
+  let a;try{a=JSON.parse(document.getElementById('args').value)}
+  catch(e){alert('args must be JSON');return}
+  steps.push({op:document.getElementById('op').value,args:a});render();}
+function compile(){
+  const cols=document.getElementById('cols').value
+    .split(',').map(s=>s.trim()).filter(Boolean);
+  fetch('/compile',{method:'POST',
+    body:JSON.stringify({source_columns:cols,steps:steps})})
+  .then(r=>r.json())
+  .then(d=>{document.getElementById('out').textContent=
+    JSON.stringify(d,null,2);});}
+</script></body></html>"""
+
+
 def compile_pipeline_spec(spec: dict) -> dict:
     """Pipeline-builder backend (reference webui/operator_pipeline.py:
     48-130 assembles operator chains in Gradio; this is the same
@@ -206,24 +259,38 @@ def cmd_webui(args: argparse.Namespace) -> int:
     Gradio app over the same two surfaces: registry introspection and
     operator-chain assembly/validation).
 
-    GET  /        operator table (HTML)
-    GET  /ops     registry descriptions (JSON)
-    POST /compile pipeline spec -> key validation + DOT graph (JSON)
+    GET  /          operator table (HTML)
+    GET  /builder   interactive pipeline builder (HTML+JS over the APIs)
+    GET  /ops       registry descriptions (JSON)
+    GET  /pipelines ready-made pipeline builders (JSON)
+    POST /compile   pipeline spec -> key validation + DOT graph (JSON)
     """
+    import inspect
     import json
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     import dataflow_spark  # noqa: F401
+    from dataflow_spark import pipelines as pl
     from dataflow_spark.core.registry import OPERATOR_REGISTRY
 
     index = _webui_index_html().encode()
+    builder_page = _webui_builder_html().encode()
     ops = json.dumps(OPERATOR_REGISTRY.describe()).encode()
+    pipes = json.dumps({
+        name: {"signature": str(inspect.signature(fn)),
+               "doc": (fn.__doc__ or "").strip().split("\n")[0]}
+        for name, fn in sorted(pl.PIPELINES.items())}).encode()
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — stdlib contract
-            body, ctype = ((ops, "application/json")
-                           if self.path.startswith("/ops")
-                           else (index, "text/html"))
+            routes = {"/ops": (ops, "application/json"),
+                      "/pipelines": (pipes, "application/json"),
+                      "/builder": (builder_page, "text/html")}
+            body, ctype = index, "text/html"
+            for prefix, hit in routes.items():
+                if self.path.startswith(prefix):
+                    body, ctype = hit
+                    break
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.end_headers()

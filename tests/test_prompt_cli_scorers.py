@@ -247,3 +247,80 @@ def test_webui_compile_endpoint_http():
         assert out["ok"] and out["nodes"][0]["op"] == "LanguageIdEvaluator"
     finally:
         srv.shutdown()
+
+
+def test_cli_webui_builder_page():
+    from dataflow_spark.cli import _webui_builder_html
+
+    html = _webui_builder_html()
+    # the builder page drives the two JSON APIs
+    assert "/ops" in html and "/compile" in html
+    assert "addStep" in html and "source_columns" in html
+
+
+def test_webui_http_surface_end_to_end():
+    """Spin the real HTTPServer on an ephemeral port and exercise every
+    route the reference webui covers: registry browse, builder page,
+    ready-made pipeline listing, and compile validation."""
+    import json
+    import threading
+    import urllib.request
+
+    import dataflow_spark  # noqa: F401
+    from dataflow_spark.cli import cmd_webui
+
+    class A:
+        host, port = "127.0.0.1", 0
+
+    # reuse cmd_webui's handler wiring by building the server inline
+    from http.server import HTTPServer
+
+    import dataflow_spark.cli as cli
+
+    # call through cmd_webui would block; replicate its handler via a
+    # tiny shim: patch HTTPServer to capture the instance then serve in
+    # a thread
+    captured = {}
+    orig = HTTPServer
+
+    class Capture(orig):
+        def __init__(self, addr, handler):
+            super().__init__(addr, handler)
+            captured["srv"] = self
+
+        def serve_forever(self, **kw):
+            captured["ready"].set()
+            super().serve_forever(**kw)
+
+    captured["ready"] = threading.Event()
+    cli.HTTPServer = None  # cmd_webui imports locally; patch via module
+    import http.server as hs
+
+    old = hs.HTTPServer
+    hs.HTTPServer = Capture
+    try:
+        t = threading.Thread(target=cmd_webui, args=(A,), daemon=True)
+        t.start()
+        assert captured["ready"].wait(30)
+        port = captured["srv"].server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        ops = json.load(urllib.request.urlopen(f"{base}/ops", timeout=10))
+        assert "WordNumberFilter" in ops
+        pipes = json.load(urllib.request.urlopen(f"{base}/pipelines",
+                                                 timeout=10))
+        assert "reasoning_math_mathfusion" in pipes
+        assert "signature" in pipes["text_pt_filter"]
+        page = urllib.request.urlopen(f"{base}/builder",
+                                      timeout=10).read().decode()
+        assert "pipeline builder" in page
+        req = urllib.request.Request(
+            f"{base}/compile", method="POST",
+            data=json.dumps({"source_columns": ["text"], "steps": [
+                {"op": "WordNumberFilter",
+                 "args": {"input_key": "text"}}]}).encode())
+        out = json.load(urllib.request.urlopen(req, timeout=10))
+        assert out["ok"] and out["nodes"][0]["op"] == "WordNumberFilter"
+    finally:
+        hs.HTTPServer = old
+        if "srv" in captured:
+            captured["srv"].shutdown()
