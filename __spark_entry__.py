@@ -2336,6 +2336,34 @@ def s_knn_brute(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+@q("s_most_similar", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+  FROM e a, e b WHERE a.vec_id != b.vec_id) WHERE rn = 1
+""")
+def s_most_similar(spark, sf_dir):
+    """Full-corpus most-similar pairing: every vector's top-1 cosine
+    neighbor (ties to the smaller id) — the pairing step of the
+    MathFusion pipeline (reference reasoning_math_pipeline_mathfusion.py
+    does this as an all-pairs GPU matmul; here it is the guarded
+    broadcast-KNN operator the pipeline composes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    op = get_operator("BruteForceKNN",
+                      {"id_key": "vec_id", "embedding_key": "embedding",
+                       "k": 1})
+    out = op.run(emb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 # LSH ANN, full-fidelity oracle: identical hyperplane family (literal
 # RandomState(seed) planes in the SQL), band equi-join pruning, exact
 # cosine + top-k on the surviving candidates.
