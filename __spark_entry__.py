@@ -1250,6 +1250,35 @@ def q_funnel(spark, sf_dir):
     return op.run(ev)
 
 
+@q("q_funnel_within", """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t
+         AND e.ts <= s1.t + 86400 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t
+         AND e.ts <= s2.t + 86400 GROUP BY e.user_id)
+SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'click', (SELECT count(*) FROM s3)
+""")
+def q_funnel_within(spark, sf_dir):
+    """Time-boxed funnel: each step within 24h of the previous one's
+    first completion — exercises the within_seconds chain constraint
+    AND the hot-user pre-prune's m0 + i*w horizon (events beyond the
+    horizon are provably unreachable and dropped before the per-user
+    fold)."""
+    ev = _t(spark, sf_dir, "events")
+    op = get_operator("FunnelAnalysisOperator", {
+        "steps": ["signup", "view", "click"], "within_seconds": 86400})
+    return op.run(ev)
+
+
 @q("q_zscore_outliers", """
 WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY event_type)

@@ -64,8 +64,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written parquet directory (sf1 replica)
+            p += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
