@@ -101,22 +101,40 @@ class SQLExecutionFilter(Operator):
     """
 
     def __init__(self, db_path: str | None = None, sql_key: str = "SQL",
-                 timeout_ms: int = 2000, keep_label: bool = False):
+                 timeout_ms: int = 2000, keep_label: bool = False,
+                 vec: bool = False, embedder=None):
         self.db_path = db_path  # None -> in-memory empty db (syntax gate)
         self.sql_key = sql_key
         self.timeout_ms = timeout_ms
         self.keep_label = keep_label
+        # vec=True: VecSQL mode — each executor connection goes through
+        # SQLiteVecConnector (native sqlite-vec when installed, the
+        # pure-python distance-function fallback + MATCH-KNN lowering
+        # otherwise), and lembed(...) rewrites via `embedder` (must be
+        # picklable: HashEmbeddingServing or an API embedding serving)
+        self.vec = vec
+        self.embedder = embedder
         self.input_keys = (sql_key,)
         self.output_keys = ("sql_ok",) if keep_label else ()
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         schema = StructType(df.schema.fields + [StructField("sql_ok", BooleanType())])
         sql_key, db_path, timeout_ms = self.sql_key, self.db_path, self.timeout_ms
+        vec, embedder = self.vec, self.embedder
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import sqlite3
 
-            con = sqlite3.connect(db_path or ":memory:")
+            if vec:
+                from dataflow_spark.sources.database_manager import (
+                    SQLiteVecConnector)
+
+                vc = SQLiteVecConnector(embedder=embedder)
+                con = vc.connect({"path": db_path or ":memory:"})
+                prep = vc.preprocess_sql
+            else:
+                con = sqlite3.connect(db_path or ":memory:")
+                prep = lambda s: s  # noqa: E731
             # abort long-running statements (reference timeout semantics)
             budget = {"n": 0}
 
@@ -133,7 +151,7 @@ class SQLExecutionFilter(Operator):
                         continue
                     budget["n"] = 0
                     try:
-                        con.execute(strip_sql_comments(sql)).fetchmany(10)
+                        con.execute(prep(strip_sql_comments(sql))).fetchmany(10)
                         oks.append(True)
                     except Exception:
                         oks.append(False)
@@ -406,10 +424,13 @@ class SQLExecutionClassifier(Operator):
     ok / error / not_select (text2sql/eval/sql_execution_classifier.py)."""
 
     def __init__(self, db_path: str | None = None, sql_key: str = "SQL",
-                 output_key: str = "exec_status", timeout_ms: int = 2000):
+                 output_key: str = "exec_status", timeout_ms: int = 2000,
+                 vec: bool = False, embedder=None):
         self.db_path = db_path
         self.sql_key, self.output_key = sql_key, output_key
         self.timeout_ms = timeout_ms
+        self.vec = vec  # VecSQL mode — see SQLExecutionFilter
+        self.embedder = embedder
         self.input_keys = (sql_key,)
         self.output_keys = (output_key,)
 
@@ -417,12 +438,21 @@ class SQLExecutionClassifier(Operator):
         schema = StructType(df.schema.fields
                             + [StructField(self.output_key, StringType())])
         sql_key, db_path, out_key = self.sql_key, self.db_path, self.output_key
-        timeout_ms = self.timeout_ms
+        timeout_ms, vec, embedder = self.timeout_ms, self.vec, self.embedder
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import sqlite3
 
-            con = sqlite3.connect(db_path or ":memory:")
+            if vec:
+                from dataflow_spark.sources.database_manager import (
+                    SQLiteVecConnector)
+
+                vc = SQLiteVecConnector(embedder=embedder)
+                con = vc.connect({"path": db_path or ":memory:"})
+                prep = vc.preprocess_sql
+            else:
+                con = sqlite3.connect(db_path or ":memory:")
+                prep = lambda s: s  # noqa: E731
             budget = {"n": 0}
 
             def handler():
@@ -438,7 +468,7 @@ class SQLExecutionClassifier(Operator):
                         continue
                     budget["n"] = 0
                     try:
-                        con.execute(strip_sql_comments(sql)).fetchmany(10)
+                        con.execute(prep(strip_sql_comments(sql))).fetchmany(10)
                         labels.append("ok")
                     except Exception:
                         labels.append("error")

@@ -532,21 +532,31 @@ def reasoning_math_mathfusion_pipeline(serving, embedding_serving=None,
 
 
 def text2vecsql_gen_pipeline(serving, schema_key: str = "schema_ddl",
-                             db_path: str | None = None) -> Pipeline:
+                             db_path: str | None = None,
+                             embedder=None) -> Pipeline:
     """Vector-SQL synthesis (reference: statics/pipelines/api_pipelines/
     text2vecsql_pipeline_gen.py: column-driven SQL generation ->
     executability gate -> question -> prompt -> component hardness ->
-    execution-status classifier; the reference points DatabaseManager at
-    sqlite-vec databases — the lembed() preprocessing lives in
-    SQLiteVecConnector)."""
+    execution-status classifier). The execution stages run in VecSQL
+    mode: each executor connection goes through SQLiteVecConnector
+    (native sqlite-vec when installed, pure-python distance functions +
+    MATCH-KNN lowering otherwise) with lembed(...) rewritten through
+    ``embedder`` (default: the deterministic hash embedder)."""
+    from dataflow_spark.serving import HashEmbeddingServing
+
+    embedder = embedder or HashEmbeddingServing(dim=64)
     return Pipeline([
         get_operator("SQLByColumnGenerator",
                      {"serving": serving, "schema_key": schema_key}),
-        get_operator("SQLExecutionFilter", {"db_path": db_path}),
+        get_operator("SQLExecutionFilter",
+                     {"db_path": db_path, "vec": True,
+                      "embedder": embedder}),
         get_operator("Text2SQLQuestionGenerator", {"serving": serving}),
         get_operator("Text2SQLPromptGenerator", {"schema_key": schema_key}),
         get_operator("SQLComponentClassifier", {}),
-        get_operator("SQLExecutionClassifier", {"db_path": db_path}),
+        get_operator("SQLExecutionClassifier",
+                     {"db_path": db_path, "vec": True,
+                      "embedder": embedder}),
     ])
 
 
