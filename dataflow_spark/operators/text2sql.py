@@ -382,10 +382,13 @@ class SQLExecutabilityFilter(Operator):
     than SQLExecutionFilter, same executor-side connection pattern."""
 
     def __init__(self, db_path: str | None = None, sql_key: str = "SQL",
-                 keep_label: bool = False):
+                 keep_label: bool = False, vec: bool = False,
+                 embedder=None):
         self.db_path = db_path
         self.sql_key = sql_key
         self.keep_label = keep_label
+        self.vec = vec  # VecSQL mode — see SQLExecutionFilter
+        self.embedder = embedder
         self.input_keys = (sql_key,)
         self.output_keys = ("sql_explain_ok",) if keep_label else ()
 
@@ -393,11 +396,21 @@ class SQLExecutabilityFilter(Operator):
         schema = StructType(df.schema.fields
                             + [StructField("sql_explain_ok", BooleanType())])
         sql_key, db_path = self.sql_key, self.db_path
+        vec, embedder = self.vec, self.embedder
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import sqlite3
 
-            con = sqlite3.connect(db_path or ":memory:")
+            if vec:
+                from dataflow_spark.sources.database_manager import (
+                    SQLiteVecConnector)
+
+                vc = SQLiteVecConnector(embedder=embedder)
+                con = vc.connect({"path": db_path or ":memory:"})
+                prep = vc.preprocess_sql
+            else:
+                con = sqlite3.connect(db_path or ":memory:")
+                prep = lambda s: s  # noqa: E731
             for pdf in batches:
                 oks = []
                 for sql in pdf[sql_key]:
@@ -405,7 +418,7 @@ class SQLExecutabilityFilter(Operator):
                         oks.append(False)
                         continue
                     try:
-                        con.execute("EXPLAIN " + strip_sql_comments(sql))
+                        con.execute("EXPLAIN " + prep(strip_sql_comments(sql)))
                         oks.append(True)
                     except Exception:
                         oks.append(False)
