@@ -318,15 +318,19 @@ def bench_eval_pipeline(serving, match_mode: str = "exact",
     ])
 
 
-def text2sql_refine_pipeline(serving, db_path: str | None = None) -> Pipeline:
+def text2sql_refine_pipeline(serving, db_path: str | None = None,
+                             vec: bool = False, embedder=None) -> Pipeline:
     """Text2SQL refinement (reference:
     statics/pipelines/api_pipelines/text2sql_pipeline_refine.py:
     executability gate -> variation -> re-gate -> question ->
-    correspondence gate -> prompt -> CoT -> CoT voting -> hardness)."""
+    correspondence gate -> prompt -> CoT -> CoT voting -> hardness).
+    ``vec=True`` runs the executability gates in VecSQL mode (see
+    text2vecsql_gen_pipeline)."""
+    gate = {"db_path": db_path, "vec": vec, "embedder": embedder}
     return Pipeline([
-        get_operator("SQLExecutabilityFilter", {"db_path": db_path}),
+        get_operator("SQLExecutabilityFilter", dict(gate)),
         get_operator("SQLVariationGenerator", {"serving": serving}),
-        get_operator("SQLExecutabilityFilter", {"db_path": db_path}),
+        get_operator("SQLExecutabilityFilter", dict(gate)),
         get_operator("Text2SQLQuestionGenerator", {"serving": serving}),
         get_operator("Text2SQLCorrespondenceFilter", {"serving": serving}),
         get_operator("Text2SQLPromptGenerator", {}),
