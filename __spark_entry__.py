@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship text-pipeline chain on sf0.001.
 ``queries()`` exposes one callable per implemented operator/query from
-SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible one (near-dup sketches, LSH ANN, and multimodal stubs
-are rows-only by nature — the sketch algorithms are engine-defined).
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+EVERY query — including the near-dup sketches and LSH ANN, whose
+oracles replay the exact md5/hyperplane constructions in SQL. Output
+columns are scalars only (the driver's pandas canonicalizer cannot
+hash array/map/struct cells; tools/verify_oracle.py enforces this).
 
 Implementation note: every query goes through the engine's operator
 registry / function library (dataflow_spark.*) — these are operator
