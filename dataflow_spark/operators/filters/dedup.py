@@ -32,12 +32,21 @@ from dataflow_spark.functions import vector as V
 
 
 def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
-    """row_number over (partition by key order by order_col) == 1."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    """Keep the min-``order_col`` row per ``key`` via min_by aggregation.
+
+    Semantically identical to a row_number-over-window keep-first
+    (``order_col`` is a unique id, so there are no ties), but the
+    hash-aggregate plan does MAP-SIDE PARTIAL COMBINE: duplicates
+    collapse before the shuffle, so a corpus that is 50% duplicates
+    ships half the bytes a window (which shuffles and sorts every row)
+    would. On a 100 TB duplicate-heavy crawl that is the difference
+    between shuffling the corpus and shuffling the distinct set.
+    """
+    cols = df.columns
     return (
-        df.withColumn("_dedup_rn", F.row_number().over(w))
-        .filter(F.col("_dedup_rn") == 1)
-        .drop("_dedup_rn")
+        df.groupBy(key.alias("_dedup_k"))
+        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("_dedup_r"))
+        .select("_dedup_r.*")
     )
 
 
