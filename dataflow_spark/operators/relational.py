@@ -272,16 +272,22 @@ class UpsertLatestOperator(Operator):
 
     def run(self, df: DataFrame, updates: DataFrame | None = None,
             **kw: Any) -> DataFrame:
-        from pyspark.sql import Window
-
         if updates is None:
             raise ValueError("UpsertLatestOperator needs run(base, updates=df)")
         tagged = (df.withColumn("_src", F.lit(0))
                   .unionByName(updates.withColumn("_src", F.lit(1))))
-        win = Window.partitionBy(self.key).orderBy(
-            F.col(self.version_key).desc(), F.col("_src").desc())
-        return (tagged.withColumn("_rn", F.row_number().over(win))
-                .filter(F.col("_rn") == 1).drop("_rn", "_src"))
+        # max_by on the (version, source) pair instead of a
+        # row_number window: identical keep-latest semantics (updates
+        # win version ties), but the hash-aggregate gets map-side
+        # partial combine — an update stream with many versions per key
+        # collapses before the shuffle instead of being sorted through it
+        cols = [c for c in tagged.columns if c != "_src"]
+        return (tagged.groupBy(F.col(self.key).alias("_up_k"))
+                .agg(F.max_by(
+                    F.struct(*cols),
+                    F.struct(F.col(self.version_key), F.col("_src")))
+                    .alias("_up_r"))
+                .select("_up_r.*"))
 
 
 @OPERATOR_REGISTRY.register()
