@@ -119,3 +119,23 @@ def test_assert_scalable_flags_single_partition_exchange(spark):
         assert_scalable(df)
     a = assert_scalable(df, allow_single_partition=True)
     assert a["single_partition_exchanges"] == 1
+
+
+def test_exact_dedup_plans_as_aggregate_not_window(spark):
+    """Keep-first must stay a min_by hash-aggregate: the aggregate gets
+    map-side partial combine (duplicates collapse before the shuffle),
+    a row_number window ships and sorts every row — a silent revert
+    would be a 100 TB regression invisible to correctness tests."""
+    from dataflow_spark.core.registry import get_operator
+    from dataflow_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, "dup" if i % 2 else "uniq%d" % i) for i in range(20)],
+        "doc_id long, text string")
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": "text", "order_key": "doc_id"}).run(df)
+    plan = formatted_plan(out)
+    assert "min_by" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
+    a = assert_scalable(out)
+    assert a["exchanges"] <= 2
