@@ -41,13 +41,26 @@ def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     ships half the bytes a window (which shuffles and sorts every row)
     would. On a 100 TB duplicate-heavy crawl that is the difference
     between shuffling the corpus and shuffling the distinct set.
+
+    Column-pruning note (the r5 regression and its fix): a single
+    ``min_by(struct(*cols), order)`` carries EVERY input column through
+    one opaque struct, and Catalyst's nested-schema pruning does not
+    reach through aggregate buffers — so a downstream ``select(a, b)``
+    still scanned all columns. Emitting one independent ``min_by(col,
+    order)`` per column instead keeps the identical semantics (the
+    order id is unique, so every per-column winner comes from the same
+    row) while each aggregate expression stays individually prunable:
+    ColumnPruning drops the unused ``min_by``s from the Aggregate node
+    and the parquet scan narrows to exactly the columns downstream
+    needs. Map-side combine is unchanged — it is a property of the
+    hash-aggregate, not of how many aggregate expressions it carries.
     """
-    cols = df.columns
-    return (
-        df.groupBy(key.alias("_dedup_k"))
-        .agg(F.min_by(F.struct(*cols), F.col(order_col)).alias("_dedup_r"))
-        .select("_dedup_r.*")
-    )
+    aggs = [
+        F.min(order_col).alias(c) if c == order_col
+        else F.min_by(F.col(c), F.col(order_col)).alias(c)
+        for c in df.columns
+    ]
+    return df.groupBy(key.alias("_dedup_k")).agg(*aggs).drop("_dedup_k")
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,

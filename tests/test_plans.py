@@ -139,3 +139,34 @@ def test_exact_dedup_plans_as_aggregate_not_window(spark):
     assert "Window" not in plan
     a = assert_scalable(out)
     assert a["exchanges"] <= 2
+
+
+def test_exact_dedup_aggregate_prunes_columns(spark, tmp_path):
+    """The r5 regression: min_by(struct(*cols)) carried every column
+    through one opaque struct, so a downstream select() still scanned
+    the full table. The per-column min_by shape must let ColumnPruning
+    narrow the parquet scan to exactly the columns downstream needs."""
+    import re
+
+    from dataflow_spark.core.registry import get_operator
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "t%d" % (i % 3), "en", "web", i * 10) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": "text", "order_key": "doc_id"}
+                       ).run(df).select("doc_id", "text")
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", physical)
+    if not scans:  # fallback: FileScan column list form
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", physical)
+    assert scans, physical
+    for s in scans:
+        cols = {c.split(":")[0].split("#")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, (cols, physical)
+    # and the pruned plan still computes keep-first correctly
+    rows = {(r.doc_id, r.text) for r in out.collect()}
+    assert rows == {(0, "t0"), (1, "t1"), (2, "t2")}
