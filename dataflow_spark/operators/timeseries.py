@@ -393,11 +393,18 @@ class CohortRetentionOperator(Operator):
     first-activity period (week/month/day), then count distinct active
     users at each period offset — one row per (cohort, offset).
 
-    Scale: distinct (user, period) pairs -> per-user min (the cohort)
-    -> co-partitioned join back on the user key -> one aggregate on
-    (cohort, offset). Never a sequence self-join; the distinct collapse
-    happens before the join so the shuffle carries user-periods, not
-    raw events.
+    Scale: ONE user-key aggregate ``collect_set(period)`` — map-side
+    partial combine collapses raw events to distinct periods before the
+    shuffle, so each user ships once — then cohort = ``array_min`` of
+    the set, explode for offsets, and one aggregate on (cohort,
+    offset): 2 shuffles total. The earlier shape (distinct -> per-user
+    min -> join back) paid three wide shuffles on the user key and its
+    sf1/sf0.1 bench ratio rose 3.78 -> 5.42 round over round; this plan
+    halves the user-key shuffle traffic. Per-user state is the DISTINCT
+    period set — bounded by the calendar span (≤104 for two years of
+    weeks), never by event volume; ObjectHashAggregate falls back to
+    sort-based aggregation past its fallback threshold, so a
+    billion-user corpus never buffers unbounded maps.
     """
 
     PERIOD_DAYS = {"week": 7, "day": 1}
@@ -414,14 +421,15 @@ class CohortRetentionOperator(Operator):
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         u = self.user_key
         days = self.PERIOD_DAYS[self.granularity]
-        periods = (
+        per_user = (
             df.select(u, F.date_trunc(self.granularity, F.col(self.ts_key))
                       .cast("date").alias("_p"))
-            .distinct()
+            .groupBy(u).agg(F.collect_set("_p").alias("_ps"))
         )
-        first = periods.groupBy(u).agg(F.min("_p").alias("_cohort"))
         return (
-            periods.join(first, u)
+            per_user
+            .select(F.array_min("_ps").alias("_cohort"),
+                    F.explode("_ps").alias("_p"))
             .groupBy(
                 F.col("_cohort").alias("cohort"),
                 (F.floor(F.datediff(F.col("_p"), F.col("_cohort"))

@@ -23,6 +23,10 @@ HEAVY = {
     "q_fuzzy_join": 10,
     "q_pipeline_code_filter": 6,
     "d_incremental_minhash": 14,
+    # r6: collect_set-per-user shape is exactly 2 shuffles (user key,
+    # then cohort/offset); ceiling 3 leaves headroom for AQE-off drift
+    # but fails a revert to the 3-shuffle distinct->min->join shape
+    "q_cohort_retention": 3,
 }
 
 
