@@ -5368,6 +5368,12 @@ def q_global_shuffle(spark, sf_dir):
 
 
 @q("q_fuzzy_join", """
+-- Linear-time oracle (r6): same lossless PPJoin prefix filter as the
+-- engine instead of a cross join. For Jaccard >= t a qualifying pair
+-- must share a token in BOTH sides' first (sz - ceil(t*sz) + 1) tokens
+-- under one global rarity order (else overlap <= ceil(t*sz)-1 < the
+-- required ceil(t*sz)) — so the rk equi-join is candidate-complete and
+-- exact verification of candidates equals the quadratic nested loop.
 WITH sh AS (
   SELECT doc_id, list_distinct(
     CASE WHEN len(text) >= 5
@@ -5375,14 +5381,34 @@ WITH sh AS (
                              i -> substr(text, i, 5))
          ELSE [text] END) AS s
   FROM documents),
-l AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-r AS (SELECT * FROM sh WHERE doc_id % 2 = 1)
-SELECT l.doc_id AS left_id, r.doc_id AS right_id,
-       round(len(list_intersect(l.s, r.s))::DOUBLE
-             / len(list_distinct(list_concat(l.s, r.s))), 6) AS jaccard
-FROM l, r
-WHERE len(list_intersect(l.s, r.s))::DOUBLE
-      / len(list_distinct(list_concat(l.s, r.s))) >= 0.8
+tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+ord AS (SELECT t, row_number() OVER (ORDER BY count(*), t) AS rk
+        FROM tok GROUP BY t),
+rt AS (SELECT tok.doc_id, ord.rk,
+              row_number() OVER (PARTITION BY tok.doc_id
+                                 ORDER BY ord.rk) AS pos,
+              count(*) OVER (PARTITION BY tok.doc_id) AS sz
+       FROM tok JOIN ord USING (t)),
+pl AS (SELECT doc_id, rk FROM rt
+       WHERE doc_id % 2 = 0 AND pos <= sz - ceil(0.8 * sz) + 1),
+pr AS (SELECT doc_id, rk FROM rt
+       WHERE doc_id % 2 = 1 AND pos <= sz - ceil(0.8 * sz) + 1),
+cand AS (SELECT DISTINCT pl.doc_id AS left_id, pr.doc_id AS right_id
+         FROM pl JOIN pr USING (rk)),
+-- exact overlap per candidate via a counting join (vectorized, vs a
+-- per-pair list_intersect which dominated the runtime)
+ov AS (SELECT c.left_id, c.right_id, count(*) AS o
+       FROM cand c
+       JOIN tok a ON a.doc_id = c.left_id
+       JOIN tok b ON b.doc_id = c.right_id AND b.t = a.t
+       GROUP BY 1, 2),
+szs AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id)
+SELECT ov.left_id, ov.right_id,
+       round(ov.o::DOUBLE / (zl.sz + zr.sz - ov.o), 6) AS jaccard
+FROM ov
+JOIN szs zl ON zl.doc_id = ov.left_id
+JOIN szs zr ON zr.doc_id = ov.right_id
+WHERE ov.o::DOUBLE / (zl.sz + zr.sz - ov.o) >= 0.8
 """)
 def q_fuzzy_join(spark, sf_dir):
     """Cross-table similarity join (entity resolution): even vs odd
@@ -5758,6 +5784,11 @@ def q_topk_per_group(spark, sf_dir):
 
 
 @q("q_containment_join", """
+-- Linear-time oracle (r6): containment is asymmetric, so only the
+-- LEFT side prefix-filters (if |x∩y| >= ceil(t*|x|) then x's first
+-- (|x| - ceil(t*|x|) + 1) rarity-ordered tokens must hit y); the right
+-- side contributes its full token list to the rk equi-join. Lossless,
+-- so exact verification of candidates equals the cross join.
 WITH l AS (SELECT doc_id, substr(text, 1, 40) AS text
            FROM documents WHERE doc_id % 10 = 0),
 shl AS (SELECT doc_id, list_distinct(
@@ -5769,12 +5800,32 @@ shr AS (SELECT doc_id, list_distinct(
           CASE WHEN len(text) >= 5
                THEN list_transform(generate_series(1, len(text) - 4),
                                    i -> substr(text, i, 5))
-               ELSE [text] END) AS s FROM documents)
-SELECT shl.doc_id AS left_id, shr.doc_id AS right_id,
-       round(len(list_intersect(shl.s, shr.s))::DOUBLE
-             / len(shl.s), 6) AS containment
-FROM shl, shr
-WHERE len(list_intersect(shl.s, shr.s))::DOUBLE / len(shl.s) >= 0.9
+               ELSE [text] END) AS s FROM documents),
+tokl AS (SELECT doc_id, unnest(s) AS t FROM shl),
+tokr AS (SELECT doc_id, unnest(s) AS t FROM shr),
+ord AS (SELECT t, row_number() OVER (ORDER BY count(*), t) AS rk
+        FROM (SELECT t FROM tokl UNION ALL SELECT t FROM tokr)
+        GROUP BY t),
+pl AS (SELECT doc_id, rk FROM (
+         SELECT tokl.doc_id, ord.rk,
+                row_number() OVER (PARTITION BY tokl.doc_id
+                                   ORDER BY ord.rk) AS pos,
+                count(*) OVER (PARTITION BY tokl.doc_id) AS sz
+         FROM tokl JOIN ord USING (t))
+       WHERE pos <= sz - ceil(0.9 * sz) + 1),
+rr AS (SELECT tokr.doc_id, ord.rk FROM tokr JOIN ord USING (t)),
+cand AS (SELECT DISTINCT pl.doc_id AS left_id, rr.doc_id AS right_id
+         FROM pl JOIN rr USING (rk)),
+ov AS (SELECT c.left_id, c.right_id, count(*) AS o
+       FROM cand c
+       JOIN tokl a ON a.doc_id = c.left_id
+       JOIN tokr b ON b.doc_id = c.right_id AND b.t = a.t
+       GROUP BY 1, 2),
+szl AS (SELECT doc_id, count(*) AS sz FROM tokl GROUP BY doc_id)
+SELECT ov.left_id, ov.right_id,
+       round(ov.o::DOUBLE / szl.sz, 6) AS containment
+FROM ov JOIN szl ON szl.doc_id = ov.left_id
+WHERE ov.o::DOUBLE / szl.sz >= 0.9
 """)
 def q_containment_join(spark, sf_dir):
     """Quote detection: 40-char excerpts matched back into the corpus by
