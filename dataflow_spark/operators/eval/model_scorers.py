@@ -163,14 +163,21 @@ class BertSampleEvaluator(Operator):
     (general_text/eval/bert_sample_evaluator.py:75).
 
     backend='hash' falls back to token-F1 (deterministic, model-free) so
-    the pairwise plumbing is testable; backend='hf' uses a real encoder.
+    the pairwise plumbing is testable; backend='hf' encodes both columns
+    with a sentence-transformers model (per-executor singleton, Arrow
+    batches) and scores cosine similarity — the optional dependency is
+    gated at the worker-side import like the classifier scorers.
     """
 
+    MODEL_ID = "sentence-transformers/all-MiniLM-L6-v2"
+
     def __init__(self, input_key: str = "generated", reference_key: str = "reference",
-                 output_key: str = "bert_score", backend: str = "hash"):
+                 output_key: str = "bert_score", backend: str = "hash",
+                 model_id: str | None = None):
         self.input_key, self.reference_key = input_key, reference_key
         self.output_key = output_key
         self.backend = backend
+        self.model_id = model_id or self.MODEL_ID
         self.input_keys = (input_key, reference_key)
         self.output_keys = (output_key,)
 
@@ -180,5 +187,30 @@ class BertSampleEvaluator(Operator):
 
             return TokenF1SampleEvaluator(
                 self.input_key, self.reference_key, self.output_key).run(df)
-        raise NotImplementedError(  # pragma: no cover
-            "BertSampleEvaluator backend='hf' requires sentence-transformers")
+        model_id = self.model_id
+
+        @pandas_udf("double")
+        def cos(gen: pd.Series, ref: pd.Series) -> pd.Series:
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as e:
+                raise ImportError(
+                    "BertSampleEvaluator backend='hf' needs the "
+                    "sentence-transformers package; use backend='hash' "
+                    "for the deterministic token-F1 stand-in") from e
+            import numpy as np
+
+            key = ("BertSampleEvaluator", model_id)
+            if key not in _EXECUTOR_MODELS:
+                _EXECUTOR_MODELS[key] = SentenceTransformer(model_id)
+            model = _EXECUTOR_MODELS[key]
+            a = np.asarray(model.encode(gen.fillna("").tolist()), dtype="float64")
+            b = np.asarray(model.encode(ref.fillna("").tolist()), dtype="float64")
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = np.where(den > 0, (a * b).sum(axis=1) / den, 0.0)
+            return pd.Series(sim)
+
+        return df.withColumn(
+            self.output_key,
+            cos(F.col(self.input_key), F.col(self.reference_key)))

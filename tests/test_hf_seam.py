@@ -127,6 +127,60 @@ def test_filter_hf_backend_thresholds(spark, hf_stub, cls_name):
     assert out.columns == ["text"]  # helper score column dropped
 
 
+_ST_STUB = '''\
+"""Minimal fake of the sentence-transformers surface the Bert scorer
+touches: deterministic 8-dim embeddings derived from md5(model|text)."""
+import hashlib
+
+
+class SentenceTransformer:
+    def __init__(self, model_id):
+        self.model_id = model_id
+
+    def encode(self, texts):
+        out = []
+        for t in texts:
+            h = hashlib.md5((self.model_id + "|" + t).encode()).digest()
+            out.append([b / 255.0 for b in h[:8]])
+        return out
+'''
+
+
+def _stub_vec(model_id: str, text: str):
+    import hashlib
+
+    h = hashlib.md5((model_id + "|" + text).encode()).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+@pytest.fixture(scope="module")
+def st_stub(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("st_stub")
+    p = d / "sentence_transformers.py"
+    p.write_text(_ST_STUB)
+    spark.sparkContext.addPyFile(str(p))
+    return str(p)
+
+
+def test_bert_hf_backend_cosine(spark, st_stub):
+    import math
+
+    from dataflow_spark.operators.eval import model_scorers
+
+    df = spark.createDataFrame(
+        [("same words", "same words"), ("alpha one", "beta two")],
+        "generated string, reference string")
+    op = get_operator("BertSampleEvaluator", {"backend": "hf"})
+    rows = op.run(df).collect()
+    # identical pair -> cosine exactly 1 under any encoder
+    assert rows[0]["bert_score"] == pytest.approx(1.0)
+    mid = model_scorers.BertSampleEvaluator.MODEL_ID
+    a, b = _stub_vec(mid, "alpha one"), _stub_vec(mid, "beta two")
+    want = (sum(x * y for x, y in zip(a, b))
+            / (math.hypot(*a) * math.hypot(*b)))
+    assert rows[1]["bert_score"] == pytest.approx(want)
+
+
 def test_custom_model_id_reaches_worker(spark, hf_stub):
     df = spark.createDataFrame([("hello",)], "text string")
     op = get_operator("QuratingSampleEvaluator",
