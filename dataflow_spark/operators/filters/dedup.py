@@ -189,6 +189,13 @@ def _star_contraction(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 class _BaseDedup(Operator):
+    #: ``order_key`` must be UNIQUE per row (primary key / ingest id).
+    #: Keep-first materializes the winner as independent per-column
+    #: min_by aggregates, which reconstitute one coherent row only
+    #: because a unique order id makes every per-column winner come
+    #: from the same row; on ties each column could pick a different
+    #: tied row. The engine-generated fallback (_row_id) is unique by
+    #: construction.
     def __init__(self, input_key: str = "text", order_key: str | None = None):
         self.input_key = input_key
         self.order_key = order_key  # stable "first occurrence" order column
