@@ -31,6 +31,24 @@ toward the quadratic floor — real web/text corpora are sparse (Heaps'
 law), but for synthetic/templated data prefer the probabilistic
 MinHash-LSH dedup family, or raise the threshold (prefix length is
 (1-t)|set|+1, so t=0.8 probes 2x fewer elements than t=0.6).
+
+Adaptive DENSE path (r6): when the LEFT side's shingle vocabulary is
+small (low-entropy corpus, or a small query table matched into a huge
+corpus) the operator skips candidate generation entirely: the left
+side is collected as a packed bitset matrix (one column per left-vocab
+shingle hash), broadcast, and each right-side Arrow batch computes
+EXACT overlap counts against it with one BLAS matmul (0/1 float32;
+integer counts < 2^24 are exact). Right-only shingles cannot overlap
+and are dropped from the matrix — right set sizes come from the
+untruncated arrays, so Jaccard/containment are unchanged. Zero
+shuffles: one scan of the right side against a broadcast. The switch
+is guarded by a cheap sampled probe, then exact vocab/size counts,
+and falls back to the sparse PPJoin path when the left side exceeds
+``dense_vocab_max`` distinct shingles or ``dense_broadcast_mb`` of
+packed bits. On the degenerate bench sf1 replica (2.2k-shingle vocab,
+where sparse PPJoin admits 406M candidates) this is the difference
+between 199s and seconds, with bit-identical output (verified against
+tools/brute_fuzzy_oracle.py and the DuckDB contract oracles).
 """
 
 from __future__ import annotations
@@ -67,7 +85,8 @@ class FuzzyJoinOperator(Operator):
     def __init__(self, threshold: float = 0.7, mode: str = "char",
                  shingle_n: int = 5, metric: str = "jaccard",
                  left_key: str = "text", right_key: str = "text",
-                 left_id: str = "doc_id", right_id: str = "doc_id"):
+                 left_id: str = "doc_id", right_id: str = "doc_id",
+                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64):
         if not 0.0 < threshold <= 1.0:
             raise ValueError("threshold must be in (0, 1]")
         if mode not in ("char", "words"):
@@ -78,6 +97,9 @@ class FuzzyJoinOperator(Operator):
         self.metric = metric
         self.left_key, self.right_key = left_key, right_key
         self.left_id, self.right_id = left_id, right_id
+        # dense-path guards: 0 disables the dense path entirely
+        self.dense_vocab_max = dense_vocab_max
+        self.dense_broadcast_mb = dense_broadcast_mb
         self.input_keys = (left_key, left_id)
         self.output_keys = ("left_id", "right_id", self.metric)
 
@@ -89,20 +111,130 @@ class FuzzyJoinOperator(Operator):
         return F.array_sort(F.array_distinct(
             F.transform(raw, lambda s: F.xxhash64(s))))
 
+    def _try_dense(self, lraw: DataFrame, rraw: DataFrame):
+        """Broadcast-bitset matmul path; None when guards say sparse.
+
+        Exactness: overlap counts are sums of 0/1 float32 products —
+        every partial sum is an integer < 2^24, hence exact; the final
+        threshold uses the same float64 division as the sparse path.
+        """
+        if self.dense_vocab_max <= 0:
+            return None
+        spark = lraw.sparkSession
+        # sampled probe first: a subset's vocab only undercounts, so
+        # "probe > max" proves the full left vocab is over budget
+        # without scanning a (possibly huge) left side
+        probe = (lraw.limit(2000)
+                 .select(F.explode("_sh").alias("_p"))
+                 .agg(F.countDistinct("_p")).first()[0])
+        if probe > self.dense_vocab_max:
+            return None
+        vocab_rows = (lraw.select(F.explode("_sh").alias("_p")).distinct()
+                      .limit(self.dense_vocab_max + 1).collect()
+                      )  # bounded: limit(dense_vocab_max + 1)
+        if len(vocab_rows) > self.dense_vocab_max:
+            return None
+
+        import numpy as np
+
+        # column j of the bitset matrix = rank of the shingle hash in
+        # the sorted left vocabulary — searchsorted IS the token->column
+        # map, vectorized on both the driver and the executors
+        vocab = np.sort(np.array([r[0] for r in vocab_rows],
+                                 dtype=np.int64))
+        nbits = max(len(vocab), 1)
+        stats = lraw.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.size("_sh")).alias("tok")).first()
+        n_l, tok_l = int(stats["n"] or 0), int(stats["tok"] or 0)
+        budget = self.dense_broadcast_mb * 1024 * 1024
+        # packed-bit matrix AND the raw set payload must both fit
+        if n_l == 0 or n_l * ((nbits + 7) // 8) > budget or tok_l * 8 > 8 * budget:
+            return None
+
+        lrows = lraw.select("_id", "_sh").collect(
+        )  # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
+        lids = np.array([r["_id"] for r in lrows], dtype=object)
+        lsets = [np.asarray(r["_sh"], dtype=np.int64) for r in lrows]
+        lsz = np.array([len(s) for s in lsets], dtype=np.float64)
+        packed = np.zeros((n_l, (nbits + 7) // 8), dtype=np.uint8)
+        blk = 8192
+        for lo in range(0, n_l, blk):
+            chunk = lsets[lo:lo + blk]
+            dense = np.zeros((len(chunk), nbits), dtype=bool)
+            rix = np.repeat(np.arange(len(chunk)),
+                            [len(s) for s in chunk])
+            toks = (np.concatenate(chunk) if chunk else
+                    np.empty(0, dtype=np.int64))
+            dense[rix, np.searchsorted(vocab, toks)] = True
+            packed[lo:lo + len(chunk)] = np.packbits(dense, axis=1)
+        bc = spark.sparkContext.broadcast((lids, lsz, packed, nbits, vocab))
+
+        t, metric = self.threshold, self.metric
+        out_schema = ("left_id " + lraw.schema["_id"].dataType.simpleString()
+                      + ", right_id "
+                      + rraw.schema["_id"].dataType.simpleString()
+                      + f", {metric} double")
+
+        def compute(batches):
+            import pandas as pd
+
+            lids_, lsz_, packed_, nbits_, vocab_ = bc.value
+            lblk = max(1, (1 << 23) // max(nbits_, 1))  # ~8M bools/block
+            for pdf in batches:
+                sets = [np.asarray(s, dtype=np.int64) for s in pdf["_sh"]]
+                rsz = np.array([len(s) for s in sets], dtype=np.float64)
+                rm = np.zeros((len(pdf), nbits_), dtype=np.float32)
+                rix = np.repeat(np.arange(len(sets)),
+                                [len(s) for s in sets])
+                toks = (np.concatenate(sets) if sets else
+                        np.empty(0, dtype=np.int64))
+                # right-only shingles land outside the left vocab: keep
+                # only exact hits of the searchsorted probe
+                pos = np.searchsorted(vocab_, toks).clip(
+                    max=max(len(vocab_) - 1, 0))
+                hit = vocab_[pos] == toks if len(vocab_) else (
+                    np.zeros(len(toks), dtype=bool))
+                rm[rix[hit], pos[hit]] = 1.0
+                rids = pdf["_id"].to_numpy()
+                for lo in range(0, len(lids_), lblk):
+                    lm = np.unpackbits(
+                        packed_[lo:lo + lblk], axis=1,
+                        count=nbits_).astype(np.float32)
+                    o = (rm @ lm.T).astype(np.float64)  # rows x lblk
+                    if metric == "containment":
+                        denom = np.broadcast_to(
+                            lsz_[None, lo:lo + lblk], o.shape)
+                    else:
+                        denom = rsz[:, None] + lsz_[None, lo:lo + lblk] - o
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = o / denom
+                    ri, li = np.nonzero(val >= t)
+                    if len(ri):
+                        yield pd.DataFrame({
+                            "left_id": lids_[lo + li],
+                            "right_id": rids[ri],
+                            metric: val[ri, li]})
+
+        return (rraw.mapInPandas(compute, schema=out_schema)
+                .withColumn(metric, F.round(metric, 6)))
+
     def run(self, df: DataFrame, right: DataFrame | None = None,
             **kw: Any) -> DataFrame:
         if right is None:
             raise ValueError("FuzzyJoinOperator needs run(left, right=df)")
         t = self.threshold
-        raw = (
-            df.select(F.col(self.left_id).alias("_id"),
-                      self._sets(F.col(self.left_key)).alias("_sh"))
-            .withColumn("_side", F.lit("L"))
-            .unionByName(
-                right.select(F.col(self.right_id).alias("_id"),
+        lraw = (df.select(F.col(self.left_id).alias("_id"),
+                          self._sets(F.col(self.left_key)).alias("_sh"))
+                .filter(F.size("_sh") > 0))
+        rraw = (right.select(F.col(self.right_id).alias("_id"),
                              self._sets(F.col(self.right_key)).alias("_sh"))
-                .withColumn("_side", F.lit("R")))
-            .filter(F.size("_sh") > 0)
+                .filter(F.size("_sh") > 0))
+        dense = self._try_dense(lraw, rraw)
+        if dense is not None:
+            return dense
+        raw = (
+            lraw.withColumn("_side", F.lit("L"))
+            .unionByName(rraw.withColumn("_side", F.lit("R")))
         )
         # degenerate-corpus armor (same as the dedup family): collapse
         # rows with IDENTICAL shingle sets to one representative per

@@ -26,10 +26,12 @@ def tables(spark):
     return left, right
 
 
-def test_matches_quadratic_reference(spark, tables):
+@pytest.mark.parametrize("dense", [8192, 0], ids=["dense", "sparse"])
+def test_matches_quadratic_reference(spark, tables, dense):
     left, right = tables
     op = get_operator("FuzzyJoinOperator", {
-        "threshold": 0.4, "mode": "char", "shingle_n": 3})
+        "threshold": 0.4, "mode": "char", "shingle_n": 3,
+        "dense_vocab_max": dense})
     got = {(r["left_id"], r["right_id"]): r["jaccard"]
            for r in op.run(left, right=right).collect()}
 
@@ -97,8 +99,10 @@ def test_randomized_matches_bruteforce(spark):
                 if len(t) >= n else {t})
 
     for t in (0.3, 0.5, 0.75):
+      for dense in (8192, 0):
         op = get_operator("FuzzyJoinOperator", {
-            "threshold": t, "mode": "char", "shingle_n": 4})
+            "threshold": t, "mode": "char", "shingle_n": 4,
+            "dense_vocab_max": dense})
         got = {(r["left_id"], r["right_id"]) for r in
                op.run(left, right=right).collect()}
         want = set()
@@ -107,10 +111,11 @@ def test_randomized_matches_bruteforce(spark):
                 a, b = sh(lt), sh(rt)
                 if len(a & b) / len(a | b) >= t:
                     want.add((li, ri))
-        assert got == want, f"threshold {t}"
+        assert got == want, f"threshold {t} dense_vocab_max {dense}"
 
 
-def test_containment_matches_bruteforce(spark):
+@pytest.mark.parametrize("dense", [8192, 0], ids=["dense", "sparse"])
+def test_containment_matches_bruteforce(spark, dense):
     """Containment metric vs quadratic reference: short quotes embedded
     in longer docs must be found even though their Jaccard is tiny."""
     import random
@@ -132,7 +137,7 @@ def test_containment_matches_bruteforce(spark):
     t = 0.8
     op = get_operator("FuzzyJoinOperator", {
         "threshold": t, "mode": "char", "shingle_n": 4,
-        "metric": "containment"})
+        "metric": "containment", "dense_vocab_max": dense})
     got = {(r["left_id"], r["right_id"]): r["containment"]
            for r in op.run(left, right=right).collect()}
     want = {}
@@ -147,7 +152,8 @@ def test_containment_matches_bruteforce(spark):
     assert all(any(li == i for (li, ri) in got) for i in range(12))
 
 
-def test_boundary_threshold_exact_recall(spark):
+@pytest.mark.parametrize("dense", [8192, 0], ids=["dense", "sparse"])
+def test_boundary_threshold_exact_recall(spark, dense):
     """t=0.8 with |A|=5, |B|=4, overlap 4 (Jaccard exactly 0.8): the
     naive float prefix length floor((1-0.8)*5)+1 evaluates to 1 under
     IEEE doubles ((1.0-0.8)*5 == 0.9999...), and A's single prefix slot
@@ -159,7 +165,7 @@ def test_boundary_threshold_exact_recall(spark):
     right = spark.createDataFrame(
         [(1, "alpha beta gamma delta")], ["doc_id", "text"])
     op = get_operator("FuzzyJoinOperator", {
-        "threshold": 0.8, "mode": "words"})
+        "threshold": 0.8, "mode": "words", "dense_vocab_max": dense})
     got = [(r["left_id"], r["right_id"], r["jaccard"])
            for r in op.run(left, right=right).collect()]
     assert got == [(0, 1, 0.8)]
@@ -186,3 +192,42 @@ def test_prefix_length_matches_exact_rational_math(spark):
         for n in range(1, 41):
             want = n - math.ceil(ft * n) + 1
             assert got[n] == want, (t, n, got[n], want)
+
+def test_dense_path_engages_and_is_shuffle_free(spark, tables):
+    """Tiny left vocab -> the adaptive dense path must kick in: the plan
+    is one MapInPandas over the right scan with NO join and NO shuffle
+    (the scale story: broadcast bitsets, single corpus pass)."""
+    left, right = tables
+    op = get_operator("FuzzyJoinOperator", {"threshold": 0.4,
+                                            "shingle_n": 3})
+    plan = (op.run(left, right=right)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_dense_path_falls_back_when_left_exceeds_budget(spark, tables):
+    """dense_vocab_max below the actual left vocab -> sparse PPJoin plan
+    (equi-join present, no MapInPandas)."""
+    left, right = tables
+    op = get_operator("FuzzyJoinOperator", {"threshold": 0.4,
+                                            "shingle_n": 3,
+                                            "dense_vocab_max": 3})
+    plan = (op.run(left, right=right)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan
+    assert "Join" in plan
+
+
+def test_dense_path_string_ids(spark):
+    """Dense output schema follows the input id types (string ids)."""
+    left = spark.createDataFrame(
+        [("a", "hello world"), ("b", "totally different")],
+        ["doc_id", "text"])
+    right = spark.createDataFrame(
+        [("x", "hello world"), ("y", "hello world!")], ["doc_id", "text"])
+    op = get_operator("FuzzyJoinOperator", {"threshold": 0.5})
+    got = {(r["left_id"], r["right_id"]) for r in
+           op.run(left, right=right).collect()}
+    assert ("a", "x") in got and not any(li == "b" for li, _ in got)

@@ -41,6 +41,15 @@ ALLOWED = {
     # documented row-limited driver-side writer (xlsx/pickle)
     ("sources/writers.py", "df.limit(limit).collect()"):
         "explicit limit",
+    # dense fuzzy-join path: left vocab collected only after a sampled
+    # probe, hard-capped at dense_vocab_max + 1 rows
+    ("operators/fuzzy_join.py", "limit(self.dense_vocab_max + 1)"):
+        "bounded probe",
+    # dense fuzzy-join path: left side collected only when its packed
+    # bitset matrix fits dense_broadcast_mb (n_l and payload checked
+    # immediately above the call)
+    ("operators/fuzzy_join.py", 'lraw.select("_id", "_sh").collect('):
+        "byte-budget guard upstream",
 }
 
 
