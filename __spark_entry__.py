@@ -5218,7 +5218,10 @@ FROM k
         from dataflow_spark.pipelines import text_sft_filter_pipeline
 
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        out = text_sft_filter_pipeline().forward(docs)
+        # pin dedup's "first occurrence" to doc_id: scan order is
+        # layout-dependent on multi-file parquet (caught by the sf1
+        # sweep — same scores, different representative per dup class)
+        out = text_sft_filter_pipeline(dedup_order_key="doc_id").forward(docs)
         return out.select(
             "doc_id",
             F.round("superfiltering_score", 6).alias("superfiltering_score"),

@@ -68,17 +68,27 @@ def text_pt_filter_pipeline(input_key: str = "text",
 
 
 def text_sft_filter_pipeline(input_key: str = "text",
-                             serving=None) -> Pipeline:
+                             serving=None,
+                             dedup_order_key: str | None = None) -> Pipeline:
     """SFT-data quality pipeline (reference:
     statics/pipelines/cpu_pipelines/text_sft_filter.py shape: basic
     gates + deterministic quality scorers; LLM judges only when a
-    serving is supplied)."""
+    serving is supplied).
+
+    ``dedup_order_key``: column that defines "first occurrence" for the
+    dedup stage. The reference keeps the first duplicate in SCAN order;
+    on a multi-file distributed read scan order is layout-dependent, so
+    pipelines that need a reproducible row set should pin an explicit
+    key (e.g. a primary id) — at 10x scale the default surfaced as a
+    different-but-equally-scored representative per duplicate class."""
     ops = [
         get_operator("ContentNullFilter", {"input_key": input_key}),
         get_operator("WordNumberFilter", {"input_key": input_key,
                                           "min_words": 5,
                                           "max_words": 100000}),
-        get_operator("HashDeduplicateFilter", {"input_keys": input_key}),
+        get_operator("HashDeduplicateFilter",
+                     {"input_keys": input_key,
+                      "order_key": dedup_order_key}),
         get_operator("SuperfilteringSampleEvaluator",
                      {"input_key": input_key}),
         get_operator("DeitaQualitySampleEvaluator", {"input_key": input_key}),
