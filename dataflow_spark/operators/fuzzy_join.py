@@ -151,8 +151,8 @@ class FuzzyJoinOperator(Operator):
         if n_l == 0 or n_l * ((nbits + 7) // 8) > budget or tok_l * 8 > 8 * budget:
             return None
 
-        lrows = lraw.select("_id", "_sh").collect(
-        )  # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
+        # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
+        lrows = lraw.select("_id", "_sh").collect()
         lids = np.array([r["_id"] for r in lrows], dtype=object)
         lsets = [np.asarray(r["_sh"], dtype=np.int64) for r in lrows]
         lsz = np.array([len(s) for s in lsets], dtype=np.float64)

@@ -48,7 +48,7 @@ ALLOWED = {
     # dense fuzzy-join path: left side collected only when its packed
     # bitset matrix fits dense_broadcast_mb (n_l and payload checked
     # immediately above the call)
-    ("operators/fuzzy_join.py", 'lraw.select("_id", "_sh").collect('):
+    ("operators/fuzzy_join.py", 'lrows = lraw.select("_id", "_sh").collect()'):
         "byte-budget guard upstream",
 }
 
