@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_spark.core.registry import get_operator
@@ -172,38 +172,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational core (TPC-H-ish) — Catalyst-native verbs
 # ---------------------------------------------------------------------------
 
+def _cents(col) -> Column:
+    """Exact integer cents of a 2-decimal double fixture column.
+
+    The TPC-H-ish fixtures carry prices/discounts/quantities with
+    exactly 2 decimals stored as doubles; round(x*100) recovers the
+    exact integer (max observed deviation ~1e-9 cents)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _disc_price_cents4() -> Column:
+    """sum of l_extendedprice*(1-l_discount) as an EXACT integer in
+    1e-4 dollars (cents x (100 - discount-hundredths)), carried in
+    decimal(38,0) so the sum never overflows or loses ulps. Double
+    summation of the product is order-dependent: groups whose true
+    value sits on a half-cent boundary round differently run-to-run
+    and engine-to-engine (caught by the full-contract sf1 sweep on
+    q5_regional_revenue: 71626750.045 split .04 vs .05)."""
+    return F.sum((_cents("l_extendedprice")
+                  * (100 - _cents("l_discount"))).cast("decimal(38,0)"))
+
+
 @q("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                   AS sum_qty,
        round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(avg(l_quantity), 4)                                   AS avg_qty,
-       round(avg(l_discount), 4)                                   AS avg_disc,
+       ((sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT)
+         + 50) // 100) / 100.0                                     AS sum_disc_price,
+       ((20000 * sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT)
+         + 100 * count(*)) // (200 * count(*))) / 10000.0          AS avg_qty,
+       ((20000 * sum(CAST(round(l_discount * 100) AS BIGINT)::HUGEINT)
+         + 100 * count(*)) // (200 * count(*))) / 10000.0          AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
+    # sum_qty / sum_base_price: sums of ON-GRID 2-dp values — the true
+    # total IS a grid point, so round(double_sum, 2) is unambiguous.
+    # sum_disc_price (a 4-dp product space rounded to 2) and the two
+    # averages (rationals rounded to 4) have genuine half-way cases:
+    # exact integer arithmetic, same scheme as q_events_hourly.
+    # round_half_up(P/Q, 4) = (2e4*P + Q) div (2*Q) / 1e4.
     li = _t(spark, sf_dir, "lineitem")
     agg = get_operator("AggregateOperator", {
         "group_by": ["l_returnflag", "l_linestatus"],
         "aggs": [
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _disc_price_cents4().alias("_s4"),
+            F.sum(_cents("l_quantity").cast("decimal(38,0)")).alias("_sq"),
+            F.sum(_cents("l_discount").cast("decimal(38,0)")).alias("_sd"),
             F.count(F.lit(1)).alias("count_order"),
         ],
     })
-    return agg.run(li.filter(F.col("l_shipdate") <= "1998-09-02"))
+    out = agg.run(li.filter(F.col("l_shipdate") <= "1998-09-02"))
+    q_ = "cast(count_order as decimal(38,0))"
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        (F.expr("(_s4 + 50) div 100") / 100.0).alias("sum_disc_price"),
+        (F.expr(f"(20000 * _sq + 100 * {q_}) div (200 * {q_})")
+         / 10000.0).alias("avg_qty"),
+        (F.expr(f"(20000 * _sd + 100 * {q_}) div (200 * {q_})")
+         / 10000.0).alias("avg_disc"),
+        "count_order")
 
 
 @q("q3_shipping_priority", """
 SELECT o_orderkey, revenue, orderdate FROM (
   SELECT l_orderkey AS o_orderkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         ((sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT)
+           + 50) // 100) / 100.0                           AS revenue,
          strftime(any_value(o_orderdate), '%Y-%m-%d')      AS orderdate
   FROM customer JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -221,15 +263,23 @@ def q3_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     )
+    # exact cents arithmetic for the revenue (see _disc_price_cents4);
+    # also keeps the top-10 ORDER stable at any scale
     agg = joined.groupBy("l_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        _disc_price_cents4().alias("_s4"),
         F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
-    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    ).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.expr("(_s4 + 50) div 100") / 100.0).alias("revenue"),
+        "orderdate")
     return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
 
 @q("q5_regional_revenue", """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       ((sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT)
+         + 50) // 100) / 100.0 AS revenue
 FROM customer JOIN orders   ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey
@@ -256,8 +306,15 @@ def q5_regional_revenue(spark, sf_dir):
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # exact cents arithmetic: the fixture prices/discounts carry exactly
+    # 2 decimals, so the discounted price is an exact integer in 1e-4
+    # dollars; double summation is order-dependent and at 10x scale the
+    # sf1 sweep caught a group landing on the opposite side of a
+    # half-cent vs the oracle. round_half_up(S/1e4, 2) = (S+50) div 100.
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        _disc_price_cents4().alias("_s4")).select(
+        "n_name",
+        (F.expr("(_s4 + 50) div 100") / 100.0).alias("revenue"))
 
 
 @q("q_top_customers", """
