@@ -1475,10 +1475,18 @@ def _q_stream_sessions(spark, sf_dir):
     fixture); same oracle as the batch query — the unified-model check."""
     from dataflow_spark.streaming.batched import session_window_agg
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (spark.readStream.schema(raw.schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
+    events_path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(events_path)
+    if os.path.isdir(events_path):
+        # Spark-written layout: events.parquet is a DIRECTORY of part
+        # files — stream it directly (a pathGlobFilter of the directory
+        # name matches no leaf file and silently streams 0 rows; caught
+        # by the sf1 sweep: 0 vs 954,650 rows)
+        stream = spark.readStream.schema(raw.schema).parquet(events_path)
+    else:
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -1895,7 +1903,9 @@ def q_pipeline_sft_filter(spark, sf_dir):
     from dataflow_spark.pipelines import text_sft_filter_pipeline
 
     docs = _t(spark, sf_dir, "documents")
-    out = text_sft_filter_pipeline().forward(docs)
+    # dedup "first occurrence" pinned to doc_id: scan order is
+    # layout-dependent on multi-file parquet (sf1 sweep finding)
+    out = text_sft_filter_pipeline(dedup_order_key="doc_id").forward(docs)
     return out.select(
         "doc_id",
         F.round("superfiltering_score", 6).alias("superfiltering_score"),
