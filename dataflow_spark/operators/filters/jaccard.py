@@ -32,10 +32,110 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
     """
 
     def __init__(self, input_key: str = "text", threshold: float = 0.8,
-                 shingle_n: int = 5, order_key: str | None = None):
+                 shingle_n: int = 5, order_key: str | None = None,
+                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64):
         super().__init__(input_key, order_key)
         self.threshold = threshold
         self.shingle_n = shingle_n
+        # dense-path guards (0 disables): see _dense_edges
+        self.dense_vocab_max = dense_vocab_max
+        self.dense_broadcast_mb = dense_broadcast_mb
+
+    def _dense_edges(self, with_sh: DataFrame):
+        """Exact >=t edges via a broadcast bitset matmul; None -> sparse.
+
+        Same adaptive escape hatch as FuzzyJoinOperator._try_dense: on a
+        LOW-ENTROPY corpus every shingle is frequent, PPJoin prefix
+        buckets go dense, and candidate generation approaches the
+        quadratic floor with huge shuffled intermediates (the bench sf1
+        replica: 2.2k distinct 5-grams -> engine timeout at 600s). With
+        a small vocabulary the corpus fits a packed docs x vocab bitset
+        matrix: broadcast it, and each Arrow batch computes exact
+        overlap counts against ALL docs with one BLAS matmul (0/1
+        float32; integer counts < 2^24 are exact). Emitting only
+        (other_id < row_id) keeps each unordered pair once. Zero
+        shuffles; the quadratic floor stays, but with matmul constants
+        instead of a 1B-row join.
+        """
+        if self.dense_vocab_max <= 0:
+            return None
+        probe = (with_sh.limit(2000)
+                 .select(F.explode("_sh").alias("_p"))
+                 .agg(F.countDistinct("_p")).first()[0])
+        if probe > self.dense_vocab_max:
+            return None
+        vocab_rows = (with_sh.select(F.explode("_sh").alias("_p"))
+                      .distinct()
+                      .limit(self.dense_vocab_max + 1).collect()
+                      )  # bounded: limit(dense_vocab_max + 1)
+        if len(vocab_rows) > self.dense_vocab_max:
+            return None
+
+        import numpy as np
+
+        vocab = np.sort(np.array([r[0] for r in vocab_rows],
+                                 dtype=np.int64))
+        nbits = max(len(vocab), 1)
+        stats = with_sh.agg(F.count(F.lit(1)).alias("n"),
+                            F.sum(F.size("_sh")).alias("tok")).first()
+        n, tok = int(stats["n"] or 0), int(stats["tok"] or 0)
+        budget = self.dense_broadcast_mb * 1024 * 1024
+        if n == 0 or n * ((nbits + 7) // 8) > budget or tok * 8 > 8 * budget:
+            return None
+
+        # bounded above: n rows whose packed bits fit dense_broadcast_mb
+        rows = with_sh.select("_nd_id", "_sh").collect()
+        ids = np.array([r["_nd_id"] for r in rows], dtype=np.int64)
+        sets = [np.asarray(r["_sh"], dtype=np.int64) for r in rows]
+        sz = np.array([len(s) for s in sets], dtype=np.float64)
+        packed = np.zeros((n, (nbits + 7) // 8), dtype=np.uint8)
+        blk = 8192
+        for lo in range(0, n, blk):
+            chunk = sets[lo:lo + blk]
+            dense = np.zeros((len(chunk), nbits), dtype=bool)
+            rix = np.repeat(np.arange(len(chunk)),
+                            [len(s) for s in chunk])
+            toks = (np.concatenate(chunk) if chunk else
+                    np.empty(0, dtype=np.int64))
+            dense[rix, np.searchsorted(vocab, toks)] = True
+            packed[lo:lo + len(chunk)] = np.packbits(dense, axis=1)
+        spark = with_sh.sparkSession
+        bc = spark.sparkContext.broadcast((ids, sz, packed, nbits))
+        t = self.threshold
+
+        def compute(batches):
+            import pandas as pd
+
+            ids_, sz_, packed_, nbits_ = bc.value
+            lblk = max(1, (1 << 23) // max(nbits_, 1))
+            for pdf in batches:
+                bsets = [np.asarray(s, dtype=np.int64)
+                         for s in pdf["_sh"]]
+                bsz = np.array([len(s) for s in bsets], dtype=np.float64)
+                rm = np.zeros((len(pdf), nbits_), dtype=np.float32)
+                rix = np.repeat(np.arange(len(bsets)),
+                                [len(s) for s in bsets])
+                toks = (np.concatenate(bsets) if bsets else
+                        np.empty(0, dtype=np.int64))
+                # every shingle is in the corpus vocab by construction
+                rm[rix, np.searchsorted(vocab, toks)] = 1.0
+                bids = pdf["_nd_id"].to_numpy()
+                for lo in range(0, len(ids_), lblk):
+                    lm = np.unpackbits(
+                        packed_[lo:lo + lblk], axis=1,
+                        count=nbits_).astype(np.float32)
+                    o = (rm @ lm.T).astype(np.float64)
+                    denom = bsz[:, None] + sz_[None, lo:lo + lblk] - o
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        val = o / denom
+                    bi, li = np.nonzero(
+                        (val >= t)
+                        & (ids_[None, lo:lo + lblk] < bids[:, None]))
+                    if len(bi):
+                        yield pd.DataFrame({"src": ids_[lo + li],
+                                            "dst": bids[bi]})
+
+        return with_sh.mapInPandas(compute, schema="src long, dst long")
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         t = self.threshold
@@ -52,6 +152,19 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         # candidate generation and verify; full rows join back at the end
         with_sh = df.select("_nd_id", self.input_key) \
                     .withColumn("_sh", shingles).select("_nd_id", "_sh").persist()
+
+        verified = self._dense_edges(with_sh)
+        if verified is not None:
+            comp = connected_components(verified)
+            out = (
+                df.join(comp.withColumnRenamed("id", "_nd_id"),
+                        "_nd_id", "left")
+                .withColumn("component",
+                            F.coalesce("component", F.col("_nd_id")))
+            )
+            kept = _keep_first(out, F.col("component"),
+                               order_col).drop("component", "_nd_id")
+            return self._finish(kept, order_col)
 
         # prefix filtering: candidates must share an element among the
         # first floor((1-t)*|set|)+1 shingles under a consistent global

@@ -1,0 +1,92 @@
+"""NgramJaccardDeduplicateFilter: exact PPJoin self-join dedup, both
+execution paths (sparse prefix-filter join / dense bitset matmul)
+against a quadratic brute-force reference with the same keep-first-of-
+connected-component semantics."""
+
+import itertools
+
+import pytest
+
+from dataflow_spark.core.registry import get_operator
+
+
+def _shingles(t, n=4):
+    return ({t[i:i + n] for i in range(len(t) - n + 1)}
+            if len(t) >= n else {t})
+
+
+def _brute_survivors(rows, t, n=4):
+    """Keep-first over connected components of the >=t Jaccard graph."""
+    ids = [i for i, _ in rows]
+    sets = {i: _shingles(txt, n) for i, txt in rows}
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        if len(sa & sb) / len(sa | sb) >= t:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in ids if find(i) == i}
+
+
+@pytest.mark.parametrize("dense", [8192, 0], ids=["dense", "sparse"])
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_matches_bruteforce_components(spark, dense, t):
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    base = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+            for _ in range(20)]
+    # plant near-duplicates: copies and light edits of the bases
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        if rng.random() < 0.6:
+            rows.append((i, b)); i += 1
+        if rng.random() < 0.4:
+            rows.append((i, b + " " + rng.choice(vocab))); i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    op = get_operator("NgramJaccardDeduplicateFilter", {
+        "input_key": "text", "threshold": t, "shingle_n": 4,
+        "order_key": "doc_id", "dense_vocab_max": dense})
+    got = {r["doc_id"] for r in op.run(df).collect()}
+    assert got == _brute_survivors(rows, t)
+
+
+def test_dense_path_engages(spark):
+    """Tiny vocab -> _dense_edges returns a MapInPandas edge plan (the
+    final operator plan hides it: connected_components resolves small
+    edge sets eagerly via the driver union-find)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions import hashing as H
+
+    rows = [(i, f"alpha beta gamma {i % 3}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with_sh = df.select(
+        F.col("doc_id").alias("_nd_id"),
+        F.array_sort(F.array_distinct(F.transform(
+            H.char_shingles(F.col("text"), 4),
+            lambda s: F.xxhash64(s)))).alias("_sh"))
+    op = get_operator("NgramJaccardDeduplicateFilter", {
+        "input_key": "text", "threshold": 0.8, "shingle_n": 4,
+        "order_key": "doc_id"})
+    edges = op._dense_edges(with_sh)
+    assert edges is not None
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    # and the guard: a vocab cap below the corpus vocab falls back
+    op_sparse = get_operator("NgramJaccardDeduplicateFilter", {
+        "input_key": "text", "threshold": 0.8, "shingle_n": 4,
+        "order_key": "doc_id", "dense_vocab_max": 2})
+    assert op_sparse._dense_edges(with_sh) is None

@@ -45,6 +45,14 @@ ALLOWED = {
     # probe, hard-capped at dense_vocab_max + 1 rows
     ("operators/fuzzy_join.py", "limit(self.dense_vocab_max + 1)"):
         "bounded probe",
+    # dense ngram-jaccard path: same bounded vocab probe
+    ("operators/filters/jaccard.py", "limit(self.dense_vocab_max + 1)"):
+        "bounded probe",
+    # dense ngram-jaccard path: corpus sets collected only when the
+    # packed bitset matrix fits dense_broadcast_mb (checked above call)
+    ("operators/filters/jaccard.py",
+     'rows = with_sh.select("_nd_id", "_sh").collect()'):
+        "byte-budget guard upstream",
     # dense fuzzy-join path: left side collected only when its packed
     # bitset matrix fits dense_broadcast_mb (n_l and payload checked
     # immediately above the call)

@@ -119,6 +119,28 @@ def run_query(spark, sf_dir: str, name: str):
     return [(int(r[0]), int(r[1]), float(r[2])) for r in df.collect()]
 
 
+def brute_dedup_survivors(docs, threshold: float, max_vocab: int):
+    """Keep-first-of-connected-component survivors of the >=t Jaccard
+    graph over ALL docs — the NgramJaccardDeduplicateFilter contract."""
+    rows = [(i, shingle_set(t)) for i, t in docs]
+    pairs = brute_pairs(rows, rows, threshold, "jaccard", max_vocab)
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i for i, _ in rows if find(i) == i}
+
+
 def check(name: str, engine_rows, brute_rows) -> bool:
     e = {(a, b): v for a, b, v in engine_rows}
     o = {(a, b): v for a, b, v in brute_rows}
@@ -165,6 +187,23 @@ def main():
             right = [(i, shingle_set(t)) for i, t in docs]
             brute = brute_pairs(left, right, 0.9, "containment",
                                 args.max_vocab)
+        elif name == "d_ngram_jaccard":
+            want = brute_dedup_survivors(docs, 0.8, args.max_vocab)
+            t_brute = time.time() - t0
+            t0 = time.time()
+            import __spark_entry__ as entrymod
+            got = {int(r[0]) for r in entrymod.queries()[name](
+                spark, args.sf).collect()}
+            print(f"      {name}: brute {t_brute:.1f}s, "
+                  f"engine {time.time() - t0:.1f}s")
+            if got == want:
+                print(f"PASS  {name}: {len(got)} survivors")
+            else:
+                print(f"FAIL  {name}: engine {len(got)} vs brute "
+                      f"{len(want)}; sym-diff "
+                      f"{sorted(got ^ want)[:5]}")
+                ok = False
+            continue
         else:
             raise SystemExit(f"unknown query {name}")
         t_brute = time.time() - t0
