@@ -36,13 +36,127 @@ class BruteForceKNN(Operator):
 
     def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
                  k: int = 10, include_self: bool = False,
-                 max_broadcast_queries: int | None = None):
+                 max_broadcast_queries: int | None = None,
+                 dense_broadcast_mb: int = 64):
         self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
         self.include_self = include_self
         if max_broadcast_queries is not None:
             self.max_broadcast_queries = max_broadcast_queries
+        # matmul fast-path budget for the collected query matrix;
+        # 0 disables (falls back to the broadcast-nested-loop plan)
+        self.dense_broadcast_mb = dense_broadcast_mb
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
+
+    def _matmul_topk(self, df: DataFrame, qsrc: DataFrame):
+        """Partial-top-k via per-batch BLAS matmul; None -> join path.
+
+        The join path is exact but its window ranks |corpus| x |queries|
+        rows through ONE shuffle — at 50k self-kNN that is a 2.5B-row
+        exchange (sf1 sweep: engine timeout at 600s). Here the queries
+        are collected (guarded by dense_broadcast_mb) and broadcast as a
+        float64 matrix; each corpus Arrow batch computes cosines with
+        one matmul and emits only its LOCAL top-k per query, so the
+        shuffle carries ~batches x |queries| x k rows; a final per-query
+        merge re-sorts the partials. Exactly the semantics of the join
+        path: float64 cosine, ties to the smaller neighbor id,
+        zero-norm vectors never match (cosine is null there).
+        """
+        if self.dense_broadcast_mb <= 0:
+            return None
+
+        import numpy as np
+
+        budget = self.dense_broadcast_mb * 1024 * 1024
+        # bounded: max_broadcast_queries probe ran just before; the
+        # byte budget re-checks with the actual dim
+        qrows = qsrc.select(self.id_key, self.embedding_key).collect()
+        if not qrows:
+            return None
+        dim = len(qrows[0][1] or [])
+        if dim == 0 or len(qrows) * dim * 8 > budget:
+            return None
+        qid = np.array([r[0] for r in qrows], dtype=object)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((qid, qm, qn))
+        k, include_self = self.k, self.include_self
+        out_schema = (
+            "query_id " + qsrc.schema[self.id_key].dataType.simpleString()
+            + ", neighbor_id "
+            + df.schema[self.id_key].dataType.simpleString()
+            + ", cosine_sim double")
+
+        def topk_partials(batches):
+            import pandas as pd
+
+            qid_, qm_, qn_ = bc.value
+            nq = len(qid_)
+            for pdf in batches:
+                cm = np.stack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["_c_emb"]])
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                cid = pdf["_cid"].to_numpy()
+                o_q, o_n, o_s = [], [], []
+                # bound the sim block to ~16M float64 (128MB / worker)
+                qblk = max(1, (1 << 24) // max(len(pdf), 1))
+                for lo in range(0, nq, qblk):
+                    qs = qm_[lo:lo + qblk]
+                    # zero-norm vectors never match (join path: null
+                    # cosine, excluded from any ranked prefix)
+                    denom = cn[:, None] * qn_[None, lo:lo + qblk]
+                    sims = np.where(
+                        denom > 0,
+                        (cm @ qs.T) / np.where(denom == 0, 1.0, denom),
+                        -np.inf)
+                    if not include_self:
+                        sims[cid[:, None] == qid_[None, lo:lo + qblk]] \
+                            = -np.inf
+                    b = sims.shape[0]
+                    kk = min(k, b)
+                    # kth-highest per query, then ALL candidates >= it
+                    # (duplicate vectors tie constantly on a templated
+                    # corpus; argpartition alone would pick arbitrarily)
+                    kth = np.partition(sims, b - kk, axis=0)[b - kk]
+                    for j in range(sims.shape[1]):
+                        cand = np.nonzero(sims[:, j] >= kth[j])[0]
+                        if not len(cand):
+                            continue
+                        order = sorted(
+                            cand.tolist(),
+                            key=lambda i: (-sims[i, j], cid[i]))[:kk]
+                        for i in order:
+                            if sims[i, j] == -np.inf:
+                                continue
+                            o_q.append(qid_[lo + j])
+                            o_n.append(cid[i])
+                            o_s.append(sims[i, j])
+                if o_q:
+                    yield pd.DataFrame({"query_id": o_q,
+                                        "neighbor_id": o_n,
+                                        "cosine_sim": o_s})
+
+        partials = (df.select(F.col(self.id_key).alias("_cid"),
+                              V.to_double_array(
+                                  F.col(self.embedding_key)).alias("_c_emb"))
+                    .mapInPandas(topk_partials, schema=out_schema))
+        # merge: per-query re-sort of the bounded partial lists (each
+        # mapper contributed <= k rows per query)
+        pair = F.struct(F.col("cosine_sim").alias("s"),
+                        F.col("neighbor_id").alias("n"))
+        cmp = (lambda a, b: F.when(a["s"] > b["s"], -1)
+               .when(a["s"] < b["s"], 1)
+               .when(a["n"] < b["n"], -1)
+               .when(a["n"] > b["n"], 1).otherwise(0).cast("int"))
+        return (partials.groupBy("query_id")
+                .agg(F.collect_list(pair).alias("_ps"))
+                .select("query_id",
+                        F.posexplode(F.slice(
+                            F.array_sort(F.col("_ps"), cmp), 1, self.k))
+                        .alias("_pos", "_p"))
+                .select("query_id", F.col("_p.n").alias("neighbor_id"),
+                        F.col("_p.s").alias("cosine_sim")))
 
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
@@ -53,6 +167,9 @@ class BruteForceKNN(Operator):
                 f"BruteForceKNN would broadcast > {self.max_broadcast_queries} "
                 "query rows (self-kNN over a large corpus?); use LSHKNN or "
                 "IVFKNN, or raise max_broadcast_queries explicitly")
+        fast = self._matmul_topk(df, qsrc)
+        if fast is not None:
+            return fast
         q = qsrc.select(
             F.col(self.id_key).alias("query_id"),
             F.col(self.embedding_key).alias("_q_emb"),

@@ -35,6 +35,11 @@ ALLOWED = {
     # probe collects max_broadcast_queries+1 ids to guard the broadcast
     ("operators/similarity.py", "limit(self.max_broadcast_queries + 1)"):
         "bounded probe",
+    # matmul fast path collects the (probe-bounded) query side; the
+    # dense_broadcast_mb byte budget re-checks with the actual dim
+    ("operators/similarity.py",
+     "qrows = qsrc.select(self.id_key, self.embedding_key).collect()"):
+        "probe + byte budget",
     # IVF trains on a train_sample-row sample
     ("operators/similarity.py", "limit(self.train_sample)"):
         "train_sample cap",
