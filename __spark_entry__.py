@@ -1469,19 +1469,16 @@ def q_session_windows(spark, sf_dir):
         "n_events")
 
 
-def _q_stream_sessions(spark, sf_dir):
-    """Structured Streaming twin of q_session_windows: file stream ->
-    watermarked session_window -> memory sink (availableNow drains the
-    fixture); same oracle as the batch query — the unified-model check."""
-    from dataflow_spark.streaming.batched import session_window_agg
-
+def _stream_events(spark, sf_dir):
+    """events table as a file stream with the batch path's ts
+    normalization (nanos-long / ntz / ltz). Handles BOTH layouts: a
+    single events.parquet FILE (driver fixtures; pathGlobFilter scoped
+    to the table dir) and a Spark-written DIRECTORY of part files —
+    a pathGlobFilter of the directory name matches no leaf file and
+    silently streams 0 rows (sf1 sweep: 0 vs 954,650 session rows)."""
     events_path = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(events_path)
     if os.path.isdir(events_path):
-        # Spark-written layout: events.parquet is a DIRECTORY of part
-        # files — stream it directly (a pathGlobFilter of the directory
-        # name matches no leaf file and silently streams 0 rows; caught
-        # by the sf1 sweep: 0 vs 954,650 rows)
         stream = spark.readStream.schema(raw.schema).parquet(events_path)
     else:
         stream = (spark.readStream.schema(raw.schema)
@@ -1492,7 +1489,17 @@ def _q_stream_sessions(spark, sf_dir):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = session_window_agg(stream, gap="30 minutes", watermark="2 hours")
+    return stream
+
+
+def _q_stream_sessions(spark, sf_dir):
+    """Structured Streaming twin of q_session_windows: file stream ->
+    watermarked session_window -> memory sink (availableNow drains the
+    fixture); same oracle as the batch query — the unified-model check."""
+    from dataflow_spark.streaming.batched import session_window_agg
+
+    agg = session_window_agg(_stream_events(spark, sf_dir),
+                             gap="30 minutes", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_sessions_{_STREAM_QUERY_SEQ[0]}"
     query = (agg.writeStream.format("memory").queryName(name)
@@ -5111,18 +5118,8 @@ def q_stream_hourly(spark, sf_dir):
     from dataflow_spark.streaming.batched import tumbling_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Take the stream schema from a batch read of the same file, then apply
-    # the same ts normalization the batch path uses (nanos-long / ntz / ltz).
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (spark.readStream.schema(raw.schema)
-              .option("pathGlobFilter", "events.parquet")  # single-file stream
-              .parquet(sf_dir))
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    agg = tumbling_counts(_stream_events(spark, sf_dir),
+                          window="1 hour", watermark="2 hours")
     _STREAM_QUERY_SEQ[0] += 1
     name = f"stream_hourly_{_STREAM_QUERY_SEQ[0]}"
     query = (agg.writeStream.format("memory").queryName(name)
