@@ -115,23 +115,38 @@ class BruteForceKNN(Operator):
                             = -np.inf
                     b = sims.shape[0]
                     kk = min(k, b)
-                    # kth-highest per query, then ALL candidates >= it
-                    # (duplicate vectors tie constantly on a templated
-                    # corpus; argpartition alone would pick arbitrarily)
+                    # kth-highest per query, then ALL candidates within
+                    # an ulp margin of it: duplicate vectors tie
+                    # constantly on a templated corpus, and GEMM ulps
+                    # vary with batch SHAPE — the same content can rank
+                    # differently in different batches, breaking the
+                    # ties-to-smaller-id contract (sf1: 152/20k wrong
+                    # representatives). Candidates are re-scored with a
+                    # shape-independent per-pair dot before ranking.
                     kth = np.partition(sims, b - kk, axis=0)[b - kk]
                     for j in range(sims.shape[1]):
-                        cand = np.nonzero(sims[:, j] >= kth[j])[0]
+                        col = sims[:, j]
+                        cut = kth[j]
+                        if cut == -np.inf:
+                            cand = np.nonzero(col > -np.inf)[0]
+                        else:
+                            cand = np.nonzero(
+                                col >= cut - 1e-9 * max(abs(cut), 1e-30)
+                            )[0]
                         if not len(cand):
                             continue
-                        order = sorted(
-                            cand.tolist(),
-                            key=lambda i: (-sims[i, j], cid[i]))[:kk]
-                        for i in order:
-                            if sims[i, j] == -np.inf:
-                                continue
+                        qv, qnj = qs[j], qn_[lo + j]
+                        scored = []
+                        for i in cand:
+                            if col[i] == -np.inf:
+                                continue  # masked: self or zero-norm
+                            s = float(np.dot(cm[i], qv)) / (cn[i] * qnj)
+                            scored.append((-s, cid[i], s))
+                        scored.sort(key=lambda u: (u[0], u[1]))
+                        for negs, nid, s in scored[:kk]:
                             o_q.append(qid_[lo + j])
-                            o_n.append(cid[i])
-                            o_s.append(sims[i, j])
+                            o_n.append(nid)
+                            o_s.append(s)
                 if o_q:
                     yield pd.DataFrame({"query_id": o_q,
                                         "neighbor_id": o_n,
