@@ -5943,6 +5943,12 @@ _REVERIFY_HEAD = [
     # (keep-first per-column min_by; cohort collect_set single-shuffle).
     "d_exact_hash", "d_ccnet_norm", "d_ngram_hash", "d_incremental_hash",
     "d_ngram_jaccard", "q_pipeline_training_prep", "q_cohort_retention",
+    # r6 full-contract sf1 sweep: every query changed while fixing its
+    # findings needs a fresh DRIVER-verified row (exact-cents revenue,
+    # dedup order pins, layout-aware streams, dense fuzzy/KNN paths).
+    "q5_regional_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "q_pipeline_sft_filter", "q_stream_sessions", "q_stream_hourly",
+    "q_fuzzy_join", "q_containment_join", "s_knn_brute", "s_most_similar",
 ]
 
 # Round-1 driver check covered these 50 names.
