@@ -173,12 +173,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _cents(col) -> Column:
-    """Exact integer cents of a 2-decimal double fixture column.
+    """Exact integer cents of a NON-NEGATIVE 2-decimal double column.
 
     The TPC-H-ish fixtures carry prices/discounts/quantities with
-    exactly 2 decimals stored as doubles; round(x*100) recovers the
-    exact integer (max observed deviation ~1e-9 cents)."""
-    return F.round(F.col(col) * 100).cast("long")
+    exactly 2 decimals stored as doubles; x*100 lands within ~1e-9 of
+    the true integer k, so trunc(x*100 + 0.5) == k for x >= 0. The
+    +0.5-then-cast form is deliberate: F.round() routes every row
+    through BigDecimal and benchmarked 2x slower on the q1 scan.
+    (Toward-zero truncation breaks the trick for negatives — all three
+    consumer columns are non-negative by schema.)"""
+    return (F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
 def _disc_price_cents4() -> Column:
