@@ -57,7 +57,12 @@ def generate(spark, src: str, out: str, factor: int) -> None:
         rep = df.withColumn(
             "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         for c in shift_cols:
-            rep = rep.withColumn(c, F.col(c) + F.col("_r") * F.lit(STRIDE))
+            # long arithmetic: replica * STRIDE overflows int32 past
+            # factor 21 (ANSI throws), and int key columns overflow
+            # once shifted — widen both sides first
+            rep = rep.withColumn(
+                c, F.col(c).cast("long")
+                + F.col("_r").cast("long") * F.lit(STRIDE).cast("long"))
         if table == "documents":
             rep = rep.withColumn(
                 "text",
