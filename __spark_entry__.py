@@ -199,8 +199,10 @@ def _disc_price_cents4() -> Column:
 
 @q("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT)
+         / 100.0                                                   AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT)
+         / 100.0                                                   AS sum_base_price,
        ((sum((CAST(round(l_extendedprice * 100) AS BIGINT)
               * (100 - CAST(round(l_discount * 100) AS BIGINT)))::HUGEINT)
          + 50) // 100) / 100.0                                     AS sum_disc_price,
@@ -214,20 +216,23 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
-    # sum_qty / sum_base_price: sums of ON-GRID 2-dp values — the true
-    # total IS a grid point, so round(double_sum, 2) is unambiguous.
-    # sum_disc_price (a 4-dp product space rounded to 2) and the two
-    # averages (rationals rounded to 4) have genuine half-way cases:
-    # exact integer arithmetic, same scheme as q_events_hourly.
-    # round_half_up(P/Q, 4) = (2e4*P + Q) div (2*Q) / 1e4.
+    # EVERY money/quantity aggregate is exact integer cents. The first
+    # revision kept sum_qty/sum_base_price as round(double_sum, 2) —
+    # "the true total is a grid point, so rounding is unambiguous" —
+    # which is only true while the accumulated float error stays under
+    # a half-cent: at sf10 sum_base_price reaches 2.8e11 where a
+    # double's ulp is 6e-5 and the order-dependent error across 13M
+    # rows flipped the cents digit (...372.99 vs ...373.00, caught by
+    # the sf10 sweep). Integer cents / 100.0 is deterministic at any
+    # magnitude: both engines convert the SAME integer to double.
+    # Averages: round_half_up(P/Q, 4) = (2e4*P + Q) div (2*Q) / 1e4.
     li = _t(spark, sf_dir, "lineitem")
     agg = get_operator("AggregateOperator", {
         "group_by": ["l_returnflag", "l_linestatus"],
         "aggs": [
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _disc_price_cents4().alias("_s4"),
             F.sum(_cents("l_quantity").cast("decimal(38,0)")).alias("_sq"),
+            F.sum(_cents("l_extendedprice").cast("decimal(38,0)")).alias("_sp"),
+            _disc_price_cents4().alias("_s4"),
             F.sum(_cents("l_discount").cast("decimal(38,0)")).alias("_sd"),
             F.count(F.lit(1)).alias("count_order"),
         ],
@@ -235,7 +240,9 @@ def q1_pricing_summary(spark, sf_dir):
     out = agg.run(li.filter(F.col("l_shipdate") <= "1998-09-02"))
     q_ = "cast(count_order as decimal(38,0))"
     return out.select(
-        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "l_returnflag", "l_linestatus",
+        (F.col("_sq") / 100.0).alias("sum_qty"),
+        (F.col("_sp") / 100.0).alias("sum_base_price"),
         (F.expr("(_s4 + 50) div 100") / 100.0).alias("sum_disc_price"),
         (F.expr(f"(20000 * _sq + 100 * {q_}) div (200 * {q_})")
          / 10000.0).alias("avg_qty"),
@@ -414,18 +421,25 @@ def q_window_rank(spark, sf_dir):
 
 
 @q("q_rollup_lineitem", """
-SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT) / 100.0 AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def q_rollup_lineitem(spark, sf_dir):
+    # exact cents for the grand-total rollup row: its magnitude grows
+    # with the whole table and double summation drifts past a half
+    # at ~1e12 (the q1 sf10 lesson; see _cents)
     li = _t(spark, sf_dir, "lineitem")
     agg = get_operator("AggregateOperator", {
         "group_by": ["l_returnflag", "l_linestatus"],
         "aggs": [F.count(F.lit(1)).alias("n_rows"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+                 F.sum(_cents("l_quantity")
+                       .cast("decimal(38,0)")).alias("_sq")],
         "mode": "rollup",
     })
-    return agg.run(li)
+    return (agg.run(li)
+            .select("l_returnflag", "l_linestatus", "n_rows",
+                    (F.col("_sq") / 100.0).alias("sum_qty")))
 
 
 @q("q_cube_orders", """
@@ -1496,20 +1510,45 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
+def _drain_stream_complete(spark, agg, tag: str):
+    """Run a complete-mode aggregation stream to termination and return
+    its final result as a DataFrame.
+
+    NOT a memory sink: complete-mode memory sinks materialize the whole
+    result on the DRIVER each trigger — at sf10 the session twin's
+    ~9.5M rows OOMed the JVM (caught by the sf10 sweep). foreachBatch
+    receives the full result per trigger and writes it DISTRIBUTED to
+    parquet (overwrite: the last trigger wins, and with availableNow
+    the last trigger is the complete drain), so driver memory stays
+    flat at any scale."""
+    import tempfile
+
+    _STREAM_QUERY_SEQ[0] += 1
+    out_dir = tempfile.mkdtemp(prefix=f"dfspark_stream_{tag}_")
+    sink = os.path.join(out_dir, "result")
+
+    def write_batch(batch_df, _epoch):
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    query = (agg.writeStream.foreachBatch(write_batch)
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def _q_stream_sessions(spark, sf_dir):
     """Structured Streaming twin of q_session_windows: file stream ->
-    watermarked session_window -> memory sink (availableNow drains the
-    fixture); same oracle as the batch query — the unified-model check."""
+    watermarked session_window -> distributed foreachBatch sink
+    (availableNow drains the fixture); same oracle as the batch query
+    — the unified-model check."""
     from dataflow_spark.streaming.batched import session_window_agg
 
     agg = session_window_agg(_stream_events(spark, sf_dir),
                              gap="30 minutes", watermark="2 hours")
-    _STREAM_QUERY_SEQ[0] += 1
-    name = f"stream_sessions_{_STREAM_QUERY_SEQ[0]}"
-    query = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-    query.awaitTermination()
-    return spark.table(name).select(
+    out = _drain_stream_complete(spark, agg, "sessions")
+    return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
@@ -5117,19 +5156,16 @@ FROM events GROUP BY 1
 """)
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming path of the hourly rollup: file stream ->
-    watermarked tumbling window -> memory sink (availableNow drains the
-    fixture and terminates); same unified-model code as the batch query."""
+    watermarked tumbling window -> distributed foreachBatch sink
+    (availableNow drains the fixture and terminates); same
+    unified-model code as the batch query."""
     from dataflow_spark.streaming.batched import tumbling_counts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     agg = tumbling_counts(_stream_events(spark, sf_dir),
                           window="1 hour", watermark="2 hours")
-    _STREAM_QUERY_SEQ[0] += 1
-    name = f"stream_hourly_{_STREAM_QUERY_SEQ[0]}"
-    query = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-    query.awaitTermination()
-    return spark.table(name).select(
+    out = _drain_stream_complete(spark, agg, "hourly")
+    return out.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n_events")
 
