@@ -1511,31 +1511,12 @@ def _stream_events(spark, sf_dir):
 
 
 def _drain_stream_complete(spark, agg, tag: str):
-    """Run a complete-mode aggregation stream to termination and return
-    its final result as a DataFrame.
+    """Complete-mode drain via the engine's distributed foreachBatch
+    sink (driver memory stays flat at any result size — the sf10
+    session twin's ~9.5M rows OOMed the memory-sink harness)."""
+    from dataflow_spark.streaming.batched import drain_complete
 
-    NOT a memory sink: complete-mode memory sinks materialize the whole
-    result on the DRIVER each trigger — at sf10 the session twin's
-    ~9.5M rows OOMed the JVM (caught by the sf10 sweep). foreachBatch
-    receives the full result per trigger and writes it DISTRIBUTED to
-    parquet (overwrite: the last trigger wins, and with availableNow
-    the last trigger is the complete drain), so driver memory stays
-    flat at any scale."""
-    import tempfile
-
-    _STREAM_QUERY_SEQ[0] += 1
-    out_dir = tempfile.mkdtemp(prefix=f"dfspark_stream_{tag}_")
-    sink = os.path.join(out_dir, "result")
-
-    def write_batch(batch_df, _epoch):
-        batch_df.write.mode("overwrite").parquet(sink)
-
-    query = (agg.writeStream.foreachBatch(write_batch)
-             .outputMode("complete")
-             .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
-             .trigger(availableNow=True).start())
-    query.awaitTermination()
-    return spark.read.parquet(sink)
+    return drain_complete(agg)
 
 
 def _q_stream_sessions(spark, sf_dir):
@@ -5145,7 +5126,6 @@ def r_ner(spark, sf_dir):
     return op.run(docs).select("doc_id", "w")
 
 
-_STREAM_QUERY_SEQ = [0]
 
 
 @q("q_stream_hourly", """

@@ -190,3 +190,36 @@ def stream_dedup(df: DataFrame, keys: list[str] | str,
 
 
 StreamTransform = Callable[[DataFrame], DataFrame]
+
+def drain_complete(agg: DataFrame, out_dir: str | None = None) -> DataFrame:
+    """Run a complete-mode aggregation stream to termination and return
+    the final result as a (batch) DataFrame.
+
+    The obvious harness — a complete-mode MEMORY sink — materializes
+    the entire result on the DRIVER every trigger: verifying the
+    session-window twin on a 10x replica (~9.5M session rows) OOMed an
+    8g driver JVM. ``foreachBatch`` receives the same complete result
+    but writes it DISTRIBUTED to parquet (overwrite: with
+    ``availableNow`` the last trigger is the full drain), so driver
+    memory stays flat at any scale; the caller gets a lazily re-read
+    DataFrame. State-store memory is still proportional to the
+    aggregate cardinality per partition — that is inherent to
+    complete-mode aggregation, not to the sink.
+    """
+    import os
+    import tempfile
+
+    spark = agg.sparkSession
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="dfspark_drain_")
+    sink = os.path.join(out_dir, "result")
+
+    def _write(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    query = (agg.writeStream.foreachBatch(_write)
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+             .trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.read.parquet(sink)

@@ -249,3 +249,25 @@ def test_streaming_incremental_neardedup(spark, tmp_path):
     run_once()
     got = {r["doc_id"] for r in spark.read.parquet(archive).collect()}
     assert got == {0, 2}  # doc 3 died against the refreshed archive
+
+
+def test_drain_complete_distributed_sink(spark, tmp_path):
+    """drain_complete returns the final complete-mode result without a
+    driver-side memory sink (the sf10 OOM regression)."""
+    import pandas as pd
+
+    from dataflow_spark.streaming.batched import drain_complete, tumbling_counts
+
+    src = str(tmp_path / "events_in")
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:05", "2024-01-01 00:25", "2024-01-01 01:10"]),
+        "event_type": ["a", "a", "b"],
+    })
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    out = drain_complete(agg, out_dir=str(tmp_path / "drain"))
+    rows = {(r["win"]["start"].hour, r["n_events"]) for r in out.collect()}
+    assert rows == {(0, 2), (1, 1)}
