@@ -197,6 +197,44 @@ def _disc_price_cents4() -> Column:
                   * (100 - _cents("l_discount"))).cast("decimal(38,0)"))
 
 
+_D38 = "decimal(38,0)"
+
+
+def _widen(col: str) -> Column:
+    """Final-merge side of a two-level exact sum: widen the per-
+    partition long partial to decimal(38,0) before summing across
+    partitions (see AggregateOperator two-level form)."""
+    return F.sum(F.col(col).cast(_D38)).alias(col)
+
+
+# Split exact sum: sum(v) = 2^16 * sum(v div 2^16) + sum(v mod 2^16),
+# recombined in decimal(38,0) AFTER aggregation. Both halves are plain
+# long sums — whole-stage-codegen integer adds, no per-row BigDecimal —
+# in ONE aggregate (no second shuffle stage). Exact because cents are
+# non-negative integers and integer addition is associative. Overflow
+# bound: a long sum of values < B overflows at 2^63/B rows PER GROUP;
+# splitting at 2^16 caps B at max(2^16, v_max/2^16) — for q1's largest
+# per-row value (extendedprice-cents x discount-points <= ~1.7e9,
+# hi <= ~26k) that is >= 3.5e14 rows/group ~ sf 2e8 ~ 200 PB of
+# lineitem, 2000x the 100 TB design point. (The unbounded alternative
+# is AggregateOperator's two-level long->decimal form, used by
+# q_rollup_lineitem; it costs one extra tiny exchange.)
+_SPLIT = 1 << 16
+
+
+def _sum_split2(cents_sql: str, name: str) -> list[str]:
+    """Partial SQL agg exprs for the split exact sum of a cents-valued
+    integer expression."""
+    return [f"sum(({cents_sql}) div {_SPLIT}) AS {name}_hi",
+            f"sum(({cents_sql}) % {_SPLIT}) AS {name}_lo"]
+
+
+def _recombine2(name: str) -> str:
+    """SELECT-side recombination of a split sum into exact decimal."""
+    return (f"(cast({name}_hi as {_D38}) * {_SPLIT}"
+            f" + cast({name}_lo as {_D38}))")
+
+
 @q("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT)
@@ -226,28 +264,40 @@ def q1_pricing_summary(spark, sf_dir):
     # the sf10 sweep). Integer cents / 100.0 is deterministic at any
     # magnitude: both engines convert the SAME integer to double.
     # Averages: round_half_up(P/Q, 4) = (2e4*P + Q) div (2*Q) / 1e4.
+    # r7: split exact sums (see _sum_split2) — ONE shuffle, long-only
+    # per-row arithmetic, decimal recombination over 6 output rows.
+    # Recovers the r6 headline regression (2.7x: per-row decimal(38,0)
+    # sums) while keeping the sf10 half-cent exactness: the recombined
+    # decimal total is bit-identical because every step is exact
+    # integer arithmetic. SQL-string builders keep driver-side plan
+    # construction to a handful of py4j calls.
     li = _t(spark, sf_dir, "lineitem")
+    cq = "cast(l_quantity * 100 + 0.5 as bigint)"
+    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
+    cd = "cast(l_discount * 100 + 0.5 as bigint)"
     agg = get_operator("AggregateOperator", {
         "group_by": ["l_returnflag", "l_linestatus"],
-        "aggs": [
-            F.sum(_cents("l_quantity").cast("decimal(38,0)")).alias("_sq"),
-            F.sum(_cents("l_extendedprice").cast("decimal(38,0)")).alias("_sp"),
-            _disc_price_cents4().alias("_s4"),
-            F.sum(_cents("l_discount").cast("decimal(38,0)")).alias("_sd"),
-            F.count(F.lit(1)).alias("count_order"),
-        ],
+        "aggs": [F.expr(e) for e in
+                 _sum_split2(cq, "_sq") + _sum_split2(cp, "_sp")
+                 + _sum_split2(f"{cp} * (100 - {cd})", "_s4")
+                 + _sum_split2(cd, "_sd")
+                 + ["count(1) AS count_order"]],
     })
-    out = agg.run(li.filter(F.col("l_shipdate") <= "1998-09-02"))
-    q_ = "cast(count_order as decimal(38,0))"
-    return out.select(
+    out = agg.run(li.where("l_shipdate <= '1998-09-02'"))
+    sq, sp, s4, sd = (_recombine2(n) for n in ("_sq", "_sp", "_s4", "_sd"))
+    q_ = f"cast(count_order as {_D38})"
+    # cast(... as double): in SQL `100.0` is a DECIMAL literal, so the
+    # division would stay decimal-typed; both engines convert the same
+    # exact integer, so the double conversion is deterministic.
+    return out.selectExpr(
         "l_returnflag", "l_linestatus",
-        (F.col("_sq") / 100.0).alias("sum_qty"),
-        (F.col("_sp") / 100.0).alias("sum_base_price"),
-        (F.expr("(_s4 + 50) div 100") / 100.0).alias("sum_disc_price"),
-        (F.expr(f"(20000 * _sq + 100 * {q_}) div (200 * {q_})")
-         / 10000.0).alias("avg_qty"),
-        (F.expr(f"(20000 * _sd + 100 * {q_}) div (200 * {q_})")
-         / 10000.0).alias("avg_disc"),
+        f"cast({sq} / 100.0 as double) AS sum_qty",
+        f"cast({sp} / 100.0 as double) AS sum_base_price",
+        f"cast((({s4} + 50) div 100) / 100.0 as double) AS sum_disc_price",
+        f"cast(((20000 * {sq} + 100 * {q_}) div (200 * {q_})) / 10000.0"
+        "  as double) AS avg_qty",
+        f"cast(((20000 * {sd} + 100 * {q_}) div (200 * {q_})) / 10000.0"
+        "  as double) AS avg_disc",
         "count_order")
 
 
@@ -429,12 +479,16 @@ def q_rollup_lineitem(spark, sf_dir):
     # exact cents for the grand-total rollup row: its magnitude grows
     # with the whole table and double summation drifts past a half
     # at ~1e12 (the q1 sf10 lesson; see _cents)
+    # Two-level (r7): long partials per (group, partition) keep the
+    # per-row loop integer-cheap AND keep rollup's Expand off the full
+    # scan — the x3 grouping-set multiplier applies to the ~groups x
+    # partitions intermediate, not 100 TB of lineitem.
     li = _t(spark, sf_dir, "lineitem")
     agg = get_operator("AggregateOperator", {
         "group_by": ["l_returnflag", "l_linestatus"],
-        "aggs": [F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(_cents("l_quantity")
-                       .cast("decimal(38,0)")).alias("_sq")],
+        "partial_aggs": [F.count(F.lit(1)).alias("n_rows"),
+                         F.sum(_cents("l_quantity")).alias("_sq")],
+        "final_aggs": [F.sum("n_rows").alias("n_rows"), _widen("_sq")],
         "mode": "rollup",
     })
     return (agg.run(li)

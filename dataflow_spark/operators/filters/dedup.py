@@ -54,12 +54,21 @@ def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     and the parquet scan narrows to exactly the columns downstream
     needs. Map-side combine is unchanged — it is a property of the
     hash-aggregate, not of how many aggregate expressions it carries.
+
+    Tie coherence (r7): independent per-column min_by reconstitutes
+    one real row only if the ordering key is unique. A caller-supplied
+    ``order_key`` carries no such guarantee, so when the engine row id
+    is present alongside it, every min_by orders on
+    ``struct(order_col, _row_id)`` — ties on the caller's key resolve
+    to ONE row (the earliest by ingest order) for every column instead
+    of a synthetic mix of tied rows. The struct compare is two longs;
+    map-side combine and per-column pruning are unaffected.
     """
-    aggs = [
-        F.min(order_col).alias(c) if c == order_col
-        else F.min_by(F.col(c), F.col(order_col)).alias(c)
-        for c in df.columns
-    ]
+    if ROW_ID in df.columns and order_col != ROW_ID:
+        okey = F.struct(F.col(order_col), F.col(ROW_ID))
+    else:
+        okey = F.col(order_col)
+    aggs = [F.min_by(F.col(c), okey).alias(c) for c in df.columns]
     return df.groupBy(key.alias("_dedup_k")).agg(*aggs).drop("_dedup_k")
 
 
@@ -204,12 +213,19 @@ class _BaseDedup(Operator):
 
     def _ordered(self, df: DataFrame) -> tuple[DataFrame, str]:
         if self.order_key and self.order_key in df.columns:
-            return df, self.order_key
+            if self.order_key == ROW_ID:
+                return df, ROW_ID
+            # attach the engine row id as a keep-first tie-breaker: the
+            # caller's order_key SHOULD be unique, but nothing enforces
+            # it, and on ties independent per-column min_by would
+            # otherwise stitch a synthetic row (see _keep_first)
+            return with_row_id(df), self.order_key
         return with_row_id(df), ROW_ID
 
     def _finish(self, out: DataFrame, order_col: str) -> DataFrame:
-        """Drop the engine-added order column (never user columns)."""
-        if order_col == ROW_ID and self.order_key != ROW_ID:
+        """Drop the engine-added order/tie-break column (never user
+        columns)."""
+        if ROW_ID in out.columns and self.order_key != ROW_ID:
             return out.drop(ROW_ID)
         return out
 
@@ -308,7 +324,8 @@ class NgramHashDeduplicateFilter(_BaseDedup):
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
         sh = F.array_sort(F.array_distinct(H.char_shingles(F.col(self.input_key), self.n)))
-        return _keep_first(df, F.md5(F.concat_ws("", sh)), order_col)
+        return self._finish(
+            _keep_first(df, F.md5(F.concat_ws("", sh)), order_col), order_col)
 
 
 class _NearDupBase(_BaseDedup):

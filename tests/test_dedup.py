@@ -298,3 +298,36 @@ def test_minhash_auto_banding(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept = sorted(r.doc_id for r in op.run(df).collect())
     assert kept == [0, 2]
+
+
+def test_keep_first_tied_order_key_returns_coherent_row(spark):
+    # Non-unique caller order_key: ADVICE r6 — independent per-column
+    # min_by could stitch columns from DIFFERENT tied rows into a row
+    # that never existed. With the engine row-id tie-breaker, the
+    # survivor must be exactly one input row (earliest ingest order
+    # among the tied minimum-order rows).
+    rows = [(1, "dup", "alpha", 100), (1, "dup", "beta", 200),
+            (2, "dup", "gamma", 300), (5, "solo", "delta", 400)]
+    df = spark.createDataFrame(rows, ["ok", "text", "tag", "val"])
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": "text", "order_key": "ok"}).run(df)
+    got = {(r["ok"], r["text"], r["tag"], r["val"]) for r in out.collect()}
+    assert (5, "solo", "delta", 400) in got
+    dup_winner = next(t for t in got if t[1] == "dup")
+    # coherence: the winner is one of the two ok=1 INPUT rows, never a
+    # (1, 'dup', 'alpha', 200)-style mix
+    assert dup_winner in {(1, "dup", "alpha", 100), (1, "dup", "beta", 200)}
+    assert len(got) == 2
+    # no engine column leaks
+    assert out.columns == ["ok", "text", "tag", "val"]
+
+
+def test_ngram_dedup_drops_engine_row_id(spark):
+    # regression: NgramHashDeduplicateFilter returned without _finish,
+    # leaking _row_id once the tie-breaker attach landed (r7)
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "abcdefgh"),
+                                (3, "zzzzyyyy")], ["id", "text"])
+    out = get_operator("NgramHashDeduplicateFilter",
+                       {"input_key": "text", "order_key": "id"}).run(df)
+    assert out.columns == ["id", "text"]
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
