@@ -117,10 +117,26 @@ class FuzzyJoinOperator(Operator):
         Exactness: overlap counts are sums of 0/1 float32 products —
         every partial sum is an integer < 2^24, hence exact; the final
         threshold uses the same float64 division as the sparse path.
+
+        ``lraw`` is persisted for the duration of this probe: it is
+        read by four separate jobs (vocab probe, vocab collect, size
+        stats, row collect), and if the left plan were
+        non-deterministic (a sample, a shuffle-dependent limit) an
+        unpersisted recompute could hand the packing step tokens that
+        are not in the collected vocab — searchsorted would then write
+        a wrong column or index past the bitset (ADVICE r6). With one
+        materialization all four reads see the same rows.
         """
         if self.dense_vocab_max <= 0:
             return None
         spark = lraw.sparkSession
+        lraw = lraw.persist()
+        try:
+            return self._try_dense_persisted(lraw, rraw, spark)
+        finally:
+            lraw.unpersist()
+
+    def _try_dense_persisted(self, lraw, rraw, spark):
         # sampled probe first: a subset's vocab only undercounts, so
         # "probe > max" proves the full left vocab is over budget
         # without scanning a (possibly huge) left side
@@ -230,6 +246,12 @@ class FuzzyJoinOperator(Operator):
                              self._sets(F.col(self.right_key)).alias("_sh"))
                 .filter(F.size("_sh") > 0))
         dense = self._try_dense(lraw, rraw)
+        #: which physical strategy served the last run() — 'dense'
+        #: (broadcast bitset matmul) or 'sparse' (PPJoin prefix filter).
+        #: Plan-debug surface for tests and operators composing this
+        #: one; mirrors what .explain() can't show (the switch happens
+        #: before any Spark plan exists).
+        self.last_path = "dense" if dense is not None else "sparse"
         if dense is not None:
             return dense
         raw = (

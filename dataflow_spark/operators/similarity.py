@@ -71,10 +71,18 @@ class BruteForceKNN(Operator):
         # bounded: max_broadcast_queries probe ran just before; the
         # byte budget re-checks with the actual dim
         qrows = qsrc.select(self.id_key, self.embedding_key).collect()
+        # null/empty query vectors produce null cosine on the join path
+        # (no output rows for that query) — drop them here; mixed query
+        # dims would need per-dim matmuls, so fall back to the exact
+        # join path instead of guessing (ADVICE r6: np.array over
+        # ragged rows built a dtype=object matrix that broke the GEMM)
+        qrows = [r for r in qrows if r[1] is not None and len(r[1]) > 0]
         if not qrows:
             return None
-        dim = len(qrows[0][1] or [])
-        if dim == 0 or len(qrows) * dim * 8 > budget:
+        dim = len(qrows[0][1])
+        if any(len(r[1]) != dim for r in qrows):
+            return None
+        if len(qrows) * dim * 8 > budget:
             return None
         qid = np.array([r[0] for r in qrows], dtype=object)
         qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -93,11 +101,21 @@ class BruteForceKNN(Operator):
 
             qid_, qm_, qn_ = bc.value
             nq = len(qid_)
+            dim_ = qm_.shape[1]
             for pdf in batches:
-                cm = np.stack([np.asarray(v, dtype=np.float64)
-                               for v in pdf["_c_emb"]])
+                # null / dimension-mismatched corpus vectors: the join
+                # path computes a null cosine for them and excludes the
+                # row; np.stack would instead raise on the whole batch
+                # (ADVICE r6) — drop them before stacking
+                vals = pdf["_c_emb"]
+                keep = [i for i, v in enumerate(vals)
+                        if v is not None and len(v) == dim_]
+                if not keep:
+                    continue
+                cm = np.stack([np.asarray(vals.iloc[i], dtype=np.float64)
+                               for i in keep])
                 cn = np.sqrt((cm * cm).sum(axis=1))
-                cid = pdf["_cid"].to_numpy()
+                cid = pdf["_cid"].to_numpy()[keep]
                 o_q, o_n, o_s = [], [], []
                 # bound the sim block to ~16M float64 (128MB / worker)
                 qblk = max(1, (1 << 24) // max(len(pdf), 1))
@@ -130,8 +148,13 @@ class BruteForceKNN(Operator):
                         if cut == -np.inf:
                             cand = np.nonzero(col > -np.inf)[0]
                         else:
+                            # max(relative, absolute): a purely
+                            # relative margin collapses below GEMM
+                            # absolute error (~1e-13) when the kth
+                            # cosine sits near zero, silently dropping
+                            # true tied neighbors (ADVICE r6)
                             cand = np.nonzero(
-                                col >= cut - 1e-9 * max(abs(cut), 1e-30)
+                                col >= cut - max(1e-9 * abs(cut), 1e-12)
                             )[0]
                         if not len(cand):
                             continue
@@ -196,7 +219,14 @@ class BruteForceKNN(Operator):
         joined = c.crossJoin(F.broadcast(q))
         if not self.include_self:
             joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-        sim = joined.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+        # null cosine (null/zero-norm/dim-mismatched vector on either
+        # side) is NOT a match: exclude before ranking, so both physical
+        # paths agree — a null would otherwise occupy a top-k slot
+        # (nulls sort into row_number like any value) on the join path
+        # while the matmul path drops it (ADVICE r6 alignment)
+        sim = (joined.withColumn("cosine_sim",
+                                 V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+               .filter(F.col("cosine_sim").isNotNull()))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
         )

@@ -422,8 +422,13 @@ class CohortRetentionOperator(Operator):
         u = self.user_key
         days = self.PERIOD_DAYS[self.granularity]
         per_user = (
-            df.select(u, F.date_trunc(self.granularity, F.col(self.ts_key))
-                      .cast("date").alias("_p"))
+            # null-timestamp events carry no period information and are
+            # excluded by policy (explicit filter, not an artifact of
+            # collect_set's null-dropping — ADVICE r6): a user whose
+            # events are all null-ts has no cohort and emits nothing
+            df.where(F.col(self.ts_key).isNotNull())
+            .select(u, F.date_trunc(self.granularity, F.col(self.ts_key))
+                    .cast("date").alias("_p"))
             .groupBy(u).agg(F.collect_set("_p").alias("_ps"))
         )
         return (

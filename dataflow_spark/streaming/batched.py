@@ -205,21 +205,37 @@ def drain_complete(agg: DataFrame, out_dir: str | None = None) -> DataFrame:
     DataFrame. State-store memory is still proportional to the
     aggregate cardinality per partition — that is inherent to
     complete-mode aggregation, not to the sink.
+
+    Lifecycle (ADVICE r6): the checkpoint directory is FRESH per call
+    — a retained checkpoint under a reused ``out_dir`` would make the
+    restarted availableNow stream see no new data and silently hand
+    back the previous run's parquet. Engine-created temp directories
+    are removed at interpreter exit (the returned DataFrame reads the
+    files lazily, so they must outlive this call; pass ``out_dir`` to
+    own the result's lifetime yourself).
     """
+    import atexit
     import os
+    import shutil
     import tempfile
+    import uuid
 
     spark = agg.sparkSession
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="dfspark_drain_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     sink = os.path.join(out_dir, "result")
+    # fresh checkpoint per drain; drop any previous call's checkpoint
+    # so a caller-supplied out_dir does not accumulate one per call
+    ckpt = os.path.join(out_dir, f"ckpt-{uuid.uuid4().hex[:12]}")
 
     def _write(batch_df: DataFrame, _epoch: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink)
 
     query = (agg.writeStream.foreachBatch(_write)
              .outputMode("complete")
-             .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     query.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(sink)

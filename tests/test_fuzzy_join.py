@@ -231,3 +231,60 @@ def test_dense_path_string_ids(spark):
     got = {(r["left_id"], r["right_id"]) for r in
            op.run(left, right=right).collect()}
     assert ("a", "x") in got and not any(li == "b" for li, _ in got)
+
+
+def _low_entropy_corpus(spark, n=60):
+    """Templated corpus: ~tens of distinct 3-grams total (the sf1-replica
+    shape where PPJoin candidate admission degenerates)."""
+    rows = [(i, "abcabcabc" * 3 + ("xyz" if i % 2 else "abc"))
+            for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _heaps_law_corpus(spark, n=60):
+    """Each doc contributes fresh shingles (vocabulary grows ~linearly,
+    like real web text under Heaps' law)."""
+    import hashlib
+    rows = [(i, hashlib.sha256(f"doc{i}".encode()).hexdigest() * 3)
+            for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_adaptive_switch_dense_on_low_entropy(spark):
+    corpus = _low_entropy_corpus(spark)
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": 0.5, "shingle_n": 3, "dense_vocab_max": 64})
+    op.run(corpus, right=corpus).count()
+    assert op.last_path == "dense"
+
+
+def test_adaptive_switch_sparse_on_heaps_law(spark):
+    corpus = _heaps_law_corpus(spark)
+    # 60 docs x ~60 distinct 3-grams each >> 64-shingle dense budget:
+    # a Heaps-law corpus must stay on the PPJoin path
+    op = get_operator("FuzzyJoinOperator", {
+        "threshold": 0.5, "shingle_n": 3, "dense_vocab_max": 64})
+    op.run(corpus, right=corpus).count()
+    assert op.last_path == "sparse"
+
+
+def test_paths_agree_on_shared_corpus(spark):
+    """Both physical strategies must return identical (pair, score)
+    sets on a corpus either can handle."""
+    corpus = _low_entropy_corpus(spark, n=30)
+    probe = spark.createDataFrame(
+        [(100, "abcabcabcabcabcabcabcabcabcxyz"),
+         (101, "completely unrelated words here")], ["doc_id", "text"])
+    common = {"threshold": 0.5, "shingle_n": 3}
+    dense_op = get_operator("FuzzyJoinOperator",
+                            {**common, "dense_vocab_max": 4096})
+    sparse_op = get_operator("FuzzyJoinOperator",
+                             {**common, "dense_vocab_max": 0})
+    d = {(r["left_id"], r["right_id"], r["jaccard"])
+         for r in dense_op.run(probe, right=corpus).collect()}
+    s = {(r["left_id"], r["right_id"], r["jaccard"])
+         for r in sparse_op.run(probe, right=corpus).collect()}
+    assert dense_op.last_path == "dense"
+    assert sparse_op.last_path == "sparse"
+    assert d == s
+    assert d  # non-vacuous: at least one qualifying pair exists

@@ -1,0 +1,53 @@
+"""BruteForceKNN degenerate embeddings: both physical paths must agree
+that a null cosine (null / zero-norm / dim-mismatched vector) is not a
+match (ADVICE r6)."""
+
+from dataflow_spark.core.registry import get_operator
+
+
+def _pairs(out):
+    return {(r["query_id"], r["neighbor_id"]) for r in out}
+
+
+def test_matmul_path_skips_null_embeddings(spark):
+    # consistent dims + a null row -> dense matmul path engages and
+    # must skip the null instead of raising in np.stack
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    op = get_operator("BruteForceKNN",
+                      {"k": 2, "id_key": "id", "embedding_key": "embedding"})
+    out = op.run(df).collect()
+    assert all(r["cosine_sim"] is not None for r in out)
+    ids = {r["neighbor_id"] for r in out} | {r["query_id"] for r in out}
+    assert 3 not in ids
+    assert (1, 2) in _pairs(out)
+
+
+def test_join_path_excludes_null_cosine(spark):
+    # mixed dims force the exact join path (dense refuses ragged);
+    # dim-mismatched and null vectors must not occupy top-k slots
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None),
+            (4, [1.0, 0.0, 0.0]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    op = get_operator("BruteForceKNN",
+                      {"k": 2, "id_key": "id", "embedding_key": "embedding"})
+    out = op.run(df).collect()
+    assert all(r["cosine_sim"] is not None for r in out)
+    ids = {r["neighbor_id"] for r in out} | {r["query_id"] for r in out}
+    assert 3 not in ids and 4 not in ids
+    assert (1, 2) in _pairs(out)
+
+
+def test_paths_agree_on_null_bearing_corpus(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(1, 8)] + [(9, None)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    common = {"k": 3, "id_key": "id", "embedding_key": "embedding"}
+    dense = get_operator("BruteForceKNN", common)
+    joinp = get_operator("BruteForceKNN",
+                         {**common, "dense_broadcast_mb": 0})
+    d = {(r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 9))
+         for r in dense.run(df).collect()}
+    j = {(r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 9))
+         for r in joinp.run(df).collect()}
+    assert d == j
+    assert d

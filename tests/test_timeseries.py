@@ -423,3 +423,18 @@ def test_funnel_cap_overflow_rule(spark):
         "steps": ["cart", "cart"], "max_events_per_step": 100})
     out = {r["step"]: r["n_users"] for r in rep_big.run(df).collect()}
     assert out[2] == 1  # under the cap the completion is found
+
+
+def test_cohort_retention_null_ts_excluded_by_policy(spark):
+    # ADVICE r6: null-ts handling is an explicit filter now — null-ts
+    # events are ignored; an all-null user emits no rows (no null
+    # offsets, no synthetic cohort)
+    from dataflow_spark.core.registry import get_operator
+    rows = [(1, dt.datetime(2024, 1, 1)), (1, None),
+            (2, None)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = get_operator("CohortRetentionOperator",
+                       {"user_key": "user_id", "ts_key": "ts"}).run(df)
+    got = [(str(r["cohort"]), r["period_offset"], r["n_users"])
+           for r in out.collect()]
+    assert got == [("2024-01-01", 0, 1)]
