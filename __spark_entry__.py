@@ -5998,31 +5998,66 @@ def q_containment_join(spark, sf_dir):
 #   2. never-driver-checked queries;
 #   3. everything already green in r1/r2 (lowest information value).
 _REVERIFY_HEAD = [
-    # r6: the final 28 names never yet driver-checked (266 minus the
-    # union of CORRECTNESS_r01-r05 keys; all 28 verified green locally
-    # by the r5 judge and by tools/verify_oracle.py). After this round
-    # every contract query has a DRIVER-verified green row.
-    "e_bert_f1", "e_funccall_judge", "e_mmd", "e_question_category",
-    "e_reasoning_difficulty_stats", "e_smiles_equivalence",
-    "e_text2qa_judge", "f_code_doc_quality", "g_format_str_prompted",
-    "g_pseudo_answer", "g_smiles_extract", "q_explode_operator",
-    "r_ner", "r_remove_emoticons", "x_deita_complexity_filter",
-    "x_deita_quality_filter", "x_instag_filter", "x_llm_language_filter",
-    "x_mineru_api_flash", "x_mineru_llm_input", "x_pairqual_filter",
-    "x_pdf2vqa_parse", "x_perspective_filter", "x_pipeline_text_pt",
-    "x_pipeline_text_sft", "x_rm_filter", "x_superfiltering_filter",
-    "x_textbook_filter",
-    # r6 plan rewrites: re-prove the two rewritten families under the
-    # driver harness even though they were green in earlier rounds
-    # (keep-first per-column min_by; cohort collect_set single-shuffle).
-    "d_exact_hash", "d_ccnet_norm", "d_ngram_hash", "d_incremental_hash",
-    "d_ngram_jaccard", "q_pipeline_training_prep", "q_cohort_retention",
-    # r6 full-contract sf1 sweep: every query changed while fixing its
-    # findings needs a fresh DRIVER-verified row (exact-cents revenue,
-    # dedup order pins, layout-aware streams, dense fuzzy/KNN paths).
-    "q5_regional_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "q_pipeline_sft_filter", "q_stream_sessions", "q_stream_hourly",
-    "q_fuzzy_join", "q_containment_join", "s_knn_brute", "s_most_similar",
+    # r7 rotation by STALENESS (judge ask #4): every contract name is
+    # driver-green (r1-r6 union = 266/266), so head slots now go to the
+    # 50 names whose LATEST driver check is oldest — 38 last checked in
+    # r1 + 12 in r2 (computed from CORRECTNESS_r01-06 keys). These are
+    # exactly the rule-filter/refiner families that run through shared
+    # functions/text.py helpers touched by later rounds, plus
+    # q_rollup_lineitem, which r7 rewrote onto the two-level exact
+    # aggregate. (q1_pricing_summary also changed in r7 but was driver-
+    # checked in r6; its new split-sum plan is oracle-verified locally
+    # at sf0.01/sf10 — see ORACLE_SWEEP — and rotates into the r8 head.)
+    "f_alpha_words",
+    "f_blocklist",
+    "f_capital_words",
+    "f_char_number",
+    "f_colon_end",
+    "f_content_null",
+    "f_curly_bracket",
+    "f_html_entity",
+    "f_id_card",
+    "f_line_bullet",
+    "f_line_ellipsis",
+    "f_line_javascript",
+    "f_lorem_ipsum",
+    "f_mean_word_length",
+    "f_no_punc",
+    "f_sentence_number",
+    "f_special_char",
+    "f_stop_word",
+    "f_symbol_ratio",
+    "f_unique_words",
+    "f_watermark",
+    "f_word_number",
+    "q_anti_join_customers",
+    "q_cube_orders",
+    "q_explode_words",
+    "q_rollup_lineitem",
+    "q_window_rank",
+    "r_html_entity",
+    "r_lowercase",
+    "r_reference_remover",
+    "r_remove_contractions",
+    "r_remove_extra_spaces",
+    "r_remove_image_refs",
+    "r_remove_number",
+    "r_remove_punctuation",
+    "r_remove_stopwords",
+    "r_remove_url",
+    "r_text_normalization",
+    "e_bench_accuracy",
+    "e_bleu_token_f1",
+    "e_cider",
+    "e_code_metrics",
+    "e_langkit_readability",
+    "e_model_score_hash",
+    "e_perplexity_unigram",
+    "g_char_chunks",
+    "g_embedding",
+    "g_mathbook_extract",
+    "g_qa_extract",
+    "g_sentence_chunks",
 ]
 
 # Round-1 driver check covered these 50 names.
@@ -6129,8 +6164,30 @@ _CHECKED_R5 = {
     "x_t2s_correspondence", "x_treeinstruct_filter",
 }
 
+# Round-6 driver check covered these 50 names (CORRECTNESS_r06.json) —
+# all green.
+_CHECKED_R6 = {
+    "d_ccnet_norm", "d_exact_hash", "d_incremental_hash", "d_ngram_hash",
+    "d_ngram_jaccard", "e_bert_f1", "e_funccall_judge", "e_mmd",
+    "e_question_category", "e_reasoning_difficulty_stats",
+    "e_smiles_equivalence", "e_text2qa_judge", "f_code_doc_quality",
+    "g_format_str_prompted", "g_pseudo_answer", "g_smiles_extract",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q_cohort_retention", "q_containment_join", "q_distinct_segments",
+    "q_explode_operator", "q_fuzzy_join", "q_part_brand_agg",
+    "q_pipeline_sft_filter", "q_pipeline_training_prep",
+    "q_semi_join_orders", "q_stream_hourly", "q_stream_sessions",
+    "q_top_customers", "q_union_nation_keys", "r_ner",
+    "r_remove_emoticons", "s_knn_brute", "s_most_similar",
+    "x_deita_complexity_filter", "x_deita_quality_filter",
+    "x_instag_filter", "x_llm_language_filter", "x_mineru_api_flash",
+    "x_mineru_llm_input", "x_pairqual_filter", "x_pdf2vqa_parse",
+    "x_perspective_filter", "x_pipeline_text_pt", "x_pipeline_text_sft",
+    "x_rm_filter", "x_superfiltering_filter", "x_textbook_filter",
+}
+
 _CHECKED = (_CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3 | _CHECKED_R4
-            | _CHECKED_R5)
+            | _CHECKED_R5 | _CHECKED_R6)
 
 
 def _ordered(d: dict) -> dict:
