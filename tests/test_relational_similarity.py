@@ -301,3 +301,57 @@ class TestTableProfile:
         assert out["order id"]["n_distinct"] == 2
         assert out["price.usd"]["min_value"] == "1.5"
         assert out["it's a name"]["null_frac"] == 0.5
+
+
+class TestTwoLevelAggregate:
+    """AggregateOperator partial_aggs/final_aggs form (r7): long
+    partials per (group, partition), widened merge — must be value-
+    identical to the single-level decimal plan in every grouping mode."""
+
+    def _df(self, spark):
+        rows = [("a", i % 3, float(i) + 0.25) for i in range(100)] + \
+               [("b", i % 2, float(i) * 2 + 0.5) for i in range(50)]
+        return (spark.createDataFrame(rows, ["g", "sub", "v"])
+                .repartition(7))  # several partitions -> real partials
+
+    def _single(self, mode):
+        return get_operator("AggregateOperator", {
+            "group_by": ["g"], "mode": mode,
+            "aggs": [F.sum(F.col("v").cast("decimal(38,2)")).alias("s"),
+                     F.count(F.lit(1)).alias("n")]})
+
+    def _two(self, mode):
+        return get_operator("AggregateOperator", {
+            "group_by": ["g"], "mode": mode,
+            "partial_aggs": [
+                F.sum((F.col("v") * 100).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n")],
+            "final_aggs": [
+                (F.sum(F.col("s").cast("decimal(38,0)")) / 100)
+                .cast("decimal(38,2)").alias("s"),
+                F.sum("n").alias("n")]})
+
+    @pytest.mark.parametrize("mode", ["groupby", "rollup", "cube"])
+    def test_matches_single_level(self, spark, mode):
+        df = self._df(spark)
+        one = {tuple(r) for r in self._single(mode).run(df).collect()}
+        two = {tuple(r) for r in self._two(mode).run(df).collect()}
+        assert one == two
+
+    def test_pair_required(self):
+        with pytest.raises(ValueError):
+            get_operator("AggregateOperator", {
+                "group_by": ["g"],
+                "partial_aggs": [F.count(F.lit(1)).alias("n")]})
+
+    def test_rollup_expand_on_intermediate(self, spark):
+        # the Expand (grouping-set multiplier) must sit ABOVE the first
+        # aggregate, i.e. apply to the pre-aggregated intermediate, not
+        # the raw scan
+        df = self._df(spark)
+        plan = (self._two("rollup").run(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Expand" in plan
+        pre, _, post = plan.partition("Expand")
+        # below Expand there is already a HashAggregate (the partial)
+        assert "HashAggregate" in post

@@ -113,3 +113,43 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def generate_fact_streamed(spark, src: str, out_dir: str, table: str,
+                           factor: int, batch_replicas: int = 50) -> None:
+    """Replicate ONE fact table by ``factor`` in bounded append batches.
+
+    The full-factor ``generate`` path explodes every replica into one
+    plan and repartitions — at factor 1000 (600M lineitem rows) that
+    global shuffle was projected to spill past the box's disk and was
+    aborted in r6. Here each batch explodes only ``batch_replicas``
+    replicas of the (small) source and APPENDS without any shuffle:
+    a narrow scan->explode->shift->write pipeline whose working set is
+    one batch, mirroring how a real ingest would land a 100 TB table —
+    partition-at-a-time, never a global re-shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    shift_cols = SHIFT_COLS[table]
+    dst = os.path.join(out_dir, f"{table}.parquet")
+    if os.path.islink(dst):
+        os.remove(dst)  # replace a placeholder symlink with real data
+    import shutil
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    src_df = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+    for lo in range(0, factor, batch_replicas):
+        hi = min(lo + batch_replicas, factor)
+        rep = src_df.withColumn(
+            "_r", F.explode(F.sequence(F.lit(lo), F.lit(hi - 1))))
+        for c in shift_cols:
+            rep = rep.withColumn(
+                c, F.col(c).cast("long")
+                + F.col("_r").cast("long") * F.lit(STRIDE).cast("long"))
+        if table == "documents":
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" #r"),
+                             F.col("_r").cast("string"))))
+        rep.drop("_r").write.mode("append").parquet(dst)
