@@ -271,3 +271,38 @@ def test_drain_complete_distributed_sink(spark, tmp_path):
     out = drain_complete(agg, out_dir=str(tmp_path / "drain"))
     rows = {(r["win"]["start"].hour, r["n_events"]) for r in out.collect()}
     assert rows == {(0, 2), (1, 1)}
+
+
+def test_drain_complete_reused_out_dir_not_stale(spark, tmp_path):
+    """ADVICE r6: reusing out_dir previously returned the FIRST run's
+    parquet forever (retained checkpoint saw no new data). Each call
+    must reflect the source as it stands."""
+    import pandas as pd
+
+    from dataflow_spark.streaming.batched import drain_complete, tumbling_counts
+
+    src = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "drain")
+
+    def write_batch(hours):
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([f"2024-01-01 {h:02d}:15" for h in hours]),
+            "event_type": ["a"] * len(hours),
+        })
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        out = drain_complete(agg, out_dir=out_dir)
+        return {(r["win"]["start"].hour, r["n_events"])
+                for r in out.collect()}
+
+    write_batch([0, 0])
+    assert drain() == {(0, 2)}
+    write_batch([1])
+    assert drain() == {(0, 2), (1, 1)}  # NOT the stale first result
+    # no checkpoint accumulation in the caller's dir
+    import os
+    assert not [d for d in os.listdir(out_dir) if d.startswith("ckpt")]
