@@ -129,6 +129,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Temp-view registry over _t: lets hot queries be ONE spark.sql call
+# (single parse + analysis pass in the JVM) instead of a py4j call per
+# DataFrame method — the chained form costs ~0.1s/build in driver round
+# trips at bench scale. Re-registers only when sf_dir changes.
+_VIEW_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _tv(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register (once) and return a temp-view name for table ``name``."""
+    view = f"t_{name}"
+    key = (spark.sparkContext.applicationId, view)
+    if _VIEW_CACHE.get(key) != sf_dir:
+        _t(spark, sf_dir, name).createOrReplaceTempView(view)
+        _VIEW_CACHE[key] = sf_dir
+    return view
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -269,36 +286,49 @@ def q1_pricing_summary(spark, sf_dir):
     # Recovers the r6 headline regression (2.7x: per-row decimal(38,0)
     # sums) while keeping the sf10 half-cent exactness: the recombined
     # decimal total is bit-identical because every step is exact
-    # integer arithmetic. SQL-string builders keep driver-side plan
-    # construction to a handful of py4j calls.
-    li = _t(spark, sf_dir, "lineitem")
-    cq = "cast(l_quantity * 100 + 0.5 as bigint)"
-    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
-    cd = "cast(l_discount * 100 + 0.5 as bigint)"
-    agg = get_operator("AggregateOperator", {
-        "group_by": ["l_returnflag", "l_linestatus"],
-        "aggs": [F.expr(e) for e in
-                 _sum_split2(cq, "_sq") + _sum_split2(cp, "_sp")
-                 + _sum_split2(f"{cp} * (100 - {cd})", "_s4")
-                 + _sum_split2(cd, "_sd")
-                 + ["count(1) AS count_order"]],
-    })
-    out = agg.run(li.where("l_shipdate <= '1998-09-02'"))
-    sq, sp, s4, sd = (_recombine2(n) for n in ("_sq", "_sp", "_s4", "_sd"))
-    q_ = f"cast(count_order as {_D38})"
+    # integer arithmetic.
+    # r7b: split ONLY where a plain long sum could overflow —
+    # per-group-per-measure bound is 2^63 / v_max rows:
+    #   _sq: qty cents    <= 5.1e3  -> 1.8e15 rows/group (~300 PB) UNSPLIT
+    #   _sd: disc cents   <= 10     -> 9.2e17 rows/group           UNSPLIT
+    #   _sp: price cents  <= 1.1e7  -> 8e11 rows/group (~4x margin
+    #        at the 100 TB point — too thin) -> SPLIT: hi/lo halves
+    #        bound v_max at 2^16 -> 1.4e14 rows/group (~20 PB-class)
+    #   _s4: price*disc   <= 1.2e9  -> 7e9 rows/group (fails 100 TB)
+    #        -> SPLIT: same 1.4e14 rows/group bound.
+    # Single spark.sql over the cached-view catalog: one parse+analysis
+    # in the JVM vs ~70 py4j round trips for the chained form (was
+    # ~40% of this query's bench time at sf0.1).
     # cast(... as double): in SQL `100.0` is a DECIMAL literal, so the
     # division would stay decimal-typed; both engines convert the same
     # exact integer, so the double conversion is deterministic.
-    return out.selectExpr(
-        "l_returnflag", "l_linestatus",
-        f"cast({sq} / 100.0 as double) AS sum_qty",
-        f"cast({sp} / 100.0 as double) AS sum_base_price",
-        f"cast((({s4} + 50) div 100) / 100.0 as double) AS sum_disc_price",
-        f"cast(((20000 * {sq} + 100 * {q_}) div (200 * {q_})) / 10000.0"
-        "  as double) AS avg_qty",
-        f"cast(((20000 * {sd} + 100 * {q_}) div (200 * {q_})) / 10000.0"
-        "  as double) AS avg_disc",
-        "count_order")
+    li_v = _tv(spark, sf_dir, "lineitem")
+    S = _SPLIT
+    cq = "cast(l_quantity * 100 + 0.5 as bigint)"
+    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
+    cd = "cast(l_discount * 100 + 0.5 as bigint)"
+    c4 = f"{cp} * (100 - {cd})"
+    sq, sd = f"cast(_sq as {_D38})", f"cast(_sd as {_D38})"
+    sp, s4 = _recombine2("_sp"), _recombine2("_s4")
+    q_ = f"cast(count_order as {_D38})"
+    return spark.sql(f"""
+SELECT l_returnflag, l_linestatus,
+  cast({sq} / 100.0 as double) AS sum_qty,
+  cast({sp} / 100.0 as double) AS sum_base_price,
+  cast((({s4} + 50) div 100) / 100.0 as double) AS sum_disc_price,
+  cast(((20000 * {sq} + 100 * {q_}) div (200 * {q_})) / 10000.0
+    as double) AS avg_qty,
+  cast(((20000 * {sd} + 100 * {q_}) div (200 * {q_})) / 10000.0
+    as double) AS avg_disc,
+  count_order
+FROM (SELECT l_returnflag, l_linestatus,
+        sum({cq}) AS _sq,
+        sum({cp} div {S}) AS _sp_hi, sum({cp} % {S}) AS _sp_lo,
+        sum(({c4}) div {S}) AS _s4_hi, sum(({c4}) % {S}) AS _s4_lo,
+        sum({cd}) AS _sd,
+        count(1) AS count_order
+      FROM {li_v} WHERE l_shipdate <= '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus)""")
 
 
 @q("q3_shipping_priority", """

@@ -64,6 +64,30 @@ def variant_c(li):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def variant_d(li):
+    """Split exact sums (r7's q1 form): hi/lo halves as plain longs in
+    one aggregate, recombined in decimal over the output rows."""
+    d = "decimal(38,0)"
+    S = 1 << 16
+    cq = "cast(l_quantity * 100 + 0.5 as bigint)"
+    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
+    cd = "cast(l_discount * 100 + 0.5 as bigint)"
+    c4 = f"{cp} * (100 - {cd})"
+    exprs = []
+    for sql, name in [(cq, "_sq"), (cp, "_sp"), (c4, "_s4"), (cd, "_sd")]:
+        exprs += [f"sum(({sql}) div {S}) AS {name}_hi",
+                  f"sum(({sql}) % {S}) AS {name}_lo"]
+    exprs.append("count(1) AS count_order")
+    part = (li.where("l_shipdate <= '1998-09-02'")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(*[F.expr(e) for e in exprs]))
+    rec = {n: f"(cast({n}_hi as {d}) * {S} + cast({n}_lo as {d}))"
+           for n in ("_sq", "_sp", "_s4", "_sd")}
+    return part.selectExpr(
+        "l_returnflag", "l_linestatus",
+        *[f"{e} AS {n}" for n, e in rec.items()], "count_order")
+
+
 def main():
     spark = get_spark("bench_q1_variants", extra_conf={
         "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
