@@ -20,6 +20,29 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import vector as V
 
 
+def _merge_partial_topk(partials: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query from per-batch partial top-k rows.
+
+    Each mapper contributed <= k rows per query, so the per-query list
+    is bounded by k x #batches — an array_sort over a collected list,
+    never a wide window. Ordering: cosine desc, neighbor id asc.
+    """
+    pair = F.struct(F.col("cosine_sim").alias("s"),
+                    F.col("neighbor_id").alias("n"))
+    cmp = (lambda a, b: F.when(a["s"] > b["s"], -1)
+           .when(a["s"] < b["s"], 1)
+           .when(a["n"] < b["n"], -1)
+           .when(a["n"] > b["n"], 1).otherwise(0).cast("int"))
+    return (partials.groupBy("query_id")
+            .agg(F.collect_list(pair).alias("_ps"))
+            .select("query_id",
+                    F.posexplode(F.slice(
+                        F.array_sort(F.col("_ps"), cmp), 1, k))
+                    .alias("_pos", "_p"))
+            .select("query_id", F.col("_p.n").alias("neighbor_id"),
+                    F.col("_p.s").alias("cosine_sim")))
+
+
 @OPERATOR_REGISTRY.register()
 class BruteForceKNN(Operator):
     """Exact cosine top-k: broadcast query rows against the corpus.
@@ -179,22 +202,7 @@ class BruteForceKNN(Operator):
                               V.to_double_array(
                                   F.col(self.embedding_key)).alias("_c_emb"))
                     .mapInPandas(topk_partials, schema=out_schema))
-        # merge: per-query re-sort of the bounded partial lists (each
-        # mapper contributed <= k rows per query)
-        pair = F.struct(F.col("cosine_sim").alias("s"),
-                        F.col("neighbor_id").alias("n"))
-        cmp = (lambda a, b: F.when(a["s"] > b["s"], -1)
-               .when(a["s"] < b["s"], 1)
-               .when(a["n"] < b["n"], -1)
-               .when(a["n"] > b["n"], 1).otherwise(0).cast("int"))
-        return (partials.groupBy("query_id")
-                .agg(F.collect_list(pair).alias("_ps"))
-                .select("query_id",
-                        F.posexplode(F.slice(
-                            F.array_sort(F.col("_ps"), cmp), 1, self.k))
-                        .alias("_pos", "_p"))
-                .select("query_id", F.col("_p.n").alias("neighbor_id"),
-                        F.col("_p.s").alias("cosine_sim")))
+        return _merge_partial_topk(partials, self.k)
 
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
@@ -393,15 +401,169 @@ class LSHKNN(Operator):
 
     def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
                  k: int = 10, num_planes: int = 16, num_bands: int = 4,
-                 seed: int = 42, dim: int | None = None):
+                 seed: int = 42, dim: int | None = None,
+                 max_broadcast_queries: int = 4096,
+                 dense_broadcast_mb: int = 64):
         self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
         self.num_planes, self.num_bands, self.seed = num_planes, num_bands, seed
         self.dim = dim
+        # fused fast-path guards: when an explicit query set fits these
+        # bounds it is collected + broadcast and the whole probe runs in
+        # ONE corpus pass (see _fused_topk); 0 disables
+        self.max_broadcast_queries = max_broadcast_queries
+        self.dense_broadcast_mb = dense_broadcast_mb
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
 
+    def _fused_topk(self, df: DataFrame, qsrc: DataFrame):
+        """One-pass probe for a small explicit query set; None -> join.
+
+        The band-join path costs 2 Python banding stages (corpus +
+        queries), a band explode (num_bands x corpus rows), the
+        equi-join, a dropDuplicates shuffle and a ranking window. When
+        the query side fits max_broadcast_queries / dense_broadcast_mb,
+        everything after the corpus scan fuses into ONE mapInPandas:
+        each corpus batch computes its band keys with the SAME plane
+        family as hyperplane_bands_udf, matches them against the
+        broadcast per-band hash->query index, scores survivors with an
+        exact per-pair float64 dot (shape-independent, so no tie-capture
+        margin is needed), and emits its local top-k per query; a
+        bounded per-query merge finishes. Candidates are IDENTICAL to
+        the join path by construction: same planes, same packed band
+        keys, same >=1-shared-(band,h) predicate, self and null/zero-
+        norm/dim-mismatched vectors excluded on both paths.
+
+        The corpus is never shuffled and never leaves the executors —
+        at 100 TB this is a single scan emitting ~batches x |q| x k
+        rows; the join path stays available for query sets too large to
+        broadcast.
+        """
+        if self.dense_broadcast_mb <= 0 or self.max_broadcast_queries <= 0:
+            return None
+
+        import numpy as np
+
+        # one bounded job: probe and collect fused (limit is the guard)
+        qrows = (qsrc.select(self.id_key, self.embedding_key)
+                 .limit(self.max_broadcast_queries + 1).collect())
+        if len(qrows) > self.max_broadcast_queries:
+            return None
+        # null/empty queries produce null cosine on the join path (no
+        # output rows); ragged dims would need per-dim plane sets —
+        # fall back rather than guess
+        qrows = [r for r in qrows if r[1] is not None and len(r[1]) > 0]
+        if not qrows:
+            return None
+        dim = len(qrows[0][1])
+        if any(len(r[1]) != dim for r in qrows):
+            return None
+        if len(qrows) * dim * 8 > self.dense_broadcast_mb * 1024 * 1024:
+            return None
+        qid = np.array([r[0] for r in qrows], dtype=object)
+        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+
+        num_planes, num_bands, seed = (self.num_planes, self.num_bands,
+                                       self.seed)
+        width = num_planes // num_bands
+        # identical plane family to hyperplane_bands_udf: RandomState
+        # seeded per dim, (num_planes, dim), sign bits packed MSB-first
+        planes = np.random.RandomState(seed).standard_normal(
+            (num_planes, dim))
+        weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+
+        def band_keys(M: "np.ndarray") -> "np.ndarray":
+            bits = (M @ planes.T) > 0
+            return np.stack(
+                [bits[:, b * width:(b + 1) * width].astype(np.int64)
+                 @ weights for b in range(num_bands)], axis=1)
+
+        qbands = band_keys(qm)
+        band_maps: list[dict] = [{} for _ in range(num_bands)]
+        for i in range(len(qid)):
+            if qn[i] == 0:
+                continue  # zero-norm query: null cosine on join path
+            for b in range(num_bands):
+                band_maps[b].setdefault(int(qbands[i, b]), []).append(i)
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((qid, qm, qn, band_maps, planes))
+        k = self.k
+        out_schema = (
+            "query_id " + qsrc.schema[self.id_key].dataType.simpleString()
+            + ", neighbor_id "
+            + df.schema[self.id_key].dataType.simpleString()
+            + ", cosine_sim double")
+
+        def fused(batches):
+            import pandas as pd
+
+            qid_, qm_, qn_, maps, planes_ = bc.value
+
+            def keys_(M):
+                bits = (M @ planes_.T) > 0
+                return np.stack(
+                    [bits[:, b * width:(b + 1) * width].astype(np.int64)
+                     @ weights for b in range(num_bands)], axis=1)
+
+            for pdf in batches:
+                vals = pdf["_c_emb"]
+                keep = [i for i, v in enumerate(vals)
+                        if v is not None and len(v) == dim]
+                if not keep:
+                    continue
+                cm = np.stack([np.asarray(vals.iloc[i], dtype=np.float64)
+                               for i in keep])
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                cid = pdf["_cid"].to_numpy()[keep]
+                cb = keys_(cm)
+                # candidate sets per query: >=1 shared (band, hash)
+                cand: dict[int, list[int]] = {}
+                for j in range(cb.shape[0]):
+                    if cn[j] == 0:
+                        continue  # zero-norm corpus row: never matches
+                    hit: set[int] = set()
+                    for b in range(num_bands):
+                        lst = maps[b].get(int(cb[j, b]))
+                        if lst:
+                            hit.update(lst)
+                    for qi in hit:
+                        if cid[j] == qid_[qi]:
+                            continue  # self-match excluded (join path)
+                        cand.setdefault(qi, []).append(j)
+                o_q, o_n, o_s = [], [], []
+                for qi, js in cand.items():
+                    # per-pair np.dot, not a GEMV over the candidate
+                    # block: BLAS blocking varies with matrix shape, and
+                    # batch composition varies with partitioning — the
+                    # same pair must score identically everywhere (the
+                    # lesson of the brute matmul path's tie bug)
+                    qv, qnq = qm_[qi], qn_[qi]
+                    scored = sorted(
+                        ((-(s_ := float(np.dot(cm[j], qv)) / (cn[j] * qnq)),
+                          cid[j], s_) for j in js))
+                    for _negs, nid, s_ in scored[:k]:
+                        o_q.append(qid_[qi])
+                        o_n.append(nid)
+                        o_s.append(s_)
+                if o_q:
+                    yield pd.DataFrame({"query_id": o_q,
+                                        "neighbor_id": o_n,
+                                        "cosine_sim": o_s})
+
+        partials = (df.select(F.col(self.id_key).alias("_cid"),
+                              V.to_double_array(
+                                  F.col(self.embedding_key)).alias("_c_emb"))
+                    .mapInPandas(fused, schema=out_schema))
+        return _merge_partial_topk(partials, k)
+
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
+        if queries is not None:
+            fast = self._fused_topk(df, queries)
+            if fast is not None:
+                self.last_path = "fused"
+                return fast
+        self.last_path = "join"
         # vectorized band keys (functions/vector.py): the per-plane
         # expression tree is CodegenFallback, ~1000x slower per row
         bands_udf = V.hyperplane_bands_udf(self.num_planes, self.num_bands, self.seed)

@@ -51,3 +51,49 @@ def test_paths_agree_on_null_bearing_corpus(spark):
          for r in joinp.run(df).collect()}
     assert d == j
     assert d
+
+
+def _knn(out):
+    return {(r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 9))
+            for r in out}
+
+
+def test_lsh_fused_agrees_with_join_path(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 4")
+    common = {"k": 5, "num_planes": 8, "num_bands": 4}
+    fused = get_operator("LSHKNN", common)
+    joinp = get_operator("LSHKNN", {**common, "dense_broadcast_mb": 0})
+    fr = fused.run(df, queries=qs).collect()
+    jr = joinp.run(df, queries=qs).collect()
+    assert fused.last_path == "fused" and joinp.last_path == "join"
+    assert _knn(fr) == _knn(jr)
+    assert fr  # buckets non-empty at this density
+
+
+def test_lsh_fused_falls_back_when_queries_exceed_budget(spark):
+    rows = [(i, [float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    op = get_operator("LSHKNN", {"k": 2, "max_broadcast_queries": 3})
+    op.run(df, queries=df.filter("vec_id < 10")).collect()
+    assert op.last_path == "join"
+    # queries=None (self-kNN, unbounded query side) must never collect
+    op2 = get_operator("LSHKNN", {"k": 2})
+    op2.run(df).collect()
+    assert op2.last_path == "join"
+
+
+def test_lsh_fused_skips_null_and_zero_norm(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None),
+            (4, [0.0, 0.0]), (5, [0.8, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    op = get_operator("LSHKNN", {"k": 3, "num_planes": 8, "num_bands": 4})
+    out = op.run(df, queries=df.filter("vec_id = 1")).collect()
+    assert op.last_path == "fused"
+    ids = {r["neighbor_id"] for r in out}
+    assert 3 not in ids and 4 not in ids
+    assert all(r["cosine_sim"] is not None for r in out)
