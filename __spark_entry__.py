@@ -6035,9 +6035,11 @@ _REVERIFY_HEAD = [
     # exactly the rule-filter/refiner families that run through shared
     # functions/text.py helpers touched by later rounds, plus
     # q_rollup_lineitem, which r7 rewrote onto the two-level exact
-    # aggregate. (q1_pricing_summary also changed in r7 but was driver-
-    # checked in r6; its new split-sum plan is oracle-verified locally
-    # at sf0.01/sf10 — see ORACLE_SWEEP — and rotates into the r8 head.)
+    # aggregate. Changed-in-r7 plans lead (rotation rule: a rewritten
+    # query must be driver-checked the round it changed): q1's
+    # spark.sql split-sum form and s_knn_lsh's fused one-pass probe.
+    "q1_pricing_summary",
+    "s_knn_lsh",
     "f_alpha_words",
     "f_blocklist",
     "f_capital_words",
