@@ -202,18 +202,12 @@ def _cents(col) -> Column:
     return (F.col(col) * 100 + F.lit(0.5)).cast("long")
 
 
-def _disc_price_cents4() -> Column:
-    """sum of l_extendedprice*(1-l_discount) as an EXACT integer in
-    1e-4 dollars (cents x (100 - discount-hundredths)), carried in
-    decimal(38,0) so the sum never overflows or loses ulps. Double
-    summation of the product is order-dependent: groups whose true
-    value sits on a half-cent boundary round differently run-to-run
-    and engine-to-engine (caught by the full-contract sf1 sweep on
-    q5_regional_revenue: 71626750.045 split .04 vs .05)."""
-    return F.sum((_cents("l_extendedprice")
-                  * (100 - _cents("l_discount"))).cast("decimal(38,0)"))
-
-
+# History note: revenue sums were first carried as per-row
+# decimal(38,0) (r6) after the full-contract sf1 sweep caught a
+# half-cent divergence (q5: 71626750.045 split .04 vs .05 between
+# engines under double summation). r7 replaced the per-row decimal
+# with plain-long / split-long sums (below) — same exact integers,
+# whole-stage-codegen integer adds.
 _D38 = "decimal(38,0)"
 
 
@@ -237,13 +231,6 @@ def _widen(col: str) -> Column:
 # is AggregateOperator's two-level long->decimal form, used by
 # q_rollup_lineitem; it costs one extra tiny exchange.)
 _SPLIT = 1 << 16
-
-
-def _sum_split2(cents_sql: str, name: str) -> list[str]:
-    """Partial SQL agg exprs for the split exact sum of a cents-valued
-    integer expression."""
-    return [f"sum(({cents_sql}) div {_SPLIT}) AS {name}_hi",
-            f"sum(({cents_sql}) % {_SPLIT}) AS {name}_lo"]
 
 
 def _recombine2(name: str) -> str:
@@ -281,7 +268,7 @@ def q1_pricing_summary(spark, sf_dir):
     # the sf10 sweep). Integer cents / 100.0 is deterministic at any
     # magnitude: both engines convert the SAME integer to double.
     # Averages: round_half_up(P/Q, 4) = (2e4*P + Q) div (2*Q) / 1e4.
-    # r7: split exact sums (see _sum_split2) — ONE shuffle, long-only
+    # r7: split exact sums (see _SPLIT) — ONE shuffle, long-only
     # per-row arithmetic, decimal recombination over 6 output rows.
     # Recovers the r6 headline regression (2.7x: per-row decimal(38,0)
     # sums) while keeping the sf10 half-cent exactness: the recombined
@@ -347,23 +334,27 @@ SELECT o_orderkey, revenue, orderdate FROM (
 ORDER BY revenue DESC, o_orderkey LIMIT 10
 """)
 def q3_shipping_priority(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    )
-    # exact cents arithmetic for the revenue (see _disc_price_cents4);
-    # also keeps the top-10 ORDER stable at any scale
-    agg = joined.groupBy("l_orderkey").agg(
-        _disc_price_cents4().alias("_s4"),
-        F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
-    ).select(
-        F.col("l_orderkey").alias("o_orderkey"),
-        (F.expr("(_s4 + 50) div 100") / 100.0).alias("revenue"),
-        "orderdate")
-    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    # exact cents revenue WITHOUT splitting or decimal in the hot path:
+    # the per-group sum is over ONE ORDER's lineitems (bounded count,
+    # independent of sf), so a plain long sum of price-cents x
+    # discount-points (<= ~1.2e9/row) can never overflow at any scale.
+    # Single spark.sql build (see q1); broadcast hint pins the filtered
+    # customer dim exactly as the DataFrame form did.
+    for t in ("lineitem", "orders", "customer"):
+        _tv(spark, sf_dir, t)
+    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
+    cd = "cast(l_discount * 100 + 0.5 as bigint)"
+    return spark.sql(f"""
+SELECT /*+ BROADCAST(c) */ l_orderkey AS o_orderkey,
+       cast(((sum({cp} * (100 - {cd})) + 50) div 100) / 100.0
+            as double) AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+FROM t_lineitem JOIN t_orders ON l_orderkey = o_orderkey
+     JOIN t_customer c ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-03-15'
+  AND l_shipdate > '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10""")
 
 
 @q("q5_regional_revenue", """
@@ -382,30 +373,35 @@ WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
 GROUP BY n_name
 """)
 def q5_regional_revenue(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
     # exact cents arithmetic: the fixture prices/discounts carry exactly
     # 2 decimals, so the discounted price is an exact integer in 1e-4
     # dollars; double summation is order-dependent and at 10x scale the
     # sf1 sweep caught a group landing on the opposite side of a
     # half-cent vs the oracle. round_half_up(S/1e4, 2) = (S+50) div 100.
-    return joined.groupBy("n_name").agg(
-        _disc_price_cents4().alias("_s4")).select(
-        "n_name",
-        (F.expr("(_s4 + 50) div 100") / 100.0).alias("revenue"))
+    # r7: per-nation groups grow with sf, so the sum uses hi/lo split
+    # longs (see q1's _s4 bound) recombined in decimal over 5 output
+    # rows — no per-row decimal, no overflow below the ~20 PB-class
+    # bound. Single spark.sql build; broadcast hints pin the dims.
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region"):
+        _tv(spark, sf_dir, t)
+    S = _SPLIT
+    cp = "cast(l_extendedprice * 100 + 0.5 as bigint)"
+    cd = "cast(l_discount * 100 + 0.5 as bigint)"
+    c4 = f"{cp} * (100 - {cd})"
+    return spark.sql(f"""
+SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */ n_name,
+       cast((((cast(_h as {_D38}) * {S} + cast(_l as {_D38})) + 50)
+             div 100) / 100.0 as double) AS revenue
+FROM (SELECT n_name, sum(({c4}) div {S}) AS _h, sum(({c4}) % {S}) AS _l
+      FROM t_lineitem JOIN t_orders ON l_orderkey = o_orderkey
+           JOIN t_customer ON o_custkey = c_custkey
+           JOIN t_supplier s ON l_suppkey = s_suppkey
+           JOIN t_nation n ON s_nationkey = n_nationkey
+           JOIN t_region r ON n_regionkey = r_regionkey
+      WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      GROUP BY n_name)""")
 
 
 @q("q_top_customers", """
@@ -6036,9 +6032,11 @@ _REVERIFY_HEAD = [
     # functions/text.py helpers touched by later rounds, plus
     # q_rollup_lineitem, which r7 rewrote onto the two-level exact
     # aggregate. Changed-in-r7 plans lead (rotation rule: a rewritten
-    # query must be driver-checked the round it changed): q1's
-    # spark.sql split-sum form and s_knn_lsh's fused one-pass probe.
+    # query must be driver-checked the round it changed): the four
+    # spark.sql exact-cents rewrites and s_knn_lsh's fused probe.
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
     "s_knn_lsh",
     "f_alpha_words",
     "f_blocklist",
