@@ -233,6 +233,30 @@ def _widen(col: str) -> Column:
 _SPLIT = 1 << 16
 
 
+# o_totalprice exact-cents split sum (shared by the order-revenue
+# queries: range/bucketed joins, grouping sets). totalprice cents
+# <= ~6e7/row, so the split bounds per-group rows at ~1.4e14 — the
+# same ~20 PB-class margin as q1's _sp. The r7 sf10 sweep caught all
+# three double-sum variants drifting a cent at ~3.7e12 totals.
+_TP_CENTS = "cast(o_totalprice * 100 + 0.5 as bigint)"
+
+
+def _tp_split_aggs() -> list[Column]:
+    return [F.expr(f"sum(({_TP_CENTS}) div {_SPLIT})").alias("_tp_h"),
+            F.expr(f"sum(({_TP_CENTS}) % {_SPLIT})").alias("_tp_l")]
+
+
+def _tp_revenue(alias: str = "revenue") -> Column:
+    return F.expr(
+        f"cast((cast(_tp_h as {_D38}) * {_SPLIT}"
+        f" + cast(_tp_l as {_D38})) / 100.0 as double)").alias(alias)
+
+
+# the DuckDB twin of the same exact sum (HUGEINT never overflows)
+_TP_ORACLE = ("sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT)"
+              " / 100.0")
+
+
 def _recombine2(name: str) -> str:
     """SELECT-side recombination of a split sum into exact decimal."""
     return (f"(cast({name}_hi as {_D38}) * {_SPLIT}"
@@ -644,8 +668,8 @@ def q_asof_join(spark, sf_dir):
         F.round("pval_asof", 4).alias("last_purchase"))
 
 
-@q("q_range_join", """
-SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+@q("q_range_join", f"""
+SELECT b.band, count(*) AS n_orders, {_TP_ORACLE} AS revenue
 FROM orders o
 JOIN (VALUES ('low', 0.0, 99999.99), ('mid', 100000.0, 249999.99),
              ('high', 250000.0, 1000000.0)) AS b(band, lo, hi)
@@ -655,7 +679,8 @@ GROUP BY 1
 def q_range_join(spark, sf_dir):
     """Range (interval-containment) join: orders bucketed into price
     bands. Bucketized equi-join (timeseries.py), not a
-    BroadcastNestedLoop inequality join."""
+    BroadcastNestedLoop inequality join. Revenue is the exact-cents
+    split sum (_tp_split_aggs; r7 sf10 sweep fix)."""
     orders = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(
         [("low", 0.0, 99999.99), ("mid", 100000.0, 249999.99),
@@ -666,8 +691,8 @@ def q_range_join(spark, sf_dir):
         "bucket_width": 100000.0})
     return (op.run(orders, other=bands)
             .groupBy("band")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+            .agg(F.count(F.lit(1)).alias("n_orders"), *_tp_split_aggs())
+            .select("band", "n_orders", _tp_revenue()))
 
 
 @q("q_hypertable_rollup", """
@@ -786,9 +811,9 @@ def q_quality_quota(spark, sf_dir):
             .select("doc_id", "lang", F.col("q").alias("quality_score")))
 
 
-@q("q_bucketed_join", """
+@q("q_bucketed_join", f"""
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       {_TP_ORACLE} AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """)
@@ -812,29 +837,39 @@ def q_bucketed_join(spark, sf_dir):
     j = read_bucketed(spark, f"cust_b_{tag}").join(
         read_bucketed(spark, f"orders_b_{tag}"),
         F.col("c_custkey") == F.col("o_custkey"))
-    return j.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"), *_tp_split_aggs())
+            .select("c_mktsegment", "n_orders", _tp_revenue()))
 
 
-@q("q_grouping_sets", """
+@q("q_grouping_sets", f"""
 SELECT coalesce(o_orderpriority, 'ALL') AS prio,
        coalesce(o_orderstatus, 'ALL') AS status,
-       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS n, {_TP_ORACLE} AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """)
 def q_grouping_sets(spark, sf_dir):
     """GROUPING SETS through spark.sql over a temp view — partial-
-    aggregate expansion planned by Catalyst, one shuffle."""
+    aggregate expansion planned by Catalyst, one shuffle. Revenue is
+    the exact-cents split sum (the global () set aggregates EVERY
+    order into one group — precisely where a double sum drifted a cent
+    at sf10's ~3.7e12 total)."""
     orders = _t(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_gs_orders")
-    return spark.sql("""
-        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
-               coalesce(o_orderstatus, 'ALL') AS status,
-               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    S = _SPLIT
+    return spark.sql(f"""
+        SELECT coalesce(prio, 'ALL') AS prio,
+               coalesce(status, 'ALL') AS status, n,
+               cast((cast(_h as {_D38}) * {S} + cast(_l as {_D38}))
+                    / 100.0 as double) AS revenue
+        FROM (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                     count(*) AS n,
+                     sum(({_TP_CENTS}) div {S}) AS _h,
+                     sum(({_TP_CENTS}) % {S}) AS _l
+              FROM _gs_orders
+              GROUP BY GROUPING SETS ((o_orderpriority),
+                                      (o_orderstatus), ()))
     """)
 
 
@@ -6038,6 +6073,9 @@ _REVERIFY_HEAD = [
     "q3_shipping_priority",
     "q5_regional_revenue",
     "s_knn_lsh",
+    "q_range_join",
+    "q_bucketed_join",
+    "q_grouping_sets",
     "f_alpha_words",
     "f_blocklist",
     "f_capital_words",
