@@ -60,14 +60,18 @@ class BruteForceKNN(Operator):
     def __init__(self, id_key: str = "vec_id", embedding_key: str = "embedding",
                  k: int = 10, include_self: bool = False,
                  max_broadcast_queries: int | None = None,
-                 dense_broadcast_mb: int = 64):
+                 dense_broadcast_mb: int = 64,
+                 max_query_slabs: int = 64):
         self.id_key, self.embedding_key, self.k = id_key, embedding_key, k
         self.include_self = include_self
         if max_broadcast_queries is not None:
             self.max_broadcast_queries = max_broadcast_queries
-        # matmul fast-path budget for the collected query matrix;
-        # 0 disables (falls back to the broadcast-nested-loop plan)
+        # matmul fast-path budget PER SLAB for the collected query
+        # matrix; 0 disables (falls back to the broadcast-nested-loop
+        # plan). Query sets above one budget are processed in up to
+        # max_query_slabs byte-bounded slabs (union of partials).
         self.dense_broadcast_mb = dense_broadcast_mb
+        self.max_query_slabs = max_query_slabs
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("query_id", "neighbor_id", "cosine_sim")
 
@@ -84,13 +88,25 @@ class BruteForceKNN(Operator):
         merge re-sorts the partials. Exactly the semantics of the join
         path: float64 cosine, ties to the smaller neighbor id,
         zero-norm vectors never match (cosine is null there).
+
+        SLABBING (r7): a query side larger than dense_broadcast_mb no
+        longer falls back to the quadratic-exchange join path (the r7
+        sf10 sweep caught exactly that: 200k self-kNN queries = 102 MB
+        > the 64 MB budget -> join path -> 4e10-row window -> engine
+        timeout). The query matrix is split into byte-bounded slabs —
+        one broadcast + one corpus mapInPandas per slab, partials
+        unioned, ONE shared merge. Executor memory stays bounded by the
+        budget regardless of |queries|; total GEMM work is unchanged
+        (the semantics are exact all-pairs, quadratic by definition).
+        max_query_slabs caps plan width; beyond it the operator refuses
+        (use LSHKNN/IVFKNN at that scale).
         """
         if self.dense_broadcast_mb <= 0:
             return None
 
         import numpy as np
 
-        budget = self.dense_broadcast_mb * 1024 * 1024
+        budget = max(1, int(self.dense_broadcast_mb * 1024 * 1024))
         # bounded: max_broadcast_queries probe ran just before; the
         # byte budget re-checks with the actual dim
         qrows = qsrc.select(self.id_key, self.embedding_key).collect()
@@ -105,13 +121,13 @@ class BruteForceKNN(Operator):
         dim = len(qrows[0][1])
         if any(len(r[1]) != dim for r in qrows):
             return None
-        if len(qrows) * dim * 8 > budget:
+        n_slabs = -(-(len(qrows) * dim * 8) // budget)  # ceil
+        if n_slabs > self.max_query_slabs:
             return None
         qid = np.array([r[0] for r in qrows], dtype=object)
         qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         qn = np.sqrt((qm * qm).sum(axis=1))
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((qid, qm, qn))
         k, include_self = self.k, self.include_self
         out_schema = (
             "query_id " + qsrc.schema[self.id_key].dataType.simpleString()
@@ -119,89 +135,103 @@ class BruteForceKNN(Operator):
             + df.schema[self.id_key].dataType.simpleString()
             + ", cosine_sim double")
 
-        def topk_partials(batches):
-            import pandas as pd
+        def _slab_partials(bc):
+            def topk_partials(batches):
+                import pandas as pd
 
-            qid_, qm_, qn_ = bc.value
-            nq = len(qid_)
-            dim_ = qm_.shape[1]
-            for pdf in batches:
-                # null / dimension-mismatched corpus vectors: the join
-                # path computes a null cosine for them and excludes the
-                # row; np.stack would instead raise on the whole batch
-                # (ADVICE r6) — drop them before stacking
-                vals = pdf["_c_emb"]
-                keep = [i for i, v in enumerate(vals)
-                        if v is not None and len(v) == dim_]
-                if not keep:
-                    continue
-                cm = np.stack([np.asarray(vals.iloc[i], dtype=np.float64)
-                               for i in keep])
-                cn = np.sqrt((cm * cm).sum(axis=1))
-                cid = pdf["_cid"].to_numpy()[keep]
-                o_q, o_n, o_s = [], [], []
-                # bound the sim block to ~16M float64 (128MB / worker)
-                qblk = max(1, (1 << 24) // max(len(pdf), 1))
-                for lo in range(0, nq, qblk):
-                    qs = qm_[lo:lo + qblk]
-                    # zero-norm vectors never match (join path: null
-                    # cosine, excluded from any ranked prefix)
-                    denom = cn[:, None] * qn_[None, lo:lo + qblk]
-                    sims = np.where(
-                        denom > 0,
-                        (cm @ qs.T) / np.where(denom == 0, 1.0, denom),
-                        -np.inf)
-                    if not include_self:
-                        sims[cid[:, None] == qid_[None, lo:lo + qblk]] \
-                            = -np.inf
-                    b = sims.shape[0]
-                    kk = min(k, b)
-                    # kth-highest per query, then ALL candidates within
-                    # an ulp margin of it: duplicate vectors tie
-                    # constantly on a templated corpus, and GEMM ulps
-                    # vary with batch SHAPE — the same content can rank
-                    # differently in different batches, breaking the
-                    # ties-to-smaller-id contract (sf1: 152/20k wrong
-                    # representatives). Candidates are re-scored with a
-                    # shape-independent per-pair dot before ranking.
-                    kth = np.partition(sims, b - kk, axis=0)[b - kk]
-                    for j in range(sims.shape[1]):
-                        col = sims[:, j]
-                        cut = kth[j]
-                        if cut == -np.inf:
-                            cand = np.nonzero(col > -np.inf)[0]
-                        else:
-                            # max(relative, absolute): a purely
-                            # relative margin collapses below GEMM
-                            # absolute error (~1e-13) when the kth
-                            # cosine sits near zero, silently dropping
-                            # true tied neighbors (ADVICE r6)
-                            cand = np.nonzero(
-                                col >= cut - max(1e-9 * abs(cut), 1e-12)
-                            )[0]
-                        if not len(cand):
-                            continue
-                        qv, qnj = qs[j], qn_[lo + j]
-                        scored = []
-                        for i in cand:
-                            if col[i] == -np.inf:
-                                continue  # masked: self or zero-norm
-                            s = float(np.dot(cm[i], qv)) / (cn[i] * qnj)
-                            scored.append((-s, cid[i], s))
-                        scored.sort(key=lambda u: (u[0], u[1]))
-                        for negs, nid, s in scored[:kk]:
-                            o_q.append(qid_[lo + j])
-                            o_n.append(nid)
-                            o_s.append(s)
-                if o_q:
-                    yield pd.DataFrame({"query_id": o_q,
-                                        "neighbor_id": o_n,
-                                        "cosine_sim": o_s})
+                qid_, qm_, qn_ = bc.value
+                nq = len(qid_)
+                dim_ = qm_.shape[1]
+                for pdf in batches:
+                    # null / dimension-mismatched corpus vectors: the
+                    # join path computes a null cosine for them and
+                    # excludes the row; np.stack would instead raise on
+                    # the whole batch (ADVICE r6) — drop before stacking
+                    vals = pdf["_c_emb"]
+                    keep = [i for i, v in enumerate(vals)
+                            if v is not None and len(v) == dim_]
+                    if not keep:
+                        continue
+                    cm = np.stack(
+                        [np.asarray(vals.iloc[i], dtype=np.float64)
+                         for i in keep])
+                    cn = np.sqrt((cm * cm).sum(axis=1))
+                    cid = pdf["_cid"].to_numpy()[keep]
+                    o_q, o_n, o_s = [], [], []
+                    # bound the sim block to ~16M float64 (128MB/worker)
+                    qblk = max(1, (1 << 24) // max(len(pdf), 1))
+                    for lo in range(0, nq, qblk):
+                        qs = qm_[lo:lo + qblk]
+                        # zero-norm vectors never match (join path:
+                        # null cosine, excluded from any ranked prefix)
+                        denom = cn[:, None] * qn_[None, lo:lo + qblk]
+                        sims = np.where(
+                            denom > 0,
+                            (cm @ qs.T) / np.where(denom == 0, 1.0, denom),
+                            -np.inf)
+                        if not include_self:
+                            sims[cid[:, None]
+                                 == qid_[None, lo:lo + qblk]] = -np.inf
+                        b = sims.shape[0]
+                        kk = min(k, b)
+                        # kth-highest per query, then ALL candidates
+                        # within an ulp margin of it: duplicate vectors
+                        # tie constantly on a templated corpus, and GEMM
+                        # ulps vary with batch SHAPE — the same content
+                        # can rank differently in different batches,
+                        # breaking the ties-to-smaller-id contract (sf1:
+                        # 152/20k wrong representatives). Candidates are
+                        # re-scored with a shape-independent per-pair
+                        # dot before ranking.
+                        kth = np.partition(sims, b - kk, axis=0)[b - kk]
+                        for j in range(sims.shape[1]):
+                            col = sims[:, j]
+                            cut = kth[j]
+                            if cut == -np.inf:
+                                cand = np.nonzero(col > -np.inf)[0]
+                            else:
+                                # max(relative, absolute): a purely
+                                # relative margin collapses below GEMM
+                                # absolute error (~1e-13) when the kth
+                                # cosine sits near zero, silently
+                                # dropping true tied neighbors (ADVICE
+                                # r6)
+                                cand = np.nonzero(
+                                    col >= cut
+                                    - max(1e-9 * abs(cut), 1e-12))[0]
+                            if not len(cand):
+                                continue
+                            qv, qnj = qs[j], qn_[lo + j]
+                            scored = []
+                            for i in cand:
+                                if col[i] == -np.inf:
+                                    continue  # masked: self/zero-norm
+                                s = (float(np.dot(cm[i], qv))
+                                     / (cn[i] * qnj))
+                                scored.append((-s, cid[i], s))
+                            scored.sort(key=lambda u: (u[0], u[1]))
+                            for negs, nid, s in scored[:kk]:
+                                o_q.append(qid_[lo + j])
+                                o_n.append(nid)
+                                o_s.append(s)
+                    if o_q:
+                        yield pd.DataFrame({"query_id": o_q,
+                                            "neighbor_id": o_n,
+                                            "cosine_sim": o_s})
 
-        partials = (df.select(F.col(self.id_key).alias("_cid"),
-                              V.to_double_array(
-                                  F.col(self.embedding_key)).alias("_c_emb"))
-                    .mapInPandas(topk_partials, schema=out_schema))
+            return topk_partials
+
+        corpus = df.select(F.col(self.id_key).alias("_cid"),
+                           V.to_double_array(
+                               F.col(self.embedding_key)).alias("_c_emb"))
+        rows_per_slab = -(-len(qrows) // n_slabs)  # ceil
+        partials = None
+        for s0 in range(0, len(qrows), rows_per_slab):
+            sl = slice(s0, s0 + rows_per_slab)
+            bc = spark.sparkContext.broadcast(
+                (qid[sl], qm[sl], qn[sl]))
+            p = corpus.mapInPandas(_slab_partials(bc), schema=out_schema)
+            partials = p if partials is None else partials.union(p)
         return _merge_partial_topk(partials, self.k)
 
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:

@@ -97,3 +97,26 @@ def test_lsh_fused_skips_null_and_zero_norm(spark):
     ids = {r["neighbor_id"] for r in out}
     assert 3 not in ids and 4 not in ids
     assert all(r["cosine_sim"] is not None for r in out)
+
+
+def test_matmul_slabs_agree_with_single_broadcast_and_join(spark):
+    # the r7 sf10 sweep found a query matrix over dense_broadcast_mb
+    # fell back to the quadratic-exchange join path (engine timeout at
+    # 200k self-kNN queries); oversized query sides now run as
+    # byte-bounded slabs. All three paths must agree exactly.
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)])
+            for i in range(300)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    common = {"k": 3, "id_key": "id", "embedding_key": "embedding"}
+    one = get_operator("BruteForceKNN", common)
+    multi = get_operator("BruteForceKNN", common)
+    multi.dense_broadcast_mb = 0.01  # 300*16*8 bytes -> ~4 slabs
+    joinp = get_operator("BruteForceKNN", {**common, "dense_broadcast_mb": 0})
+    a = _knn(one.run(df).collect())
+    b = _knn(multi.run(df).collect())
+    c = _knn(joinp.run(df).collect())
+    assert a == b == c
+    assert a
