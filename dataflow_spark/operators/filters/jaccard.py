@@ -33,13 +33,20 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
 
     def __init__(self, input_key: str = "text", threshold: float = 0.8,
                  shingle_n: int = 5, order_key: str | None = None,
-                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64):
+                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64,
+                 max_candidate_pairs: float = 5e9):
         super().__init__(input_key, order_key)
         self.threshold = threshold
         self.shingle_n = shingle_n
         # dense-path guards (0 disables): see _dense_edges
         self.dense_vocab_max = dense_vocab_max
         self.dense_broadcast_mb = dense_broadcast_mb
+        # sparse-path blowup guard (0 disables): refuse predictably when
+        # the prefix-bucket candidate UPPER BOUND says the corpus is too
+        # low-entropy for exact PPJoin at this size — an actionable
+        # error beats the alternative the r7 sf10 sweep measured (a JVM
+        # OutOfMemoryError 8 minutes into a ~40e9-pair shuffle)
+        self.max_candidate_pairs = max_candidate_pairs
 
     def _dense_edges(self, with_sh: DataFrame):
         """Exact >=t edges via a broadcast bitset matmul; None -> sparse.
@@ -188,6 +195,29 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         prefix = ranked.select(
             F.col("_nd_id"), F.size("_rsh").alias("_len"),
             F.posexplode(F.slice("_rsh", 1, prefix_len)).alias("_pos", "_p"))
+        if self.max_candidate_pairs:
+            # persist: the guard aggregate and the blocking join both
+            # consume the prefix frame — one materialization, two reads
+            prefix = prefix.persist()
+            # sum of bucket-size^2 upper-bounds the blocking join's
+            # output (the positional filter only shrinks it). On a
+            # Heaps-law corpus prefix buckets are tiny and this passes
+            # at any scale; on a degenerate corpus it grows ~n^2 and the
+            # exact algorithm is refused with a pointer to MinHash.
+            est = (prefix.groupBy("_p").agg(F.count(F.lit(1)).alias("_c"))
+                   .agg(F.sum(F.col("_c") * F.col("_c")).alias("_u"))
+                   .first()["_u"]) or 0
+            if est > self.max_candidate_pairs:
+                raise ValueError(
+                    "NgramJaccardDeduplicateFilter: prefix-bucket "
+                    f"candidate upper bound {est:.2e} exceeds "
+                    f"max_candidate_pairs={self.max_candidate_pairs:.2e}"
+                    " — the corpus is too low-entropy for exact PPJoin "
+                    "at this size (most documents share frequent "
+                    "shingles, so candidate generation is ~quadratic). "
+                    "Use MinHashDeduplicateFilter, or raise "
+                    "max_candidate_pairs / dense_broadcast_mb "
+                    "explicitly to accept the cost.")
         # positional filter (PPJoin, Xiao et al. WWW'08): a pair matching
         # at 0-based prefix positions (i, j) can overlap at most
         # min(|A|-i, |B|-j); require that to reach the t-implied minimum

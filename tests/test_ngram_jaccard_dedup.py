@@ -90,3 +90,25 @@ def test_dense_path_engages(spark):
         "input_key": "text", "threshold": 0.8, "shingle_n": 4,
         "order_key": "doc_id", "dense_vocab_max": 2})
     assert op_sparse._dense_edges(with_sh) is None
+
+
+def test_candidate_pair_guard_refuses_degenerate_corpus(spark):
+    import pytest
+
+    # every doc shares one long template -> every prefix bucket holds
+    # ~all docs; with the guard tightened the operator must refuse with
+    # an actionable error instead of attempting the quadratic join
+    rows = [(i, "the same template text repeated " * 4 + str(i % 3))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    op = get_operator("NgramJaccardDeduplicateFilter",
+                      {"input_key": "text", "order_key": "doc_id",
+                       "dense_vocab_max": 0,       # force sparse path
+                       "max_candidate_pairs": 1000})
+    with pytest.raises(ValueError, match="low-entropy"):
+        op.run(df).count()
+    # guard off -> same corpus completes on the sparse path
+    op2 = get_operator("NgramJaccardDeduplicateFilter",
+                       {"input_key": "text", "order_key": "doc_id",
+                        "dense_vocab_max": 0, "max_candidate_pairs": 0})
+    assert op2.run(df).count() > 0
