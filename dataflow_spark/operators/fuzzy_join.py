@@ -100,6 +100,10 @@ class FuzzyJoinOperator(Operator):
         # dense-path guards: 0 disables the dense path entirely
         self.dense_vocab_max = dense_vocab_max
         self.dense_broadcast_mb = dense_broadcast_mb
+        # sparse-path blowup guard (0 disables): refuse predictably on
+        # corpora whose prefix buckets imply a ~quadratic candidate set
+        # (see NgramJaccardDeduplicateFilter — the r7 sf10 sweep JVM-OOM)
+        self.max_candidate_pairs: float = 5e9
         self.input_keys = (left_key, left_id)
         self.output_keys = ("left_id", "right_id", self.metric)
 
@@ -297,6 +301,27 @@ class FuzzyJoinOperator(Operator):
                 "_rsh", 1,
                 F.when(F.col("_side") == "L", lpre_len)
                 .otherwise(rpre_len))).alias("_pos", "_p"))
+        if self.max_candidate_pairs:
+            # upper bound on the blocking join: sum over shared prefix
+            # elements of (left bucket) x (right bucket); Heaps-law
+            # corpora pass at any scale, degenerate corpora refuse with
+            # an actionable error instead of an OOM-bound shuffle
+            prefix = prefix.persist()
+            est = (prefix.groupBy("_p")
+                   .agg(F.sum(F.when(F.col("_side") == "L", 1)
+                              .otherwise(0)).alias("_cl"),
+                        F.sum(F.when(F.col("_side") == "R", 1)
+                              .otherwise(0)).alias("_cr"))
+                   .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_u"))
+                   .first()["_u"]) or 0
+            if est > self.max_candidate_pairs:
+                raise ValueError(
+                    "FuzzyJoinOperator: prefix-bucket candidate upper "
+                    f"bound {est:.2e} exceeds max_candidate_pairs="
+                    f"{self.max_candidate_pairs:.2e} — the corpus is "
+                    "too low-entropy for exact PPJoin at this size. "
+                    "Use MinHash-based matching, or raise "
+                    "max_candidate_pairs / dense guards explicitly.")
         if self.metric == "jaccard":
             alpha = H.ceil_lower_bound(F.lit(t / (1.0 + t))
                                        * (F.col("a._len") + F.col("b._len")))
