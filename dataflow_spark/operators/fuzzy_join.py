@@ -104,6 +104,10 @@ class FuzzyJoinOperator(Operator):
         # corpora whose prefix buckets imply a ~quadratic candidate set
         # (see NgramJaccardDeduplicateFilter — the r7 sf10 sweep JVM-OOM)
         self.max_candidate_pairs: float = 5e9
+        # dense-path compute guard (0 disables): n_left*n_right*nbits
+        # flops must stay ~minutes of BLAS; above it fall to sparse
+        # (whose own guard then refuses with a clear error)
+        self.dense_flop_budget: float = 4e15
         self.input_keys = (left_key, left_id)
         self.output_keys = ("left_id", "right_id", self.metric)
 
@@ -170,6 +174,15 @@ class FuzzyJoinOperator(Operator):
         # packed-bit matrix AND the raw set payload must both fit
         if n_l == 0 or n_l * ((nbits + 7) // 8) > budget or tok_l * 8 > 8 * budget:
             return None
+        # FLOP budget (r7): byte-feasible is not compute-feasible — at
+        # sf10 a 50k x 500k x 2226 GEMM fit the broadcast budget but
+        # needed 5.6e16 flops (engine timeout at 600s). Refuse here so
+        # the sparse path's candidate guard raises its actionable error
+        # fast instead of the dense path burning the whole timeout.
+        if self.dense_flop_budget:
+            n_r = rraw.count()
+            if float(n_l) * n_r * nbits > self.dense_flop_budget:
+                return None
 
         # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
         lrows = lraw.select("_id", "_sh").collect()
