@@ -176,13 +176,27 @@ class FuzzyJoinOperator(Operator):
             return None
         # FLOP budget (r7): byte-feasible is not compute-feasible — at
         # sf10 a 50k x 500k x 2226 GEMM fit the broadcast budget but
-        # needed 5.6e16 flops (engine timeout at 600s). Refuse here so
-        # the sparse path's candidate guard raises its actionable error
-        # fast instead of the dense path burning the whole timeout.
+        # needed 5.6e16 flops (engine timeout at 600s). And reaching
+        # this point proves the left vocabulary is degenerate-small
+        # (<= dense_vocab_max), so the sparse PPJoin's prefix buckets
+        # are ~all-pairs too — falling through would just burn the
+        # caller's time re-deriving that (at sf10 the sparse guard's
+        # own prefix aggregate exceeded a 600s engine budget). Raise
+        # the actionable refusal HERE, in seconds.
         if self.dense_flop_budget:
             n_r = rraw.count()
             if float(n_l) * n_r * nbits > self.dense_flop_budget:
-                return None
+                raise ValueError(
+                    "FuzzyJoinOperator: exact matching is infeasible on "
+                    f"this corpus shape — left vocabulary is only {nbits}"
+                    f" distinct shingles across {n_l} x {n_r} rows, so "
+                    "both the dense bitset GEMM "
+                    f"({float(n_l) * n_r * nbits:.2e} flops > "
+                    f"dense_flop_budget={self.dense_flop_budget:.2e}) "
+                    "and sparse PPJoin (prefix buckets hold most of the "
+                    "corpus) are ~quadratic. Use MinHash-based matching,"
+                    " or raise dense_flop_budget explicitly to accept "
+                    "the cost.")
 
         # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
         lrows = lraw.select("_id", "_sh").collect()
