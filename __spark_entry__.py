@@ -87,14 +87,20 @@ LANGID_SQL = f"""
 # like a metastore catalog — re-listing files and re-reading parquet footers
 # for every query would charge per-query what real deployments pay once at
 # table registration.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+import weakref as _weakref
+
+_TABLE_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary())
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # applicationId (not id(spark)): Python reuses addresses after GC, so
-    # id() could serve cached DataFrames bound to a stopped session
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    # keyed weakly on the SESSION object: DataFrames are session-bound
+    # (a view registered off a session-A frame lands in A's catalog),
+    # and the weak key means a stopped session's entries are dropped
+    # rather than served to a new session at a reused address
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -125,7 +131,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # hour buckets align with the DuckDB oracle's naive timestamps.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 
@@ -133,16 +139,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (single parse + analysis pass in the JVM) instead of a py4j call per
 # DataFrame method — the chained form costs ~0.1s/build in driver round
 # trips at bench scale. Re-registers only when sf_dir changes.
-_VIEW_CACHE: dict[tuple[str, str], str] = {}
+# Keyed on the SESSION object (weakly), not applicationId: temp views
+# are per-SparkSession, so two sessions sharing one context (e.g.
+# spark.newSession()) must not see each other's registrations; the weak
+# key also drops entries when a session is garbage-collected, so a
+# reused address can never serve a stale registration (ADVICE r7).
+_VIEW_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary())
 
 
 def _tv(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Register (once) and return a temp-view name for table ``name``."""
     view = f"t_{name}"
-    key = (spark.sparkContext.applicationId, view)
-    if _VIEW_CACHE.get(key) != sf_dir:
+    per_session = _VIEW_CACHE.setdefault(spark, {})
+    if per_session.get(view) != sf_dir:
         _t(spark, sf_dir, name).createOrReplaceTempView(view)
-        _VIEW_CACHE[key] = sf_dir
+        per_session[view] = sf_dir
     return view
 
 

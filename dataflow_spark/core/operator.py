@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame
 ROW_ID = "_row_id"
 
 
+class BudgetExceededError(ValueError):
+    """An operator's compute/candidate budget guard refused the run.
+
+    Raised by the exact-similarity family (FuzzyJoinOperator,
+    NgramJaccardDeduplicateFilter) when a corpus shape makes the exact
+    algorithm ~quadratic past the configured budget — an actionable
+    refusal in seconds instead of an hours-long job or executor OOM.
+    Subclasses ValueError so existing ``except ValueError`` handling
+    (and tests) keep working; operators with ``on_budget_exceeded=
+    "minhash"`` catch it and route to the approximate fallback.
+    """
+
+
 def with_row_id(df: DataFrame, order_by: str | None = None) -> DataFrame:
     """Attach a stable ``_row_id`` used for order-dependent semantics.
 

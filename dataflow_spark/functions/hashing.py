@@ -122,6 +122,39 @@ def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     return _minhash
 
 
+def minhash_from_hashes_udf(num_perm: int = 64, seed: int = 42):
+    """Vectorized MinHash pandas_udf over PRE-HASHED shingle arrays:
+    array<long> -> array<long> signature.
+
+    Same permutation family and formula as ``minhash_signature`` (hr =
+    pmod(h, P); min over shingles of (a*hr + b) mod P), so both paths
+    agree bit-for-bit; numpy applies all permutations as one
+    (num_perm x n_shingles) matrix min-reduce per row. Used by the
+    exact-similarity family's ``on_budget_exceeded="minhash"`` fallback,
+    whose inputs are already xxhash64 shingle arrays.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    Bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def one(hs):
+        if hs is None or len(hs) == 0:
+            return [0] * num_perm
+        # numpy % matches F.pmod for negative int64 (sign of divisor);
+        # hr < 2^31 so A*hr + B < 2^62: exact in int64
+        hr = np.asarray(hs, dtype=np.int64) % MERSENNE_P
+        return ((A * hr[None, :] + Bv) % MERSENNE_P).min(axis=1).tolist()
+
+    @pandas_udf("array<long>")
+    def _minhash(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return _minhash
+
+
 def minhash_md5_one(text: str, num_perm: int = 64, n: int = 5,
                     seed: int = 42) -> list[int]:
     """Single-row md5-mode MinHash kernel (module-level so the oracle

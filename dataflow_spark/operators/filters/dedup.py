@@ -212,6 +212,10 @@ class _BaseDedup(Operator):
         self.output_keys = ()
 
     def _ordered(self, df: DataFrame) -> tuple[DataFrame, str]:
+        # track whether with_row_id actually ADDS the column: an input
+        # that legitimately carries a user _row_id alongside an explicit
+        # order_key must keep it through _finish (ADVICE r7)
+        self._row_id_added = ROW_ID not in df.columns
         if self.order_key and self.order_key in df.columns:
             if self.order_key == ROW_ID:
                 return df, ROW_ID
@@ -225,7 +229,8 @@ class _BaseDedup(Operator):
     def _finish(self, out: DataFrame, order_col: str) -> DataFrame:
         """Drop the engine-added order/tie-break column (never user
         columns)."""
-        if ROW_ID in out.columns and self.order_key != ROW_ID:
+        if (ROW_ID in out.columns and self.order_key != ROW_ID
+                and getattr(self, "_row_id_added", True)):
             return out.drop(ROW_ID)
         return out
 

@@ -20,6 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataflow_spark.core.operator import BudgetExceededError
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.operators.filters.dedup import _NearDupBase, _keep_first, connected_components
@@ -34,8 +35,14 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
     def __init__(self, input_key: str = "text", threshold: float = 0.8,
                  shingle_n: int = 5, order_key: str | None = None,
                  dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64,
-                 max_candidate_pairs: float = 5e9):
+                 max_candidate_pairs: float = 5e9,
+                 dense_flop_budget: float = 1e12,
+                 on_budget_exceeded: str = "raise",
+                 fallback_num_perm: int = 64):
         super().__init__(input_key, order_key)
+        if on_budget_exceeded not in ("raise", "minhash"):
+            raise ValueError("on_budget_exceeded must be 'raise' or "
+                             "'minhash'")
         self.threshold = threshold
         self.shingle_n = shingle_n
         # dense-path guards (0 disables): see _dense_edges
@@ -47,6 +54,17 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         # error beats the alternative the r7 sf10 sweep measured (a JVM
         # OutOfMemoryError 8 minutes into a ~40e9-pair shuffle)
         self.max_candidate_pairs = max_candidate_pairs
+        # dense-path compute guard (0 disables): n^2 * nbits multiply-
+        # adds; same in-container calibration as FuzzyJoinOperator
+        # (~1e10 units/s/core incl unpackbits + threshold scan), so 1e12
+        # stays <= ~100s single-stream. Byte-feasible is not compute-
+        # feasible (the r7 containment lesson).
+        self.dense_flop_budget = dense_flop_budget
+        # 'raise' (default) or 'minhash': on a budget refusal, fall back
+        # to MinHash-LSH candidates + EXACT Jaccard verify (precision
+        # exact, recall probabilistic per the banding S-curve)
+        self.on_budget_exceeded = on_budget_exceeded
+        self.fallback_num_perm = fallback_num_perm
 
     def _dense_edges(self, with_sh: DataFrame):
         """Exact >=t edges via a broadcast bitset matmul; None -> sparse.
@@ -89,6 +107,25 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         budget = self.dense_broadcast_mb * 1024 * 1024
         if n == 0 or n * ((nbits + 7) // 8) > budget or tok * 8 > 8 * budget:
             return None
+        # FLOP budget: byte-feasible is not compute-feasible. Reaching
+        # this point proves the corpus vocabulary is degenerate-small
+        # (<= dense_vocab_max), so the sparse PPJoin's prefix buckets
+        # are ~all-pairs too — raise the actionable refusal here, in
+        # seconds, instead of burning the caller's wall clock on either
+        # quadratic path (same contract as FuzzyJoinOperator).
+        if self.dense_flop_budget and float(n) * n * nbits > self.dense_flop_budget:
+            raise BudgetExceededError(
+                "NgramJaccardDeduplicateFilter: exact dedup is "
+                f"infeasible on this corpus shape — vocabulary is only "
+                f"{nbits} distinct shingles across {n} docs, so both "
+                f"the dense bitset GEMM ({float(n) * n * nbits:.2e} "
+                f"flops > dense_flop_budget={self.dense_flop_budget:.2e}"
+                ") and sparse PPJoin (prefix buckets hold most of the "
+                "corpus) are ~quadratic. Pass on_budget_exceeded="
+                "'minhash' for the approximate fallback (exact verify, "
+                "probabilistic recall), use MinHashDeduplicateFilter, "
+                "or raise dense_flop_budget explicitly to accept the "
+                "cost.")
 
         # bounded above: n rows whose packed bits fit dense_broadcast_mb
         rows = with_sh.select("_nd_id", "_sh").collect()
@@ -145,7 +182,6 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         return with_sh.mapInPandas(compute, schema="src long, dst long")
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
-        t = self.threshold
         df, order_col = self._ordered(df)
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
         # distinct shingles hashed to LONGS once: set ops on bigint arrays
@@ -159,20 +195,80 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         # candidate generation and verify; full rows join back at the end
         with_sh = df.select("_nd_id", self.input_key) \
                     .withColumn("_sh", shingles).select("_nd_id", "_sh").persist()
-
-        verified = self._dense_edges(with_sh)
-        if verified is not None:
+        pins: list[DataFrame] = [with_sh]
+        # connected_components consumes the verified-edge lineage
+        # EAGERLY (driver union-find probe, or per-round eager
+        # localCheckpoint contraction), so every pinned frame can be
+        # released before returning — no cached blocks outlive run()
+        # (ADVICE r7: the guard persist used to leak for the session
+        # lifetime)
+        try:
+            try:
+                verified = self._dense_edges(with_sh)
+                if verified is None:
+                    verified = self._sparse_edges(with_sh, pins)
+            except BudgetExceededError:
+                if self.on_budget_exceeded != "minhash":
+                    raise
+                verified = self._minhash_edges(with_sh)
             comp = connected_components(verified)
-            out = (
-                df.join(comp.withColumnRenamed("id", "_nd_id"),
-                        "_nd_id", "left")
-                .withColumn("component",
-                            F.coalesce("component", F.col("_nd_id")))
-            )
-            kept = _keep_first(out, F.col("component"),
-                               order_col).drop("component", "_nd_id")
-            return self._finish(kept, order_col)
+        finally:
+            for p in pins:
+                p.unpersist()
+        out = (
+            df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+            .withColumn("component", F.coalesce("component", F.col("_nd_id")))
+        )
+        kept = _keep_first(out, F.col("component"),
+                           order_col).drop("component", "_nd_id")
+        return self._finish(kept, order_col)
 
+    def _minhash_edges(self, with_sh: DataFrame) -> DataFrame:
+        """Opt-in approximate fallback (``on_budget_exceeded='minhash'``):
+        MinHash-LSH band buckets generate candidate edges, the EXACT
+        Jaccard on the true shingle sets verifies each one. Precision is
+        exact (every emitted edge truly meets the threshold); recall is
+        probabilistic per the banding S-curve. Buckets expand to STAR
+        edges anchored at the bucket-min id (linear in bucket size —
+        the same shape MinHashDeduplicateFilter uses), so transitive
+        clusters merge through connected components exactly as in the
+        exact paths."""
+        from pyspark.sql import Window
+
+        bands, rows = H.optimal_bands(min(max(self.threshold, 0.05), 0.95),
+                                      self.fallback_num_perm)
+        sig_udf = H.minhash_from_hashes_udf(self.fallback_num_perm)
+        b = with_sh.select(
+            "_nd_id",
+            F.explode(H.band_hashes(sig_udf(F.col("_sh")),
+                                    bands, rows)).alias("bh"))
+        b = b.select("_nd_id", F.col("bh.band").alias("band"),
+                     F.col("bh.h").alias("h"))
+        # star expansion via a streaming window (never a collect_list of
+        # an unbounded bucket): anchor = bucket-min id
+        w = Window.partitionBy("band", "h").orderBy("_nd_id")
+        cand = (b.withColumn("_anchor", F.first("_nd_id").over(w))
+                .filter(F.col("_nd_id") != F.col("_anchor"))
+                .select(F.col("_anchor").alias("src"),
+                        F.col("_nd_id").alias("dst"))
+                .distinct())
+        sets = with_sh.select("_nd_id", "_sh")
+        t = self.threshold
+        return (
+            cand.join(sets.withColumnRenamed("_nd_id", "src")
+                      .withColumnRenamed("_sh", "_sa"), "src")
+            .join(sets.withColumnRenamed("_nd_id", "dst")
+                  .withColumnRenamed("_sh", "_sb"), "dst")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                / F.size(F.array_union("_sa", "_sb")))
+            .filter(F.col("jaccard") >= t)
+            .select("src", "dst"))
+
+    def _sparse_edges(self, with_sh: DataFrame,
+                      pins: list[DataFrame]) -> DataFrame:
+        t = self.threshold
         # prefix filtering: candidates must share an element among the
         # first floor((1-t)*|set|)+1 shingles under a consistent global
         # total order. Using GLOBAL FREQUENCY order (rarest first, the
@@ -197,8 +293,10 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
             F.posexplode(F.slice("_rsh", 1, prefix_len)).alias("_pos", "_p"))
         if self.max_candidate_pairs:
             # persist: the guard aggregate and the blocking join both
-            # consume the prefix frame — one materialization, two reads
+            # consume the prefix frame — one materialization, two reads;
+            # released by run()'s finally once components are computed
             prefix = prefix.persist()
+            pins.append(prefix)
             # sum of bucket-size^2 upper-bounds the blocking join's
             # output (the positional filter only shrinks it). On a
             # Heaps-law corpus prefix buckets are tiny and this passes
@@ -208,14 +306,16 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
                    .agg(F.sum(F.col("_c") * F.col("_c")).alias("_u"))
                    .first()["_u"]) or 0
             if est > self.max_candidate_pairs:
-                raise ValueError(
+                raise BudgetExceededError(
                     "NgramJaccardDeduplicateFilter: prefix-bucket "
                     f"candidate upper bound {est:.2e} exceeds "
                     f"max_candidate_pairs={self.max_candidate_pairs:.2e}"
                     " — the corpus is too low-entropy for exact PPJoin "
                     "at this size (most documents share frequent "
                     "shingles, so candidate generation is ~quadratic). "
-                    "Use MinHashDeduplicateFilter, or raise "
+                    "Pass on_budget_exceeded='minhash' for the "
+                    "approximate fallback (exact verify, probabilistic "
+                    "recall), use MinHashDeduplicateFilter, or raise "
                     "max_candidate_pairs / dense_broadcast_mb "
                     "explicitly to accept the cost.")
         # positional filter (PPJoin, Xiao et al. WWW'08): a pair matching
@@ -249,10 +349,4 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
             .filter(F.col("jaccard") >= t)
             .select("src", "dst")
         )
-        comp = connected_components(verified)
-        out = (
-            df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
-            .withColumn("component", F.coalesce("component", F.col("_nd_id")))
-        )
-        kept = _keep_first(out, F.col("component"), order_col).drop("component", "_nd_id")
-        return self._finish(kept, order_col)
+        return verified

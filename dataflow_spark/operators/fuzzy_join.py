@@ -58,7 +58,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_spark.core.operator import Operator
+from dataflow_spark.core.operator import BudgetExceededError, Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import text as T
@@ -86,13 +86,21 @@ class FuzzyJoinOperator(Operator):
                  shingle_n: int = 5, metric: str = "jaccard",
                  left_key: str = "text", right_key: str = "text",
                  left_id: str = "doc_id", right_id: str = "doc_id",
-                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64):
+                 dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64,
+                 max_candidate_pairs: float = 5e9,
+                 dense_flop_budget: float = 1e12,
+                 on_budget_exceeded: str = "raise",
+                 fallback_num_perm: int = 64,
+                 fallback_max_bucket: int = 256):
         if not 0.0 < threshold <= 1.0:
             raise ValueError("threshold must be in (0, 1]")
         if mode not in ("char", "words"):
             raise ValueError("mode must be 'char' or 'words'")
         if metric not in ("jaccard", "containment"):
             raise ValueError("metric must be 'jaccard' or 'containment'")
+        if on_budget_exceeded not in ("raise", "minhash"):
+            raise ValueError("on_budget_exceeded must be 'raise' or "
+                             "'minhash'")
         self.threshold, self.mode, self.shingle_n = threshold, mode, shingle_n
         self.metric = metric
         self.left_key, self.right_key = left_key, right_key
@@ -103,11 +111,21 @@ class FuzzyJoinOperator(Operator):
         # sparse-path blowup guard (0 disables): refuse predictably on
         # corpora whose prefix buckets imply a ~quadratic candidate set
         # (see NgramJaccardDeduplicateFilter — the r7 sf10 sweep JVM-OOM)
-        self.max_candidate_pairs: float = 5e9
+        self.max_candidate_pairs = max_candidate_pairs
         # dense-path compute guard (0 disables): n_left*n_right*nbits
-        # flops must stay ~minutes of BLAS; above it fall to sparse
-        # (whose own guard then refuses with a clear error)
-        self.dense_flop_budget: float = 4e15
+        # multiply-adds. Calibrated in-container r8: the bitset kernel
+        # (unpackbits + float32 GEMM + float64 threshold scan) sustains
+        # ~1e10 budget-units/s per core, so 1e12 is <=100s single-stream
+        # and seconds when the right side parallelizes — the r7 default
+        # (4e15) was ~100x optimistic and let a 5.9e13-unit containment
+        # GEMV burn a 600s timeout instead of refusing.
+        self.dense_flop_budget = dense_flop_budget
+        # budget-refusal policy: 'raise' (default — exact or nothing) or
+        # 'minhash' (opt-in: MinHash-LSH candidates + EXACT verify; see
+        # _minhash_join for the documented recall semantics)
+        self.on_budget_exceeded = on_budget_exceeded
+        self.fallback_num_perm = fallback_num_perm
+        self.fallback_max_bucket = fallback_max_bucket
         self.input_keys = (left_key, left_id)
         self.output_keys = ("left_id", "right_id", self.metric)
 
@@ -186,7 +204,7 @@ class FuzzyJoinOperator(Operator):
         if self.dense_flop_budget:
             n_r = rraw.count()
             if float(n_l) * n_r * nbits > self.dense_flop_budget:
-                raise ValueError(
+                raise BudgetExceededError(
                     "FuzzyJoinOperator: exact matching is infeasible on "
                     f"this corpus shape — left vocabulary is only {nbits}"
                     f" distinct shingles across {n_l} x {n_r} rows, so "
@@ -194,9 +212,10 @@ class FuzzyJoinOperator(Operator):
                     f"({float(n_l) * n_r * nbits:.2e} flops > "
                     f"dense_flop_budget={self.dense_flop_budget:.2e}) "
                     "and sparse PPJoin (prefix buckets hold most of the "
-                    "corpus) are ~quadratic. Use MinHash-based matching,"
-                    " or raise dense_flop_budget explicitly to accept "
-                    "the cost.")
+                    "corpus) are ~quadratic. Pass on_budget_exceeded="
+                    "'minhash' for the approximate fallback (exact "
+                    "verify, probabilistic recall), or raise "
+                    "dense_flop_budget explicitly to accept the cost.")
 
         # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
         lrows = lraw.select("_id", "_sh").collect()
@@ -269,22 +288,49 @@ class FuzzyJoinOperator(Operator):
             **kw: Any) -> DataFrame:
         if right is None:
             raise ValueError("FuzzyJoinOperator needs run(left, right=df)")
-        t = self.threshold
         lraw = (df.select(F.col(self.left_id).alias("_id"),
                           self._sets(F.col(self.left_key)).alias("_sh"))
                 .filter(F.size("_sh") > 0))
         rraw = (right.select(F.col(self.right_id).alias("_id"),
                              self._sets(F.col(self.right_key)).alias("_sh"))
                 .filter(F.size("_sh") > 0))
-        dense = self._try_dense(lraw, rraw)
-        #: which physical strategy served the last run() — 'dense'
-        #: (broadcast bitset matmul) or 'sparse' (PPJoin prefix filter).
-        #: Plan-debug surface for tests and operators composing this
-        #: one; mirrors what .explain() can't show (the switch happens
-        #: before any Spark plan exists).
-        self.last_path = "dense" if dense is not None else "sparse"
-        if dense is not None:
-            return dense
+        #: last_path: which physical strategy served the last run() —
+        #: 'dense' (broadcast bitset matmul), 'sparse' (PPJoin prefix
+        #: filter), or 'minhash' (budget-refused, opt-in approximate
+        #: fallback). Plan-debug surface for tests and operators
+        #: composing this one; mirrors what .explain() can't show (the
+        #: switch happens before any Spark plan exists).
+        try:
+            dense = self._try_dense(lraw, rraw)
+            if dense is not None:
+                self.last_path = "dense"
+                return dense
+            self.last_path = "sparse"
+            return self._sparse_join(lraw, rraw)
+        except BudgetExceededError:
+            if self.on_budget_exceeded != "minhash":
+                raise
+            self.last_path = "minhash"
+            return self._minhash_join(lraw, rraw)
+
+    def _sparse_join(self, lraw: DataFrame, rraw: DataFrame) -> DataFrame:
+        """PPJoin sparse path. The intermediate frames (dedup'd sides,
+        membership map, prefix explode) are persisted for their multiple
+        reads but released before returning: the result is eagerly
+        localCheckpoint-ed (matched pairs — small), which consumes every
+        pinned frame inside this call, so no cached blocks outlive the
+        run (ADVICE r7: the guard persist used to leak for the session
+        lifetime)."""
+        pins: list[DataFrame] = []
+        try:
+            return self._sparse_join_pinned(lraw, rraw, pins)
+        finally:
+            for p in pins:
+                p.unpersist()
+
+    def _sparse_join_pinned(self, lraw: DataFrame, rraw: DataFrame,
+                            pins: list[DataFrame]) -> DataFrame:
+        t = self.threshold
         raw = (
             lraw.withColumn("_side", F.lit("L"))
             .unionByName(rraw.withColumn("_side", F.lit("R")))
@@ -301,9 +347,11 @@ class FuzzyJoinOperator(Operator):
             F.md5(F.concat_ws(",", F.transform(
                 "_sh", lambda x: x.cast("string")))))
         members = raw.select("_side", "_id", "_sethash").persist()
+        pins.append(members)
         sides = (raw.dropDuplicates(["_side", "_sethash"])
                  .select("_side", F.col("_sethash").alias("_id"), "_sh")
                  .persist())
+        pins.append(sides)
         # one global frequency order over BOTH sides (rarest first)
         ex = sides.select("_side", "_id", F.explode("_sh").alias("_p"))
         freq = ex.groupBy("_p").agg(F.count(F.lit(1)).alias("_df"))
@@ -334,6 +382,7 @@ class FuzzyJoinOperator(Operator):
             # corpora pass at any scale, degenerate corpora refuse with
             # an actionable error instead of an OOM-bound shuffle
             prefix = prefix.persist()
+            pins.append(prefix)
             est = (prefix.groupBy("_p")
                    .agg(F.sum(F.when(F.col("_side") == "L", 1)
                               .otherwise(0)).alias("_cl"),
@@ -342,13 +391,15 @@ class FuzzyJoinOperator(Operator):
                    .agg(F.sum(F.col("_cl") * F.col("_cr")).alias("_u"))
                    .first()["_u"]) or 0
             if est > self.max_candidate_pairs:
-                raise ValueError(
+                raise BudgetExceededError(
                     "FuzzyJoinOperator: prefix-bucket candidate upper "
                     f"bound {est:.2e} exceeds max_candidate_pairs="
                     f"{self.max_candidate_pairs:.2e} — the corpus is "
                     "too low-entropy for exact PPJoin at this size. "
-                    "Use MinHash-based matching, or raise "
-                    "max_candidate_pairs / dense guards explicitly.")
+                    "Pass on_budget_exceeded='minhash' for the "
+                    "approximate fallback (exact verify, probabilistic "
+                    "recall), or raise max_candidate_pairs / dense "
+                    "guards explicitly.")
         if self.metric == "jaccard":
             alpha = H.ceil_lower_bound(F.lit(t / (1.0 + t))
                                        * (F.col("a._len") + F.col("b._len")))
@@ -394,5 +445,78 @@ class FuzzyJoinOperator(Operator):
             F.col("_sethash").alias("_lid"), F.col("_id").alias("left_id"))
         rmem = members.filter(F.col("_side") == "R").select(
             F.col("_sethash").alias("_rid"), F.col("_id").alias("right_id"))
-        return (verified.join(lmem, "_lid").join(rmem, "_rid")
-                .select("left_id", "right_id", self.metric))
+        final = (verified.join(lmem, "_lid").join(rmem, "_rid")
+                 .select("left_id", "right_id", self.metric))
+        # eager localCheckpoint: materializes the (small) matched-pair
+        # result NOW, consuming members/sides/prefix so the caller in
+        # _sparse_join can unpersist them — and truncates the 4-join
+        # lineage the downstream pipeline would otherwise re-optimize
+        return final.localCheckpoint(eager=True)
+
+    def _minhash_join(self, lraw: DataFrame, rraw: DataFrame) -> DataFrame:
+        """Opt-in approximate fallback when a budget guard refuses the
+        exact algorithm (``on_budget_exceeded='minhash'``).
+
+        Candidates come from MinHash-LSH banding over the shingle sets;
+        every candidate is then verified with the EXACT metric on the
+        true sets. So precision is exact (no false positives — every
+        output row truly meets the threshold) and only RECALL is
+        probabilistic, governed by the banding S-curve on JACCARD
+        similarity (``optimal_bands(t', fallback_num_perm)``). Two
+        documented recall losses:
+
+        - metric='containment': MinHash collides on Jaccard, and a
+          short left set contained in a huge right set has tiny Jaccard
+          — banding targets t/(2-t) (the Jaccard lower bound when
+          |B| <= |A|), so strongly asymmetric pairs may be missed;
+        - oversized buckets: per (band, h) bucket each side is capped
+          at ``fallback_max_bucket`` rows (smallest ids kept —
+          deterministic), bounding candidates at buckets*cap^2 on the
+          degenerate corpora that route here. Rows beyond the cap can
+          only match through another band.
+        """
+        from pyspark.sql import Window
+
+        t = self.threshold
+        # banding threshold in Jaccard space (see docstring)
+        t_band = t if self.metric == "jaccard" else t / (2.0 - t)
+        bands, rows = H.optimal_bands(min(max(t_band, 0.05), 0.95),
+                                      self.fallback_num_perm)
+        sig_udf = H.minhash_from_hashes_udf(self.fallback_num_perm)
+        cap = self.fallback_max_bucket
+
+        def banded(side: DataFrame) -> DataFrame:
+            b = side.select(
+                "_id",
+                F.explode(H.band_hashes(sig_udf(F.col("_sh")),
+                                        bands, rows)).alias("bh"))
+            b = b.select("_id", F.col("bh.band").alias("band"),
+                         F.col("bh.h").alias("h"))
+            # per-bucket cap via a window (external sorter streams the
+            # group — never a collect_list of an unbounded bucket)
+            w = Window.partitionBy("band", "h").orderBy("_id")
+            return (b.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= cap).drop("_rn"))
+
+        cand = (banded(lraw.select("_id", "_sh"))
+                .withColumnRenamed("_id", "_lid")
+                .join(banded(rraw.select("_id", "_sh"))
+                      .withColumnRenamed("_id", "_rid"), ["band", "h"])
+                .select("_lid", "_rid").distinct())
+        lsets = lraw.select(F.col("_id").alias("_lid"),
+                            F.col("_sh").alias("_sa"))
+        rsets = rraw.select(F.col("_id").alias("_rid"),
+                            F.col("_sh").alias("_sb"))
+        return (
+            cand.join(lsets, "_lid").join(rsets, "_rid")
+            .withColumn("_ov", F.size(F.array_intersect("_sa", "_sb")))
+            .withColumn(
+                self.metric,
+                F.col("_ov").cast("double") / F.size("_sa")
+                if self.metric == "containment"
+                else F.col("_ov").cast("double")
+                / (F.size("_sa") + F.size("_sb") - F.col("_ov")))
+            .filter(F.col(self.metric) >= t)
+            .select(F.col("_lid").alias("left_id"),
+                    F.col("_rid").alias("right_id"),
+                    F.round(self.metric, 6).alias(self.metric)))

@@ -616,7 +616,16 @@ class LSHKNN(Operator):
             # embedding arrays too)
             .dropDuplicates(["query_id", "neighbor_id"])
         )
-        sim = cand.withColumn("cosine_sim", V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+        sim = (
+            cand.withColumn("cosine_sim",
+                            V.cosine(F.col("_q_emb"), F.col("_c_emb")))
+            # zero-norm / dim-mismatched vectors yield null cosine; the
+            # fused path never emits them (it scores candidates in
+            # numpy and skips nulls), so the join path must drop them
+            # too — both physical paths of ONE operator must return the
+            # same rows (same fix as BruteForceKNN's null-cosine drop)
+            .filter(F.col("cosine_sim").isNotNull())
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
         )

@@ -331,3 +331,16 @@ def test_ngram_dedup_drops_engine_row_id(spark):
                        {"input_key": "text", "order_key": "id"}).run(df)
     assert out.columns == ["id", "text"]
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_user_row_id_survives_explicit_order_key(spark):
+    """ADVICE r7: an input legitimately carrying a user _row_id column
+    alongside an explicit order_key must keep that column — only an
+    ENGINE-added _row_id is dropped by _finish."""
+    df = spark.createDataFrame([(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+                               ["doc_id", "text", "_row_id"])
+    out = get_operator("HashDeduplicateFilter",
+                       {"input_keys": "text", "order_key": "doc_id"}).run(df)
+    assert "_row_id" in out.columns
+    assert {(r["doc_id"], r["_row_id"]) for r in out.collect()} == \
+        {(1, 10), (3, 30)}

@@ -120,3 +120,26 @@ def test_matmul_slabs_agree_with_single_broadcast_and_join(spark):
     c = _knn(joinp.run(df).collect())
     assert a == b == c
     assert a
+
+
+def test_lsh_paths_agree_with_zero_norm_vectors(spark):
+    """ADVICE r7: the join path used to emit null-cosine rows for
+    zero-norm/dim-mismatched vectors while the fused path excluded
+    them — the two physical paths of ONE operator must return the
+    same rows."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None),
+            (4, [0.0, 0.0]), (5, [0.8, 0.2]), (6, [0.7, 0.3])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id in (1, 4)")  # includes a zero-norm query
+    common = {"k": 3, "num_planes": 8, "num_bands": 4}
+    fused = get_operator("LSHKNN", common)
+    a = {(r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 9))
+         for r in fused.run(df, queries=q).collect()}
+    joinp = get_operator("LSHKNN", {**common, "max_broadcast_queries": 0})
+    b = {(r["query_id"], r["neighbor_id"], round(r["cosine_sim"], 9))
+         for r in joinp.run(df, queries=q).collect()}
+    assert fused.last_path == "fused" and joinp.last_path == "join"
+    assert a == b
+    assert all(c is not None for _, _, c in b)
+    # the zero-norm query contributes no rows on either path
+    assert not any(qi == 4 for qi, _, _ in a)
