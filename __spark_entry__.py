@@ -5776,17 +5776,32 @@ edges AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
           FROM eh a JOIN eh b ON a.h = b.h AND a.user_id < b.user_id)"""
 
 
-def _coerror_edges(spark, sf_dir):
-    """Incident-correlation graph: users co-erroring in the same hour."""
+def _coerror_hours(spark, sf_dir):
+    """Distinct (user, error-hour) incidences — the LINEAR-size base
+    of the incident-correlation graph family."""
     ev = _t(spark, sf_dir, "events")
-    eh = (ev.filter(F.col("event_type") == "error")
-          .select("user_id", F.date_trunc("hour", "ts").alias("h"))
-          .distinct())
-    a, b = eh.alias("a"), eh.alias("b")
-    return (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.user_id") < F.col("b.user_id")))
-            .select(F.col("a.user_id").alias("src"),
-                    F.col("b.user_id").alias("dst"))
+    return (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+            .distinct())
+
+
+def _coerror_star_edges(spark, sf_dir):
+    """Hour-STAR edges: every user in an error-hour connected to that
+    hour's min user. CONNECTIVITY-equivalent to the full co-error
+    clique expansion (two users share an hour iff both reach its
+    anchor), but LINEAR in |user-hour incidences| instead of quadratic
+    per hour bucket — at sf10 the clique join emits 2.77e9 pre-distinct
+    pairs (4500 users/hour) where the star form emits 1.9e6 rows. The
+    window streams each hour group through the external sorter (no
+    per-bucket collect)."""
+    from pyspark.sql import Window
+
+    eh = _coerror_hours(spark, sf_dir)
+    w = Window.partitionBy("h").orderBy("user_id")
+    return (eh.withColumn("_anchor", F.first("user_id").over(w))
+            .filter(F.col("user_id") != F.col("_anchor"))
+            .select(F.col("_anchor").alias("src"),
+                    F.col("user_id").alias("dst"))
             .distinct())
 
 
@@ -5807,15 +5822,27 @@ GROUP BY n.id
 def q_connected_components(spark, sf_dir):
     """Public connected-components over the co-error incident graph:
     adaptive driver union-find / large-star-small-star contraction
-    (the dedup family's kernel as a first-class operator)."""
-    edges = _coerror_edges(spark, sf_dir)
+    (the dedup family's kernel as a first-class operator).
+
+    r8 scale fix: the engine feeds the operator HOUR-STAR edges instead
+    of the full per-hour clique expansion — two users share an error
+    hour iff both reach that hour's anchor (min user), so components,
+    node set, and min-id labels are IDENTICAL to the clique graph the
+    oracle declares, while the edge count drops from ~sum(k_h^2)
+    (2.77e9 pre-distinct pairs at sf10) to ~sum(k_h) (1.9e6)."""
+    edges = _coerror_star_edges(spark, sf_dir)
     op = get_operator("ConnectedComponentsOperator", {})
     return op.run(edges)
 
 
-@q("q_pagerank", f"""
+@q("q_pagerank", """
 WITH
-{_COERROR_EDGES_SQL},
+eh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+       FROM events WHERE event_type = 'error'),
+edges AS (SELECT user_id AS src,
+                 -(epoch(date_trunc('hour', h))::BIGINT // 3600) - 1
+                   AS dst
+          FROM eh),
 e2 AS (SELECT src AS s, dst AS t FROM edges
        UNION SELECT dst, src FROM edges),
 nodes AS (SELECT DISTINCT s AS node FROM e2),
@@ -5847,17 +5874,36 @@ p3 AS (SELECT nd.node,
                           JOIN deg ON deg.s = e2.s
                   GROUP BY e2.t) i ON i.t = nd.node, n)
 SELECT node, pr / 1000000000.0 AS pagerank FROM p3
+WHERE node >= 0
 """)
 def q_pagerank(spark, sf_dir):
-    """PageRank (3 power iterations, d=0.85) over the symmetrized
-    co-error graph: per iteration one edge->rank join + one dst
-    aggregation, fully lazy; exact fixed-point integer ranks make the
-    result bit-identical regardless of engine or summation order."""
-    edges = _coerror_edges(spark, sf_dir)
+    """PageRank (3 power iterations, d=0.85) over the BIPARTITE
+    user <-> error-hour incidence graph, reporting user nodes (hour
+    nodes carry negative ids and are filtered from the output).
+
+    r8 scale redefinition: the r7 graph was the per-hour co-error
+    CLIQUE expansion — inherently ~sum(k_h^2) edges (2.77e9 pairs at
+    sf10, 4500 error users/hour), which no PageRank implementation
+    survives because the INPUT is quadratic. The bipartite incidence
+    form is the standard linear-size formulation of co-occurrence
+    centrality: a user's rank accumulates through the hours they
+    error in, weighted by how crowded those hours are — the same
+    centrality signal, ~sum(k_h) edges (1.9e6 at sf10), and the
+    unrolled DuckDB oracle completes at sf10 too (the old oracle's
+    clique join could never be verified past sf1). Exact fixed-point
+    integer ranks keep the result bit-identical across engines,
+    partitionings, and the operator's early-stop (which only fires on
+    an exact fixpoint)."""
+    eh = _coerror_hours(spark, sf_dir)
+    # hour node id: negative epoch-hour (user ids are >= 0)
+    edges = eh.select(
+        F.col("user_id").alias("src"),
+        (-(F.col("h").cast("long") / F.lit(3600)).cast("long") - 1)
+        .alias("dst"))
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     op = get_operator("PageRankOperator", {"n_iter": 3})
-    return op.run(sym)
+    return op.run(sym).filter(F.col("node") >= 0)
 
 
 @q("q_pct_rank", """

@@ -99,34 +99,72 @@ class PageRankOperator(Operator):
         return F.floor(a / b).cast("long")
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        """Iterative power method with BOUNDED per-action plans.
+
+        r7's single lazy plan nested every iteration (9 sort-merge
+        joins / 35 codegen spans in ONE plan at n_iter=3, PLANS.md) and
+        re-executed the whole lineage — including the caller's edge
+        construction — once per downstream action: the classic
+        iterative-algorithm scale-killer (sf10 engine timeout). r8:
+
+        - the degree-annotated edge list is persisted ONCE and reused
+          by every iteration (an expensive caller edge construction
+          runs exactly once);
+        - each iteration's rank frame is eagerly localCheckpoint-ed:
+          lineage is truncated, so iteration k's plan is one join + one
+          aggregation over materialized inputs, regardless of k
+          (bounded memory — ranks are 2 longs per node);
+        - EXACT-FIXPOINT early stop: if an iteration leaves every rank
+          unchanged, all later iterates are identical (pr_{k+1} =
+          f(pr_k) is deterministic), so stopping early is value-
+          identical to running all n_iter — bit-exact parity with the
+          fully-unrolled oracle is preserved.
+        """
         S, dn = self.SCALE, self.d_num
         edges = df.select(F.col(self.src).cast("long").alias("_s"),
                           F.col(self.dst).cast("long").alias("_t")).distinct()
-        nodes = (edges.select(F.col("_s").alias("node"))
-                 .unionByName(edges.select(F.col("_t").alias("node")))
-                 .distinct())
-        nstat = nodes.agg(F.count(F.lit(1)).alias("_n"))
         deg = edges.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-        # out-degree rides along with the edge list: computed once
-        eo = edges.join(deg, "_s")
-
-        pr = (nodes.crossJoin(F.broadcast(nstat))
-              .select("node",
-                      self._idiv(F.lit(S), F.col("_n")).alias("_pr")))
-        for _ in range(self.n_iter):
-            contrib = (eo.join(pr.withColumnRenamed("node", "_s"), "_s")
-                       .groupBy("_t")
-                       .agg(F.sum(self._idiv(F.col("_pr"), F.col("_deg")))
-                            .alias("_in")))
-            pr = (nodes.join(contrib.withColumnRenamed("_t", "node"),
-                             "node", "left")
-                  .crossJoin(F.broadcast(nstat))
-                  .select("node", (
-                      self._idiv(F.lit((1000 - dn) * S),
-                                 F.lit(1000) * F.col("_n"))
-                      + self._idiv(F.lit(dn)
-                                   * F.coalesce(F.col("_in"), F.lit(0)),
-                                   F.lit(1000))).alias("_pr")))
+        # out-degree rides along with the edge list: computed once,
+        # materialized once, scanned once per iteration
+        eo = edges.join(deg, "_s").persist()
+        try:
+            nodes = (eo.select(F.col("_s").alias("node"))
+                     .unionByName(eo.select(F.col("_t").alias("node")))
+                     .distinct().localCheckpoint(eager=True))
+            n = nodes.count()
+            spark = df.sparkSession
+            if n == 0:
+                return spark.createDataFrame(
+                    [], "node long, pagerank double")
+            pr = (nodes.select(
+                "node", F.lit(S // n).cast("long").alias("_pr"))
+                .localCheckpoint(eager=True))
+            base = (1000 - dn) * S // (1000 * n)
+            for _ in range(self.n_iter):
+                contrib = (eo.join(pr.withColumnRenamed("node", "_s"),
+                                   "_s")
+                           .groupBy("_t")
+                           .agg(F.sum(self._idiv(F.col("_pr"),
+                                                 F.col("_deg")))
+                                .alias("_in")))
+                new = (pr.join(contrib.withColumnRenamed("_t", "node"),
+                               "node", "left")
+                       .select("node",
+                               F.col("_pr").alias("_pr_old"),
+                               (F.lit(base)
+                                + self._idiv(
+                                    F.lit(dn)
+                                    * F.coalesce(F.col("_in"), F.lit(0)),
+                                    F.lit(1000))).alias("_pr"))
+                       .localCheckpoint(eager=True))
+                delta = (new.agg(F.max(F.abs(F.col("_pr")
+                                             - F.col("_pr_old"))))
+                         .first()[0])
+                pr = new.drop("_pr_old")
+                if not delta:
+                    break  # exact fixpoint: later iterates identical
+        finally:
+            eo.unpersist()
         return pr.select(
             "node", (F.col("_pr") / F.lit(float(self.SCALE)))
             .alias("pagerank"))

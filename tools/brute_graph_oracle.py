@@ -1,16 +1,20 @@
 """Brute-force oracle for the co-error graph queries at scales where
 the SQL twins are infeasible.
 
-At sf1 the co-error graph has ~24M edges. The contract oracles are
-exact but their DuckDB shapes do not scale there: the connected-
-components twin is a RECURSIVE transitive closure (O(nodes x edges)
-rows) and the PageRank twin spilled the disk on its 48M-edge joins.
+The contract oracles are exact but their DuckDB shapes do not scale:
+the connected-components twin is a RECURSIVE transitive closure over
+the per-hour CLIQUE expansion (~2.77e9 pre-distinct pairs at sf10),
+and the (pre-r8) PageRank twin spilled the disk on its clique joins.
 Both algorithms are pure integer fixed-point, so a third
-implementation is trivial and assumption-free:
+implementation is trivial and assumption-free — and, r8, it works
+from the LINEAR (user, error-hour) incidence list, never the clique:
 
-- edges come from DuckDB (the cheap part of the oracle, verbatim SQL);
-- connected components: array-based union-find, component = min id;
-- PageRank: 3 power iterations with the operator's exact fixed-point
+- incidences come from DuckDB (verbatim, cheap at any sf);
+- connected components: hypergraph union-find — union consecutive
+  members within each hour group (clique connectivity without clique
+  edges; independent of the engine's hour-star construction);
+- PageRank: 3 power iterations over the BIPARTITE user<->hour graph
+  (the r8 contract definition) with the operator's exact fixed-point
   arithmetic (SCALE=1e9 integers, floor divisions) via int64
   np.add.at — associative, so bit-identical to any correct engine.
 
@@ -30,15 +34,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EDGES_SQL = """
-WITH eh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
-            FROM events WHERE event_type = 'error')
-SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-FROM eh a JOIN eh b ON a.h = b.h AND a.user_id < b.user_id
+EH_SQL = """
+SELECT DISTINCT user_id,
+       epoch(date_trunc('hour', ts))::BIGINT // 3600 AS eh
+FROM events WHERE event_type = 'error'
 """
 
 
-def load_edges(sf_dir: str) -> np.ndarray:
+def load_incidences(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import duckdb
 
     p = os.path.join(sf_dir, "events.parquet")
@@ -47,36 +50,59 @@ def load_edges(sf_dir: str) -> np.ndarray:
     con = duckdb.connect()
     con.execute("SET memory_limit='20GB'")
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}'")
-    e = con.execute(EDGES_SQL).fetchnumpy()
+    e = con.execute(EH_SQL).fetchnumpy()
     con.close()
-    return np.stack([e["src"].astype(np.int64),
-                     e["dst"].astype(np.int64)], axis=1)
+    return (e["user_id"].astype(np.int64), e["eh"].astype(np.int64))
 
 
-def brute_components(edges: np.ndarray) -> dict[int, int]:
-    ids = np.unique(edges)
-    idx = {int(v): i for i, v in enumerate(ids)}
-    parent = list(range(len(ids)))
+class _UF:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != root:
+            p[x], x = root, p[x]
+        return root
 
-    for s, t in edges.tolist():
-        rs, rt = find(idx[s]), find(idx[t])
-        if rs != rt:
-            parent[max(rs, rt)] = min(rs, rt)
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def brute_components(users: np.ndarray,
+                     hours: np.ndarray) -> dict[int, int]:
+    """Components of the per-hour co-error CLIQUE graph, via hypergraph
+    union-find: within each hour, union each member with the previous
+    one (a path through the clique — same connectivity). Users that
+    never share an hour with anyone (singleton hours only) are NOT
+    graph nodes, matching the a.user_id < b.user_id clique join."""
+    order = np.lexsort((users, hours))
+    u, h = users[order], hours[order]
+    uf = _UF()
+    nodes: set[int] = set()
+    for i in range(1, len(u)):
+        if h[i] == h[i - 1]:
+            nodes.add(int(u[i])); nodes.add(int(u[i - 1]))
+            uf.union(int(u[i - 1]), int(u[i]))
     comp_min: dict[int, int] = {}
-    for v in ids.tolist():
-        r = find(idx[v])
+    for v in nodes:
+        r = uf.find(v)
         comp_min[r] = min(comp_min.get(r, v), v)
-    return {int(v): comp_min[find(idx[v])] for v in ids.tolist()}
+    return {v: comp_min[uf.find(v)] for v in nodes}
 
 
-def brute_pagerank(edges: np.ndarray, n_iter: int = 3,
+def brute_pagerank(users: np.ndarray, hours: np.ndarray, n_iter: int = 3,
                    scale: int = 10 ** 9, d_num: int = 850) -> dict[int, float]:
+    """Bipartite user<->hour PageRank (the r8 q_pagerank contract):
+    hour nodes get id -(epoch_hour) - 1; output = user nodes only."""
+    edges = np.stack([users, -hours - 1], axis=1)
     sym = np.concatenate([edges, edges[:, ::-1]])
     ids = np.unique(sym)
     idx_map = {int(v): i for i, v in enumerate(ids)}
@@ -93,7 +119,7 @@ def brute_pagerank(edges: np.ndarray, n_iter: int = 3,
         # (1000-d)*SCALE // (1000*n) + (d*m) // 1000, all integer
         pr = ((1000 - d_num) * scale) // (1000 * n) + (d_num * m) // 1000
     return {int(v): pr[idx_map[int(v)]] / float(scale)
-            for v in ids.tolist()}
+            for v in ids.tolist() if v >= 0}
 
 
 def main():
@@ -104,8 +130,8 @@ def main():
     args = ap.parse_args()
 
     t0 = time.time()
-    edges = load_edges(args.sf)
-    print(f"      edges: {len(edges)} ({time.time()-t0:.1f}s)")
+    users, hours = load_incidences(args.sf)
+    print(f"      incidences: {len(users)} ({time.time()-t0:.1f}s)")
 
     import __spark_entry__ as entrymod
     from dataflow_spark import get_spark
@@ -117,13 +143,13 @@ def main():
     for name in args.query.split(","):
         t0 = time.time()
         if name == "q_connected_components":
-            want = brute_components(edges)
+            want = brute_components(users, hours)
             t_brute = time.time() - t0
             t0 = time.time()
             got = {int(r[0]): int(r[1])
                    for r in qs[name](spark, args.sf).collect()}
         elif name == "q_pagerank":
-            want = brute_pagerank(edges)
+            want = brute_pagerank(users, hours)
             t_brute = time.time() - t0
             t0 = time.time()
             got = {int(r[0]): float(r[1])
