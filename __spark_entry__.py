@@ -6117,66 +6117,21 @@ def q_containment_join(spark, sf_dir):
 #   2. never-driver-checked queries;
 #   3. everything already green in r1/r2 (lowest information value).
 _REVERIFY_HEAD = [
-    # r7 rotation by STALENESS (judge ask #4): every contract name is
-    # driver-green (r1-r6 union = 266/266), so head slots now go to the
-    # 50 names whose LATEST driver check is oldest — 38 last checked in
-    # r1 + 12 in r2 (computed from CORRECTNESS_r01-06 keys). These are
-    # exactly the rule-filter/refiner families that run through shared
-    # functions/text.py helpers touched by later rounds, plus
-    # q_rollup_lineitem, which r7 rewrote onto the two-level exact
-    # aggregate. Changed-in-r7 plans lead (rotation rule: a rewritten
-    # query must be driver-checked the round it changed): the four
-    # spark.sql exact-cents rewrites and s_knn_lsh's fused probe.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
+    # r8 rotation by STALENESS (rotation rule continued): head = queries
+    # whose plans/operators CHANGED in r8 (must be driver-re-checked the
+    # round they changed: the graph pair's linear edge constructions,
+    # the exact-similarity family's budget/persist rework, s_knn_lsh's
+    # join-path null-cosine fix, the dedup-base _row_id tracking), then
+    # the 50-slot head filled by the stalest names after r7 — the 34
+    # last checked in r2 and the alphabetically-first 9 of the r3 set
+    # (computed from CORRECTNESS_r01-07 keys).
+    "q_pagerank",
+    "q_connected_components",
+    "q_fuzzy_join",
+    "q_containment_join",
+    "d_ngram_jaccard",
     "s_knn_lsh",
-    "q_range_join",
-    "q_bucketed_join",
-    "q_grouping_sets",
-    "f_alpha_words",
-    "f_blocklist",
-    "f_capital_words",
-    "f_char_number",
-    "f_colon_end",
-    "f_content_null",
-    "f_curly_bracket",
-    "f_html_entity",
-    "f_id_card",
-    "f_line_bullet",
-    "f_line_ellipsis",
-    "f_line_javascript",
-    "f_lorem_ipsum",
-    "f_mean_word_length",
-    "f_no_punc",
-    "f_sentence_number",
-    "f_special_char",
-    "f_stop_word",
-    "f_symbol_ratio",
-    "f_unique_words",
-    "f_watermark",
-    "f_word_number",
-    "q_anti_join_customers",
-    "q_cube_orders",
-    "q_explode_words",
-    "q_rollup_lineitem",
-    "q_window_rank",
-    "r_html_entity",
-    "r_lowercase",
-    "r_reference_remover",
-    "r_remove_contractions",
-    "r_remove_extra_spaces",
-    "r_remove_image_refs",
-    "r_remove_number",
-    "r_remove_punctuation",
-    "r_remove_stopwords",
-    "r_remove_url",
-    "r_text_normalization",
-    "e_bench_accuracy",
-    "e_bleu_token_f1",
-    "e_cider",
-    "e_code_metrics",
-    "e_langkit_readability",
+    "d_exact_hash",
     "e_model_score_hash",
     "e_perplexity_unigram",
     "g_char_chunks",
@@ -6184,6 +6139,42 @@ _REVERIFY_HEAD = [
     "g_mathbook_extract",
     "g_qa_extract",
     "g_sentence_chunks",
+    "g_text2qa",
+    "m_media_headers",
+    "m_media_meta",
+    "q_doc_distribution",
+    "q_langid_accuracy",
+    "r_answer_extraction",
+    "r_category_dist",
+    "r_remove_repetition_punct",
+    "r_token_stats",
+    "t_code_composition",
+    "t_fingerprint",
+    "t_langid",
+    "t_language_filter",
+    "t_lexical_diversity",
+    "t_ngram_ratio",
+    "t_quality_score",
+    "t_token_count",
+    "x_code_sandbox",
+    "x_conversation_roundtrip",
+    "x_kbc_clean",
+    "x_kcenter_coreset",
+    "x_pii_anonymize",
+    "x_pii_count",
+    "x_sql_execution_filter",
+    "x_sql_generator",
+    "x_sql_hardness",
+    "x_stemming",
+    "d_incremental_minhash",
+    "d_minhash_lsh",
+    "d_semantic",
+    "d_simhash",
+    "e_task2vec_diversity",
+    "e_vendi_diversity",
+    "q_asof_join",
+    "q_bm25_topk",
+    "q_corpus_profile",
 ]
 
 # Round-1 driver check covered these 50 names.
@@ -6312,8 +6303,28 @@ _CHECKED_R6 = {
     "x_rm_filter", "x_superfiltering_filter", "x_textbook_filter",
 }
 
+# Round-7 driver check covered these 50 names (CORRECTNESS_r07.json) —
+# all green.
+_CHECKED_R7 = {
+    "e_bench_accuracy", "e_bleu_token_f1", "e_cider", "e_code_metrics",
+    "e_langkit_readability", "f_alpha_words", "f_blocklist",
+    "f_capital_words", "f_char_number", "f_colon_end", "f_content_null",
+    "f_curly_bracket", "f_html_entity", "f_id_card", "f_line_bullet",
+    "f_line_ellipsis", "f_line_javascript", "f_lorem_ipsum",
+    "f_mean_word_length", "f_no_punc", "f_sentence_number",
+    "f_special_char", "f_stop_word", "f_symbol_ratio", "f_unique_words",
+    "f_watermark", "f_word_number", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_regional_revenue", "q_anti_join_customers",
+    "q_bucketed_join", "q_cube_orders", "q_explode_words",
+    "q_grouping_sets", "q_range_join", "q_rollup_lineitem", "q_window_rank",
+    "r_html_entity", "r_lowercase", "r_reference_remover",
+    "r_remove_contractions", "r_remove_extra_spaces", "r_remove_image_refs",
+    "r_remove_number", "r_remove_punctuation", "r_remove_stopwords",
+    "r_remove_url", "r_text_normalization", "s_knn_lsh",
+}
+
 _CHECKED = (_CHECKED_R1 | _CHECKED_R2 | _CHECKED_R3 | _CHECKED_R4
-            | _CHECKED_R5 | _CHECKED_R6)
+            | _CHECKED_R5 | _CHECKED_R6 | _CHECKED_R7)
 
 
 def _ordered(d: dict) -> dict:

@@ -36,7 +36,7 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
                  shingle_n: int = 5, order_key: str | None = None,
                  dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64,
                  max_candidate_pairs: float = 5e9,
-                 dense_flop_budget: float = 1e12,
+                 dense_flop_budget: float = 2e13,
                  on_budget_exceeded: str = "raise",
                  fallback_num_perm: int = 64):
         super().__init__(input_key, order_key)
@@ -56,8 +56,9 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
         self.max_candidate_pairs = max_candidate_pairs
         # dense-path compute guard (0 disables): n^2 * nbits multiply-
         # adds; same in-container calibration as FuzzyJoinOperator
-        # (~1e10 units/s/core incl unpackbits + threshold scan), so 1e12
-        # stays <= ~100s single-stream. Byte-feasible is not compute-
+        # (~1e10 units/s/core incl unpackbits + threshold scan): 2e13 is
+        # ~1-4 min parallel, admits the sf1 sweep's largest completing
+        # shape (5.6e12) with headroom. Byte-feasible is not compute-
         # feasible (the r7 containment lesson).
         self.dense_flop_budget = dense_flop_budget
         # 'raise' (default) or 'minhash': on a budget refusal, fall back

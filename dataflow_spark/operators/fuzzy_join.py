@@ -88,7 +88,7 @@ class FuzzyJoinOperator(Operator):
                  left_id: str = "doc_id", right_id: str = "doc_id",
                  dense_vocab_max: int = 8192, dense_broadcast_mb: int = 64,
                  max_candidate_pairs: float = 5e9,
-                 dense_flop_budget: float = 1e12,
+                 dense_flop_budget: float = 2e13,
                  on_budget_exceeded: str = "raise",
                  fallback_num_perm: int = 64,
                  fallback_max_bucket: int = 256):
@@ -115,10 +115,12 @@ class FuzzyJoinOperator(Operator):
         # dense-path compute guard (0 disables): n_left*n_right*nbits
         # multiply-adds. Calibrated in-container r8: the bitset kernel
         # (unpackbits + float32 GEMM + float64 threshold scan) sustains
-        # ~1e10 budget-units/s per core, so 1e12 is <=100s single-stream
-        # and seconds when the right side parallelizes — the r7 default
-        # (4e15) was ~100x optimistic and let a 5.9e13-unit containment
-        # GEMV burn a 600s timeout instead of refusing.
+        # ~1e10 budget-units/s per core, so 2e13 is ~1-4 min when the
+        # right-side scan parallelizes (>=8 partitions typical) — the
+        # r7 default (4e15) was ~100x optimistic and let a 5.6e13-unit
+        # containment GEMV burn a 600s timeout instead of refusing,
+        # while 2e13 still admits every shape the sf1 sweep completes
+        # (largest: 5.6e12).
         self.dense_flop_budget = dense_flop_budget
         # budget-refusal policy: 'raise' (default — exact or nothing) or
         # 'minhash' (opt-in: MinHash-LSH candidates + EXACT verify; see
