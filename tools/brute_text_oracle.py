@@ -44,11 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.verify_oracle import to_rows  # noqa: E402
 
 PY_QUERIES = {"d_minhash_lsh", "d_simhash", "d_minhash_clusters"}
+NUMPY_QUERIES = {"s_most_similar"}
 # quotient rep keys beyond text: doc_id-derived flags the oracle reads
 QUOTIENT_KEYS: dict[str, list[str]] = {
     "t_langid": [],
     "f_stop_word": [],
     "t_language_filter": [],
+    "x_reasoning_ngram_filter": [],
     "q_pipeline_text_filter": ["doc_id % 31 = 0", "doc_id % 37 = 0",
                                "doc_id % 41 = 0", "doc_id % 43 = 0"],
 }
@@ -57,6 +59,7 @@ QUOTIENT_OUT_COLS: dict[str, list[str]] = {
     "t_langid": ["pred_lang"],
     "f_stop_word": [],
     "t_language_filter": [],
+    "x_reasoning_ngram_filter": ["repetition_score"],
     "q_pipeline_text_filter": [],
 }
 
@@ -184,6 +187,48 @@ def brute_rows(name: str, docs):
     raise SystemExit(f"no python oracle for {name}")
 
 
+def numpy_most_similar(sf_dir: str):
+    """Chunked float64 GEMM top-1 oracle for s_most_similar: every
+    vector's highest-cosine neighbor, ties to the smaller id (the
+    contract's ORDER BY cos DESC, id ASC), cosine rounded to 4. Exact
+    ties (the replicated corpus has byte-identical vectors) produce
+    bitwise-equal cosines in any correct implementation, so the id
+    tie-break is implementation-independent."""
+    import duckdb
+    import numpy as np
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{p}' ORDER BY vec_id").fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    n = len(ids)
+    best_id = np.zeros(n, dtype=np.int64)
+    best_cos = np.full(n, -np.inf)
+    zero = norms == 0  # null-cosine rows are excluded on both sides
+    blk = 4096
+    for lo in range(0, n, blk):
+        q = M[lo:lo + blk]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (q @ M.T) / (norms[lo:lo + blk, None] * norms[None, :])
+        cos[:, zero] = -np.inf
+        for i in range(cos.shape[0]):
+            cos[i, lo + i] = -np.inf  # self excluded
+        # argmax with tie -> smallest id: ids are sorted ascending, and
+        # np.argmax returns the FIRST maximal index
+        j = np.argmax(cos, axis=1)
+        best_id[lo:lo + blk] = ids[j]
+        best_cos[lo:lo + blk] = cos[np.arange(cos.shape[0]), j]
+    return (["query_id", "neighbor_id", "cosine_sim"],
+            [(int(ids[i]), int(best_id[i]), round(float(best_cos[i]), 4))
+             for i in range(n) if not zero[i] and best_cos[i] != -np.inf])
+
+
 def quotient_oracle(name: str, sf_dir: str, oracle_sql: str):
     """Run the contract oracle verbatim over the distinct-(text, flags)
     quotient of documents, then fan results back out to all doc_ids."""
@@ -224,7 +269,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=".bench_data/sf10")
     ap.add_argument("--query", default=",".join(
-        sorted(PY_QUERIES | set(QUOTIENT_KEYS))))
+        sorted(PY_QUERIES | NUMPY_QUERIES | set(QUOTIENT_KEYS))))
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -245,6 +290,8 @@ def main():
             want_rows = brute_rows(name, docs)
             want_cols = (["doc_id", "cluster_id"]
                          if name == "d_minhash_clusters" else ["doc_id"])
+        elif name in NUMPY_QUERIES:
+            want_cols, want_rows = numpy_most_similar(args.sf)
         elif name in QUOTIENT_KEYS:
             want_cols, want_rows = quotient_oracle(
                 name, args.sf, oracles[name])
