@@ -43,14 +43,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.verify_oracle import to_rows  # noqa: E402
 
-PY_QUERIES = {"d_minhash_lsh", "d_simhash", "d_minhash_clusters"}
-NUMPY_QUERIES = {"s_most_similar"}
+PY_QUERIES = {"d_minhash_lsh", "d_simhash", "d_minhash_clusters",
+              "d_incremental_minhash", "q_pipeline_corpus_curation"}
+NUMPY_QUERIES = {"s_most_similar", "e_vendi_diversity", "x_kcenter_coreset"}
+# engine output -> parquet, multiset-diffed against the contract SQL in
+# DuckDB (EXCEPT ALL both ways): for rows whose sf10 failure mode is the
+# COMPARE volume (tens of millions of rows through collect + python
+# normalization), not oracle compute
+DIFF_QUERIES = {"q_unpivot"}
 # quotient rep keys beyond text: doc_id-derived flags the oracle reads
 QUOTIENT_KEYS: dict[str, list[str]] = {
     "t_langid": [],
     "f_stop_word": [],
     "t_language_filter": [],
     "x_reasoning_ngram_filter": [],
+    "e_cider": [],
+    "x_pipeline_text_pt": [],
     "q_pipeline_text_filter": ["doc_id % 31 = 0", "doc_id % 37 = 0",
                                "doc_id % 41 = 0", "doc_id % 43 = 0"],
 }
@@ -60,6 +68,8 @@ QUOTIENT_OUT_COLS: dict[str, list[str]] = {
     "f_stop_word": [],
     "t_language_filter": [],
     "x_reasoning_ngram_filter": ["repetition_score"],
+    "e_cider": ["cider"],
+    "x_pipeline_text_pt": [],
     "q_pipeline_text_filter": [],
 }
 
@@ -184,7 +194,185 @@ def brute_rows(name: str, docs):
 
         return _near_dup(docs, lambda txt: simhash_md5_one(txt, 4),
                          band_keys, verify, "hamming<=3", assign=False)
+    if name == "d_incremental_minhash":
+        return brute_incremental_minhash(docs)
     raise SystemExit(f"no python oracle for {name}")
+
+
+def brute_incremental_minhash(docs):
+    """Cross-corpus stage (new = doc_id%3!=0 vs existing = doc_id%3=0:
+    band-bucket candidates over DISTINCT signatures, est-Jaccard >= 0.9
+    verify), then the standard in-batch MinHash-LSH keep-first over the
+    survivors via the same _near_dup machinery the d_minhash_lsh brute
+    uses. Signature work is quotiented per distinct text — matching is
+    a pure function of the signature, so the fan-out is value-exact."""
+    from dataflow_spark.functions.hashing import minhash_md5_one
+
+    num_perm, rows, bands, t = 64, 16, 4, 0.9
+    memo: dict[str, tuple] = {}
+
+    def sig_of(text):
+        s = memo.get(text)
+        if s is None:
+            s = tuple(minhash_md5_one(text, num_perm, 5))
+            memo[text] = s
+        return s
+
+    def band_keys(sig):
+        return [(b, sig[b * rows:(b + 1) * rows]) for b in range(bands)]
+
+    def est(sa, sb):
+        return sum(1 for x, y in zip(sa, sb) if x == y) / num_perm
+
+    # band index over the distinct EXISTING signatures
+    buckets: dict[tuple, set] = {}
+    for did, text in docs:
+        if did % 3 == 0:
+            s = sig_of(text)
+            for bk in band_keys(s):
+                buckets.setdefault(bk, set()).add(s)
+    # per distinct NEW signature: matched iff any bucket-sharing
+    # existing signature verifies
+    matched: dict[tuple, bool] = {}
+    survivors = []
+    for did, text in docs:
+        if did % 3 == 0:
+            continue
+        s = sig_of(text)
+        m = matched.get(s)
+        if m is None:
+            m = any(est(s, e) >= t
+                    for bk in band_keys(s)
+                    for e in buckets.get(bk, ()))
+            matched[s] = m
+        if not m:
+            survivors.append((did, text))
+
+    def verify(sa, sb):
+        return est(sa, sb) >= t
+
+    def bk_lists(sig):
+        return [(b, tuple(sig[b * rows:(b + 1) * rows]))
+                for b in range(bands)]
+
+    return _near_dup(survivors, lambda txt: minhash_md5_one(txt, num_perm, 5),
+                     bk_lists, verify, "est_jaccard>=0.9", assign=False)
+
+
+def brute_corpus_curation(sf_dir: str):
+    """Independent python replay of the q_pipeline_corpus_curation
+    chain: 3-gram benchmark decontamination -> corpus-wide 10-word
+    segment dedup (global count + keep-first by (doc_id, pos)) ->
+    >=5-word filter -> domain-mixture downsampling -> md5 split
+    assignment. Float arithmetic mirrors the oracle's double ops in
+    written order so the sampling thresholds are bit-identical."""
+    import hashlib
+    import math
+    import re as _re
+
+    import duckdb
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, coalesce(text, '') AS text, source FROM '{p}' "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+
+    ws = _re.compile(r"\s+")
+    wmemo: dict[str, list] = {}
+
+    def words(t):
+        w = wmemo.get(t)
+        if w is None:
+            w = [x for x in ws.split(t) if x]
+            wmemo[t] = w
+        return w
+
+    gmemo: dict[str, frozenset] = {}
+
+    def grams3(t):
+        g = gmemo.get(t)
+        if g is None:
+            w = words(t)
+            if len(w) >= 3:
+                s = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            else:
+                s = {" ".join(w)}
+            s.discard("")
+            g = frozenset(s)
+            gmemo[t] = g
+        return g
+
+    bg: set = set()
+    for did, text, _ in rows:
+        if did % 50 == 0:
+            bg |= grams3(text)
+    clean_memo: dict[str, bool] = {}
+    clean = []
+    for did, text, src in rows:
+        if did % 50 == 0:
+            continue
+        ok = clean_memo.get(text)
+        if ok is None:
+            ok = not any(g in bg for g in grams3(text))
+            clean_memo[text] = ok
+        if ok:
+            clean.append((did, text, src))
+
+    smemo: dict[str, list] = {}
+
+    def segments(t):
+        s = smemo.get(t)
+        if s is None:
+            w = words(t)
+            s = [" ".join(w[i * 10:(i + 1) * 10])
+                 for i in range(math.ceil(len(w) / 10.0))]
+            smemo[t] = s
+        return s
+
+    count: dict[str, int] = {}
+    for _, text, _ in clean:
+        for s in segments(text):
+            count[s] = count.get(s, 0) + 1
+    seen: set = set()
+    kept = []  # (doc_id, source) of docs whose rebuilt text has >=5 words
+    for did, text, src in clean:  # clean is doc_id-ascending; pos in order
+        parts = []
+        for s in segments(text):
+            if count[s] < 2:
+                parts.append(s)
+            elif s not in seen:
+                seen.add(s)
+                parts.append(s)
+        rebuilt = " ".join(parts)
+        if len([x for x in ws.split(rebuilt) if x]) >= 5:
+            kept.append((did, src))
+
+    w2 = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    wsum = 0.4 + 0.3 + 0.2 + 0.1  # left-to-right, as the VALUES order sums
+    cnt: dict[str, float] = {}
+    for _, src in kept:
+        cnt[src] = cnt.get(src, 0.0) + 1.0
+    present = [s for s in ("src0", "src1", "src2", "src3") if s in cnt]
+    min_ratio = min(cnt[s] / (w2[s] / wsum) for s in present)
+    rate = {s: min(1.0, (w2[s] / wsum) * min_ratio / cnt[s]) for s in present}
+
+    def h16(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    out = []
+    for did, src in kept:
+        r = rate.get(src)
+        if r is None:
+            continue
+        if h16("mix" + str(did)) % 10000 < math.floor(r * 10000):
+            b = h16("split" + str(did)) % 10000
+            split = "train" if b < 9000 else ("val" if b < 9500 else "test")
+            out.append((did, src, split))
+    return ["doc_id", "source", "split"], out
 
 
 def numpy_most_similar(sf_dir: str):
@@ -229,6 +417,112 @@ def numpy_most_similar(sf_dir: str):
              for i in range(n) if not zero[i] and best_cos[i] != -np.inf])
 
 
+def _load_embeddings(sf_dir: str):
+    import duckdb
+    import numpy as np
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{p}' WHERE embedding IS NOT NULL "
+        "ORDER BY vec_id").fetchall()
+    n_total = con.execute(f"SELECT count(*) FROM '{p}'").fetchone()[0]
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    return n_total, ids, M
+
+
+def numpy_vendi(sf_dir: str):
+    """Order-2 Vendi via the Gram identity: sum_ij cos^2 = ||Vh^T Vh||_F^2
+    over the unit-normalized non-zero rows (zero-norm rows contribute
+    cs=0 to every pair but still count toward n). O(n d^2), no n x n
+    matrix — an independent closed-form twin of the contract's CROSS
+    JOIN oracle."""
+    import numpy as np
+
+    _, ids, M = _load_embeddings(sf_dir)
+    n = len(ids)  # oracle n = count of non-null embeddings
+    norms = np.sqrt((M * M).sum(axis=1))
+    nz = norms > 0
+    Vh = M[nz] / norms[nz, None]
+    G = Vh.T @ Vh
+    fro2 = float((G * G).sum())
+    return (["n", "vendi_score"], [(n, round(n * n / fro2, 4))])
+
+
+def numpy_kcenter(sf_dir: str, k: int = 50):
+    """Greedy k-center selection (min-id start, max-squared-distance
+    pick, min-id tie-break) replayed over the duckdb-loaded embedding
+    matrix — verifies the engine's Spark plumbing (collect, id carry,
+    semi-join) at a scale where the recursive-CTE oracle cannot run.
+    Squared distance is selection-equivalent to the oracle's euclidean
+    (sqrt is monotone; exact ties come from replicated identical
+    vectors, where both forms tie exactly)."""
+    import numpy as np
+
+    _, ids, X = _load_embeddings(sf_dir)
+    k = min(k, len(ids))
+    start = int(np.argmin(ids))
+    chosen = [start]
+    d = ((X - X[start]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        d[chosen] = -np.inf
+        cand = np.flatnonzero(d == d.max())
+        nxt = int(cand[np.argmin(ids[cand])])
+        chosen.append(nxt)
+        d = np.minimum(d, ((X - X[nxt]) ** 2).sum(axis=1))
+    return (["vec_id"], [(int(ids[i]),) for i in chosen])
+
+
+def parquet_diff(name: str, sf_dir: str, oracle_sql: str, sdf):
+    """Engine output -> parquet, then a DuckDB EXCEPT ALL multiset diff
+    against the contract oracle run over the same sf tables. Exact (no
+    float formatting, binary doubles compare bitwise) and streaming —
+    for rows where the sweep's collect-and-normalize COMPARE is the
+    bottleneck, not either engine."""
+    import duckdb
+    import shutil
+    import tempfile
+
+    base = os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), ".bench_data")
+    os.makedirs(base, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"diff_{name}_", dir=base)
+    try:
+        out_dir = os.path.join(tmp, "engine")
+        sdf.write.mode("overwrite").parquet(out_dir)
+        cols = ", ".join(sdf.columns)
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
+            if os.path.exists(os.path.dirname(p)) or os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        con.execute(
+            f"CREATE VIEW _engine AS SELECT {cols} FROM "
+            f"'{out_dir}/*.parquet'")
+        con.execute(f"CREATE VIEW _oracle AS SELECT {cols} FROM "
+                    f"({oracle_sql})")
+        n_eng, n_ora = con.execute(
+            "SELECT (SELECT count(*) FROM _engine), "
+            "(SELECT count(*) FROM _oracle)").fetchone()
+        n_diff = con.execute(
+            "SELECT count(*) FROM ("
+            "  (SELECT * FROM _engine EXCEPT ALL SELECT * FROM _oracle)"
+            "  UNION ALL "
+            "  (SELECT * FROM _oracle EXCEPT ALL SELECT * FROM _engine))"
+        ).fetchone()[0]
+        con.close()
+        return n_eng, n_ora, n_diff
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def quotient_oracle(name: str, sf_dir: str, oracle_sql: str):
     """Run the contract oracle verbatim over the distinct-(text, flags)
     quotient of documents, then fan results back out to all doc_ids."""
@@ -269,7 +563,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=".bench_data/sf10")
     ap.add_argument("--query", default=",".join(
-        sorted(PY_QUERIES | NUMPY_QUERIES | set(QUOTIENT_KEYS))))
+        sorted(PY_QUERIES | NUMPY_QUERIES | DIFF_QUERIES
+               | set(QUOTIENT_KEYS))))
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -284,12 +579,31 @@ def main():
     ok = True
     for name in args.query.split(","):
         t0 = time.time()
-        if name in PY_QUERIES:
+        if name in DIFF_QUERIES:
+            sdf = qs[name](spark, args.sf)
+            n_eng, n_ora, n_diff = parquet_diff(
+                name, args.sf, oracles[name], sdf)
+            dt = time.time() - t0
+            if n_diff == 0 and n_eng == n_ora:
+                print(f"PASS  {name}: {n_eng} rows exact "
+                      f"(parquet multiset diff, {dt:.1f}s)")
+            else:
+                print(f"FAIL  {name}: engine {n_eng} vs oracle {n_ora} "
+                      f"rows, {n_diff} multiset-diff rows ({dt:.1f}s)")
+                ok = False
+            continue
+        if name == "q_pipeline_corpus_curation":
+            want_cols, want_rows = brute_corpus_curation(args.sf)
+        elif name in PY_QUERIES:
             if docs is None:
                 docs = _load_docs(args.sf)
             want_rows = brute_rows(name, docs)
             want_cols = (["doc_id", "cluster_id"]
                          if name == "d_minhash_clusters" else ["doc_id"])
+        elif name == "e_vendi_diversity":
+            want_cols, want_rows = numpy_vendi(args.sf)
+        elif name == "x_kcenter_coreset":
+            want_cols, want_rows = numpy_kcenter(args.sf)
         elif name in NUMPY_QUERIES:
             want_cols, want_rows = numpy_most_similar(args.sf)
         elif name in QUOTIENT_KEYS:
