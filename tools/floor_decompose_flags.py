@@ -41,6 +41,10 @@ TABLES = {
     "q_funnel": ["events"],
     "q_sessionize": ["events"],
     "d_exact_hash": ["documents"],
+    "q5_regional_revenue": ["lineitem", "orders", "customer",
+                            "supplier", "nation", "region"],
+    "d_minhash_lsh": ["documents"],
+    "q_events_hourly": ["events"],
 }
 DEFAULT = ",".join(TABLES)
 
