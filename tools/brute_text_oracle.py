@@ -59,6 +59,7 @@ QUOTIENT_KEYS: dict[str, list[str]] = {
     "x_reasoning_ngram_filter": [],
     "e_cider": [],
     "x_pipeline_text_pt": [],
+    "t_quality_score": [],
     "q_pipeline_text_filter": ["doc_id % 31 = 0", "doc_id % 37 = 0",
                                "doc_id % 41 = 0", "doc_id % 43 = 0"],
 }
@@ -70,6 +71,7 @@ QUOTIENT_OUT_COLS: dict[str, list[str]] = {
     "x_reasoning_ngram_filter": ["repetition_score"],
     "e_cider": ["cider"],
     "x_pipeline_text_pt": [],
+    "t_quality_score": ["quality_score"],
     "q_pipeline_text_filter": [],
 }
 
