@@ -45,7 +45,8 @@ from tools.verify_oracle import to_rows  # noqa: E402
 
 PY_QUERIES = {"d_minhash_lsh", "d_simhash", "d_minhash_clusters",
               "d_incremental_minhash", "q_pipeline_corpus_curation"}
-NUMPY_QUERIES = {"s_most_similar", "e_vendi_diversity", "x_kcenter_coreset"}
+NUMPY_QUERIES = {"s_most_similar", "e_vendi_diversity", "x_kcenter_coreset",
+                 "d_semantic"}
 # engine output -> parquet, multiset-diffed against the contract SQL in
 # DuckDB (EXCEPT ALL both ways): for rows whose sf10 failure mode is the
 # COMPARE volume (tens of millions of rows through collect + python
@@ -479,6 +480,102 @@ def numpy_kcenter(sf_dir: str, k: int = 50):
     return (["vec_id"], [(int(ids[i]),) for i in chosen])
 
 
+def numpy_semantic(sf_dir: str, eps: float = 0.05, num_planes: int = 16,
+                   num_bands: int = 4, seed: int = 42):
+    """Third-family twin of d_semantic (SemDeduplicateFilter): exact
+    replication of the engine's semantics in numpy, feasible where the
+    contract SQL's in-bucket pair materialization OOMs (the replicated
+    sf100 corpus has ~1000 byte-identical copies per vector, so the
+    DuckDB twin's bucket join explodes ~quadratically per copy group
+    while both the engine and this twin collapse exact duplicates
+    first).
+
+    Faithful to dedup.py SemDeduplicateFilter step by step:
+    exact-embedding collapse (rep = min vec_id per identical vector) ->
+    hyperplane sign-bit band keys on reps (same RandomState(seed)
+    standard_normal plane family and (M @ planes.T) > 0 expression as
+    functions/vector.hyperplane_bands_udf) -> per-(band, h) bucket STAR
+    edges anchored at the bucket-min rep -> exact cosine verify at
+    >= 1 - eps with the engine's left-to-right double fold
+    (functions/vector.dot is F.aggregate's sequential sum, NOT numpy's
+    pairwise reduction) -> union-find components over verified star
+    edges (exact-collapse edges cannot change which rep is a component
+    minimum: every dup id is > its rep) -> survivors = ids equal to
+    their component's min."""
+    import numpy as np
+
+    _, ids, M = _load_embeddings(sf_dir)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    # exact-embedding collapse: group byte-identical vectors, rep = min id
+    uniq, first_idx = np.unique(
+        np.ascontiguousarray(M).view([("", M.dtype)] * M.shape[1]),
+        return_index=True)
+    rep_idx = np.sort(first_idx)  # ids sorted -> first occurrence = min id
+    reps = M[rep_idx]
+    rep_ids = ids[rep_idx]
+    # engine collapse groups by md5(concat_ws(',', cast(float as string)))
+    # — injective for distinct float values, so byte-grouping matches
+    key = {tuple(reps[i]): i for i in range(len(rep_idx))}
+    rep_of = np.array([key[tuple(M[i])] for i in range(len(ids))],
+                      dtype=np.int64)
+
+    width = num_planes // num_bands
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, M.shape[1]))
+    bits = (reps @ planes.T) > 0
+    weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+
+    def ltr_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+    thr = 1.0 - eps
+    parent = list(range(len(rep_idx)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    norms = [math.sqrt(ltr_dot(reps[i], reps[i]))
+             for i in range(len(rep_idx))]
+    for b in range(num_bands):
+        h = bits[:, b * width:(b + 1) * width].astype(np.int64) @ weights
+        buckets: dict[int, list[int]] = {}
+        for i, hv in enumerate(h):
+            buckets.setdefault(int(hv), []).append(i)
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            anchor = members[0]  # reps are id-sorted: first = min id
+            for m in members[1:]:
+                if norms[anchor] > 0 and norms[m] > 0:
+                    cos = ltr_dot(reps[anchor], reps[m]) / (
+                        norms[anchor] * norms[m])
+                    if cos >= thr:
+                        union(anchor, m)
+
+    comp_min = {}
+    for i in range(len(rep_idx)):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, rep_ids[r]), rep_ids[i])
+    survive = {i for i in range(len(rep_idx))
+               if rep_ids[i] == comp_min[find(i)]}
+    return (["vec_id"],
+            [(int(ids[j]),) for j in range(len(ids))
+             if rep_of[j] in survive and ids[j] == rep_ids[rep_of[j]]])
+
+
 def parquet_diff(name: str, sf_dir: str, oracle_sql: str, sdf):
     """Engine output -> parquet, then a DuckDB EXCEPT ALL multiset diff
     against the contract oracle run over the same sf tables. Exact (no
@@ -606,6 +703,8 @@ def main():
             want_cols, want_rows = numpy_vendi(args.sf)
         elif name == "x_kcenter_coreset":
             want_cols, want_rows = numpy_kcenter(args.sf)
+        elif name == "d_semantic":
+            want_cols, want_rows = numpy_semantic(args.sf)
         elif name in NUMPY_QUERIES:
             want_cols, want_rows = numpy_most_similar(args.sf)
         elif name in QUOTIENT_KEYS:
