@@ -142,6 +142,22 @@ class BruteForceKNN(Operator):
                 qid_, qm_, qn_ = bc.value
                 nq = len(qid_)
                 dim_ = qm_.shape[1]
+                # unit-normalized query matrix, built once per task:
+                # the sims GEMM then yields cosines directly — no
+                # 128MB/block denom + np.where temporaries (the r8
+                # profile's top cost). Zero-norm rows stay all-zero and
+                # are masked to -inf below. Candidate SELECTION only;
+                # final scores still come from the per-pair rescore.
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    qu_ = np.divide(qm_, qn_[:, None],
+                                    out=np.zeros_like(qm_),
+                                    where=qn_[:, None] > 0)
+                # self-exclusion by id lookup, not broadcast equality:
+                # qid_ is dtype=object, so cid[:,None] == qid_[None,:]
+                # was 16M python __eq__ calls per block — the silent
+                # dominator of the sf10 s_most_similar wall
+                qpos_ = ({v: i for i, v in enumerate(qid_)}
+                         if not include_self else None)
                 for pdf in batches:
                     # null / dimension-mismatched corpus vectors: the
                     # join path computes a null cosine for them and
@@ -157,23 +173,58 @@ class BruteForceKNN(Operator):
                          for i in keep])
                     cn = np.sqrt((cm * cm).sum(axis=1))
                     cid = pdf["_cid"].to_numpy()[keep]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cu = np.divide(cm, cn[:, None],
+                                       out=np.zeros_like(cm),
+                                       where=cn[:, None] > 0)
+                    czero = np.nonzero(cn == 0)[0]
+                    b = cm.shape[0]
+                    kk = min(k, b)
+                    cuT = np.ascontiguousarray(cu.T)
+                    # self pairs present in this batch: (global query
+                    # row, corpus row) via dict lookup — O(b), not
+                    # O(b x nq)
+                    if qpos_ is not None:
+                        sx = [(qpos_[c], i) for i, c in enumerate(cid)
+                              if c in qpos_]
+                        sxq = np.array([p[0] for p in sx], dtype=np.int64)
+                        sxc = np.array([p[1] for p in sx], dtype=np.int64)
+                    else:
+                        sxq = sxc = None
                     o_q, o_n, o_s = [], [], []
                     # bound the sim block to ~16M float64 (128MB/worker)
-                    qblk = max(1, (1 << 24) // max(len(pdf), 1))
+                    qblk = max(1, (1 << 24) // max(b, 1))
+                    # preallocated per-batch buffers, reused across
+                    # blocks via out=: a fresh 128MB allocation per
+                    # GEMM/partition/mask turned into mmap+munmap page
+                    # churn under 32 concurrent workers (measured 63x
+                    # GEMM slowdown vs idle — TLB-shootdown storm, the
+                    # true sf10 s_most_similar dominator)
+                    nr0 = min(qblk, nq)
+                    sims_buf = np.empty((nr0, b))
+                    pbuf = np.empty((nr0, b)) if kk > 1 else None
+                    maskb = np.empty((nr0, b), dtype=bool)
+                    tmpb = np.empty((nr0, b), dtype=bool) if kk > 1 else None
+                    kthb = np.empty(nr0)
                     for lo in range(0, nq, qblk):
-                        qs = qm_[lo:lo + qblk]
+                        nr = min(qblk, nq - lo)
+                        # query-major sims: kth-extraction reduces
+                        # along the CONTIGUOUS axis (the corpus-major
+                        # layout's axis-0 partition was 5x slower on
+                        # strided columns)
+                        sims = sims_buf[:nr]
+                        np.matmul(qu_[lo:lo + nr], cuT, out=sims)
                         # zero-norm vectors never match (join path:
                         # null cosine, excluded from any ranked prefix)
-                        denom = cn[:, None] * qn_[None, lo:lo + qblk]
-                        sims = np.where(
-                            denom > 0,
-                            (cm @ qs.T) / np.where(denom == 0, 1.0, denom),
-                            -np.inf)
-                        if not include_self:
-                            sims[cid[:, None]
-                                 == qid_[None, lo:lo + qblk]] = -np.inf
-                        b = sims.shape[0]
-                        kk = min(k, b)
+                        if len(czero):
+                            sims[:, czero] = -np.inf
+                        qzero = np.nonzero(qn_[lo:lo + nr] == 0)[0]
+                        if len(qzero):
+                            sims[qzero, :] = -np.inf
+                        if sxq is not None and len(sxq):
+                            m = (sxq >= lo) & (sxq < lo + nr)
+                            if m.any():
+                                sims[sxq[m] - lo, sxc[m]] = -np.inf
                         # kth-highest per query, then ALL candidates
                         # within an ulp margin of it: duplicate vectors
                         # tie constantly on a templated corpus, and GEMM
@@ -182,42 +233,85 @@ class BruteForceKNN(Operator):
                         # breaking the ties-to-smaller-id contract (sf1:
                         # 152/20k wrong representatives). Candidates are
                         # re-scored with a shape-independent per-pair
-                        # dot before ranking.
-                        kth = np.partition(sims, b - kk, axis=0)[b - kk]
-                        for j in range(sims.shape[1]):
-                            col = sims[:, j]
-                            cut = kth[j]
-                            if cut == -np.inf:
-                                cand = np.nonzero(col > -np.inf)[0]
-                            else:
-                                # max(relative, absolute): a purely
-                                # relative margin collapses below GEMM
-                                # absolute error (~1e-13) when the kth
-                                # cosine sits near zero, silently
-                                # dropping true tied neighbors (ADVICE
-                                # r6)
-                                cand = np.nonzero(
-                                    col >= cut
-                                    - max(1e-9 * abs(cut), 1e-12))[0]
-                            if not len(cand):
+                        # dot before ranking. k=1 needs only the row
+                        # max (single pass, no partition copy).
+                        if kk == 1:
+                            kth = np.max(sims, axis=1, out=kthb[:nr])
+                        else:
+                            p = pbuf[:nr]
+                            np.copyto(p, sims)
+                            p.partition(b - kk, axis=1)
+                            kth = p[:, b - kk]
+                        # vectorized candidate extraction (r8): the old
+                        # per-query python loop (np.nonzero per strided
+                        # column) plus the np.where cosine temporaries
+                        # dominated the sf10 s_most_similar wall. One
+                        # block-wide mask extracts every (query, corpus)
+                        # candidate pair in C. Per-query threshold:
+                        # kth minus max(relative, absolute) margin — a
+                        # purely relative margin collapses below GEMM
+                        # absolute error (~1e-13) when the kth cosine
+                        # sits near zero (ADVICE r6). kth == -inf gives
+                        # thr == -inf (IEEE: -inf - inf = -inf); the
+                        # two branches below handle that row exactly as
+                        # the original per-column code did.
+                        thr = kth - np.maximum(1e-9 * np.abs(kth), 1e-12)
+                        mask = maskb[:nr]
+                        if kk == 1:
+                            # kth is the row max: kth == -inf means the
+                            # whole row is masked (no candidates) — set
+                            # thr to +inf there and a single >= pass
+                            # reproduces the 3-op mask below exactly
+                            # (finite kth: -inf >= finite thr is False,
+                            # so the > -inf term is redundant)
+                            thr[kth == -np.inf] = np.inf
+                            np.greater_equal(sims, thr[:, None], out=mask)
+                        else:
+                            # kth == -inf with kk > 1 can coexist with
+                            # finite entries (fewer than kk unmasked):
+                            # candidates are then ALL unmasked entries
+                            tmp = tmpb[:nr]
+                            np.greater(sims, -np.inf, out=mask)
+                            np.greater_equal(sims, thr[:, None], out=tmp)
+                            np.logical_and(mask, tmp, out=mask)
+                        # row-chunked nonzero: bounds the pair-array
+                        # peak on degenerate all-duplicate corpora
+                        # (worst case qblk x b pairs) without changing
+                        # total scan work
+                        for r0 in range(0, sims.shape[0], 512):
+                            qr, ci = np.nonzero(mask[r0:r0 + 512])
+                            if not len(qr):
                                 continue
-                            qv, qnj = qs[j], qn_[lo + j]
-                            scored = []
-                            for i in cand:
-                                if col[i] == -np.inf:
-                                    continue  # masked: self/zero-norm
-                                s = (float(np.dot(cm[i], qv))
-                                     / (cn[i] * qnj))
-                                scored.append((-s, cid[i], s))
-                            scored.sort(key=lambda u: (u[0], u[1]))
-                            for negs, nid, s in scored[:kk]:
-                                o_q.append(qid_[lo + j])
-                                o_n.append(nid)
-                                o_s.append(s)
+                            qr = qr + r0
+                            # per-pair np.dot rescore, unchanged from
+                            # the original scalar path: same op, same
+                            # operand order on the UNnormalized vectors
+                            # — shape-independent across batch
+                            # compositions (the tie-bug lesson)
+                            sarr = np.empty(len(qr), dtype=np.float64)
+                            for t in range(len(qr)):
+                                i, g = ci[t], lo + qr[t]
+                                sarr[t] = (float(np.dot(cm[i], qm_[g]))
+                                           / (cn[i] * qn_[g]))
+                            ncid = cid[ci]
+                            # rank within query: cosine desc, id asc —
+                            # lexsort's last key is primary
+                            order = np.lexsort((ncid, -sarr, qr))
+                            js = qr[order]
+                            starts = np.r_[0, 1 + np.flatnonzero(
+                                js[1:] != js[:-1])]
+                            sizes = np.diff(np.r_[starts, len(js)])
+                            rank = (np.arange(len(js))
+                                    - np.repeat(starts, sizes))
+                            keep_p = order[rank < kk]
+                            o_q.append(qid_[lo + qr[keep_p]])
+                            o_n.append(ncid[keep_p])
+                            o_s.append(sarr[keep_p])
                     if o_q:
-                        yield pd.DataFrame({"query_id": o_q,
-                                            "neighbor_id": o_n,
-                                            "cosine_sim": o_s})
+                        yield pd.DataFrame(
+                            {"query_id": np.concatenate(o_q),
+                             "neighbor_id": np.concatenate(o_n),
+                             "cosine_sim": np.concatenate(o_s)})
 
             return topk_partials
 

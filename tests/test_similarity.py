@@ -143,3 +143,27 @@ def test_lsh_paths_agree_with_zero_norm_vectors(spark):
     assert all(c is not None for _, _, c in b)
     # the zero-norm query contributes no rows on either path
     assert not any(qi == 4 for qi, _, _ in a)
+
+
+def test_matmul_k1_ties_to_smaller_id_with_zero_norms(spark):
+    """k == 1 takes a distinct fast path in the dense worker (row max +
+    single-pass fused mask, r8): exact-duplicate vectors must still tie
+    to the smaller neighbor id, zero-norm rows must produce and receive
+    no matches, and the result must agree with the exact join path."""
+    dup = [0.6, 0.8]
+    rows = ([(i, dup) for i in (7, 3, 5)]          # byte-identical trio
+            + [(10, [0.0, 0.0]), (11, [1.0, 0.0]), (12, [0.99, 0.02])])
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    common = {"k": 1, "id_key": "id", "embedding_key": "embedding"}
+    dense = get_operator("BruteForceKNN", common)
+    joinp = get_operator("BruteForceKNN", {**common, "dense_broadcast_mb": 0})
+    d = _knn(dense.run(df).collect())
+    j = _knn(joinp.run(df).collect())
+    assert d == j
+    top = {(q, n) for q, n, _ in d}
+    # duplicates pair with the SMALLEST other duplicate id
+    assert (5, 3) in top and (7, 3) in top and (3, 5) in top
+    # zero-norm row: no matches either direction
+    assert not any(q == 10 or n == 10 for q, n in top)
+    # every non-zero-norm query got exactly one neighbor
+    assert len(d) == 5

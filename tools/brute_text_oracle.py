@@ -381,10 +381,18 @@ def brute_corpus_curation(sf_dir: str):
 def numpy_most_similar(sf_dir: str):
     """Chunked float64 GEMM top-1 oracle for s_most_similar: every
     vector's highest-cosine neighbor, ties to the smaller id (the
-    contract's ORDER BY cos DESC, id ASC), cosine rounded to 4. Exact
-    ties (the replicated corpus has byte-identical vectors) produce
-    bitwise-equal cosines in any correct implementation, so the id
-    tie-break is implementation-independent."""
+    contract's ORDER BY cos DESC, id ASC), cosine rounded to 4.
+
+    Tie robustness (r8): byte-identical duplicate vectors do NOT get
+    bitwise-equal cosines out of one GEMM — measured on this box, a
+    single GEMV gives 1.0 for one copy and 1.0000000000000002 for
+    another (SIMD/blocking position effects), so a bare argmax breaks
+    ties by kernel luck, not by the contract. Candidates within a
+    relative margin of the row max are therefore re-scored with a
+    per-pair np.dot on the original vectors — deterministic for equal
+    content regardless of position — and ranked (cos desc, id asc).
+    Ranking between genuinely distinct cosines still comes from this
+    tool's own blocked GEMM, independent of the engine's plan."""
     import duckdb
     import numpy as np
 
@@ -402,19 +410,50 @@ def numpy_most_similar(sf_dir: str):
     best_id = np.zeros(n, dtype=np.int64)
     best_cos = np.full(n, -np.inf)
     zero = norms == 0  # null-cosine rows are excluded on both sides
-    blk = 4096
+    blk = 2048
+    # pre-normalized unit vectors + ONE reused GEMM buffer: the
+    # expression form allocated ~20GB of temporaries per block, and on
+    # this VM first-touch page faults run at ~50MB/s — the oracle spent
+    # 85%+ of its wall in the kernel faulting freshly-mmapped pages.
+    # Candidate RANKING between genuinely distinct cosines is unchanged
+    # (any two cosines further than 1e-9 apart order identically); all
+    # near-ties are settled by the exact per-pair rescore below.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Mu = np.divide(M, norms[:, None], out=np.zeros_like(M),
+                       where=norms[:, None] > 0)
+    rawb = np.empty((min(blk, n), n))
+    maskb = np.empty((min(blk, n), n), dtype=bool)
     for lo in range(0, n, blk):
-        q = M[lo:lo + blk]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = (q @ M.T) / (norms[lo:lo + blk, None] * norms[None, :])
+        nr = min(blk, n - lo)
+        cos = rawb[:nr]
+        np.matmul(Mu[lo:lo + nr], Mu.T, out=cos)
         cos[:, zero] = -np.inf
-        for i in range(cos.shape[0]):
+        for i in range(nr):
             cos[i, lo + i] = -np.inf  # self excluded
-        # argmax with tie -> smallest id: ids are sorted ascending, and
-        # np.argmax returns the FIRST maximal index
-        j = np.argmax(cos, axis=1)
-        best_id[lo:lo + blk] = ids[j]
-        best_cos[lo:lo + blk] = cos[np.arange(cos.shape[0]), j]
+        mx = np.max(cos, axis=1)
+        # candidates within max(relative, absolute) margin of the row
+        # max; rows with no finite entry and zero-norm query rows
+        # (their unit row is all-zero, giving cos 0, not the join
+        # path's null) keep none
+        thr = mx - np.maximum(1e-9 * np.abs(mx), 1e-12)
+        thr[~np.isfinite(mx)] = np.inf
+        thr[zero[lo:lo + nr]] = np.inf
+        mask = maskb[:nr]
+        np.greater_equal(cos, thr[:, None], out=mask)
+        rr, cc = np.nonzero(mask)
+        if not len(rr):
+            continue
+        s = np.empty(len(rr))
+        for t in range(len(rr)):
+            qi, ci = lo + rr[t], cc[t]
+            s[t] = (float(np.dot(M[qi], M[ci]))
+                    / (norms[qi] * norms[ci]))
+        order = np.lexsort((ids[cc], -s, rr))
+        rs = rr[order]
+        starts = np.r_[0, 1 + np.flatnonzero(rs[1:] != rs[:-1])]
+        win = order[starts]  # first of each row group = best
+        best_id[lo + rr[win]] = ids[cc[win]]
+        best_cos[lo + rr[win]] = s[win]
     return (["query_id", "neighbor_id", "cosine_sim"],
             [(int(ids[i]), int(best_id[i]), round(float(best_cos[i]), 4))
              for i in range(n) if not zero[i] and best_cos[i] != -np.inf])
