@@ -158,8 +158,15 @@ def _star_contraction(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     (count + sum of edge hashes) going stable — one extra cheap round
     instead of an exceptAll anti-join.
     """
+    # checkpoint the INITIAL edge set too (r8): every round references
+    # e twice through sym and again through the join, so an
+    # unchckpointed first round re-executes the entire upstream
+    # pipeline (signatures + banding + verify over the full corpus)
+    # 6-8x — at 5M docs that alone exceeded the r7-era 600s budget.
+    # Rounds 2+ were already bounded by the end-of-round checkpoint.
     e = _canon_edges(edges.select(F.col("src").cast("long").alias("src"),
-                                  F.col("dst").cast("long").alias("dst")))
+                                  F.col("dst").cast("long").alias("dst"))
+                     ).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         # large-star over symmetric neighborhoods
