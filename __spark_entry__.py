@@ -6124,7 +6124,14 @@ _REVERIFY_HEAD = [
     # join-path null-cosine fix, the dedup-base _row_id tracking), then
     # the 50-slot head filled by the stalest names after r7 — the 34
     # last checked in r2 and the alphabetically-first 9 of the r3 set
-    # (computed from CORRECTNESS_r01-07 keys).
+    # (computed from CORRECTNESS_r01-07 keys). Late-r8 session adds:
+    # the BruteForceKNN matmul worker was rewritten (buffer reuse,
+    # query-major pre-normalized GEMM, vectorized tie extraction) and
+    # connected_components gained the initial-edge checkpoint, so the
+    # queries on those paths lead.
+    "s_most_similar",
+    "s_knn_brute",
+    "d_minhash_clusters",
     "q_pagerank",
     "q_connected_components",
     "q_fuzzy_join",
