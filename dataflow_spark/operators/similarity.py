@@ -20,6 +20,220 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import vector as V
 
 
+#: per-block float64 entry budget for the dense GEMM worker (one sims
+#: buffer = entries x 8 bytes = 128MB). Module-level so the allocation
+#: -pattern test can shrink it to force many blocks per batch and
+#: assert the buffer set is still allocated exactly once (ENGINE RULE,
+#: r8: preallocate block buffers once per batch, compute via out= —
+#: freshly-mmapped numpy temporaries first-touch-fault at ~50MB/s, so
+#: per-block allocation across 32 workers is a 63x kernel page-fault
+#: storm; see PLANS.md "buffer reuse" and docs/engineering-notes.md).
+_GEMM_BLOCK_ENTRIES = 1 << 24
+
+
+def _dense_topk_worker(bc, k, include_self):
+    """Build the mapInPandas worker for BruteForceKNN's dense path.
+
+    Module-level (not a method closure) so tests can drive it directly
+    with a stub broadcast and instrument its allocation pattern.
+    """
+    import numpy as np
+
+    def topk_partials(batches):
+        import pandas as pd
+
+        qid_, qm_, qn_ = bc.value
+        nq = len(qid_)
+        dim_ = qm_.shape[1]
+        # unit-normalized query matrix, built once per task:
+        # the sims GEMM then yields cosines directly — no
+        # 128MB/block denom + np.where temporaries (the r8
+        # profile's top cost). Zero-norm rows stay all-zero and
+        # are masked to -inf below. Candidate SELECTION only;
+        # final scores still come from the per-pair rescore.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            qu_ = np.divide(qm_, qn_[:, None],
+                            out=np.zeros_like(qm_),
+                            where=qn_[:, None] > 0)
+        # self-exclusion by id lookup, not broadcast equality:
+        # qid_ is dtype=object, so cid[:,None] == qid_[None,:]
+        # was 16M python __eq__ calls per block — the silent
+        # dominator of the sf10 s_most_similar wall. Each id
+        # maps to ALL of its query-row positions (ADVICE r8: a
+        # last-wins dict masked only one row per duplicated id,
+        # diverging from the join path's neighbor_id != query_id
+        # filter on malformed non-unique-id input)
+        if not include_self:
+            qpos_ = {}
+            for i, v in enumerate(qid_):
+                qpos_.setdefault(v, []).append(i)
+        else:
+            qpos_ = None
+        for pdf in batches:
+            # null / dimension-mismatched corpus vectors: the
+            # join path computes a null cosine for them and
+            # excludes the row; np.stack would instead raise on
+            # the whole batch (ADVICE r6) — drop before stacking
+            vals = pdf["_c_emb"]
+            keep = [i for i, v in enumerate(vals)
+                    if v is not None and len(v) == dim_]
+            if not keep:
+                continue
+            cm = np.stack(
+                [np.asarray(vals.iloc[i], dtype=np.float64)
+                 for i in keep])
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            cid = pdf["_cid"].to_numpy()[keep]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cu = np.divide(cm, cn[:, None],
+                               out=np.zeros_like(cm),
+                               where=cn[:, None] > 0)
+            czero = np.nonzero(cn == 0)[0]
+            b = cm.shape[0]
+            kk = min(k, b)
+            cuT = np.ascontiguousarray(cu.T)
+            # self pairs present in this batch: (global query
+            # row, corpus row) via dict lookup — O(b), not
+            # O(b x nq)
+            if qpos_ is not None:
+                sx = [(g, i) for i, c in enumerate(cid)
+                      if c in qpos_ for g in qpos_[c]]
+                sxq = np.array([p[0] for p in sx], dtype=np.int64)
+                sxc = np.array([p[1] for p in sx], dtype=np.int64)
+            else:
+                sxq = sxc = None
+            o_q, o_n, o_s = [], [], []
+            # qblk bounds ONE float64 buffer to ~16M entries
+            # (128MB). Steady-state worker footprint is the
+            # buffer SET below: k=1 -> sims + bool mask ~144MB;
+            # k>1 -> sims + partition copy + 2 bool masks
+            # ~290MB. All preallocated once per batch, so the
+            # bound is a plateau, not churn; 32 workers x 290MB
+            # = ~9GB, sized for a 128GB box / 4GB-executor
+            # cluster task
+            qblk = max(1, _GEMM_BLOCK_ENTRIES // max(b, 1))
+            # preallocated per-batch buffers, reused across
+            # blocks via out=: a fresh 128MB allocation per
+            # GEMM/partition/mask turned into mmap+munmap page
+            # churn under 32 concurrent workers (measured 63x
+            # GEMM slowdown vs idle — TLB-shootdown storm, the
+            # true sf10 s_most_similar dominator)
+            nr0 = min(qblk, nq)
+            sims_buf = np.empty((nr0, b))
+            pbuf = np.empty((nr0, b)) if kk > 1 else None
+            maskb = np.empty((nr0, b), dtype=bool)
+            tmpb = np.empty((nr0, b), dtype=bool) if kk > 1 else None
+            kthb = np.empty(nr0)
+            for lo in range(0, nq, qblk):
+                nr = min(qblk, nq - lo)
+                # query-major sims: kth-extraction reduces
+                # along the CONTIGUOUS axis (the corpus-major
+                # layout's axis-0 partition was 5x slower on
+                # strided columns)
+                sims = sims_buf[:nr]
+                np.matmul(qu_[lo:lo + nr], cuT, out=sims)
+                # zero-norm vectors never match (join path:
+                # null cosine, excluded from any ranked prefix)
+                if len(czero):
+                    sims[:, czero] = -np.inf
+                qzero = np.nonzero(qn_[lo:lo + nr] == 0)[0]
+                if len(qzero):
+                    sims[qzero, :] = -np.inf
+                if sxq is not None and len(sxq):
+                    m = (sxq >= lo) & (sxq < lo + nr)
+                    if m.any():
+                        sims[sxq[m] - lo, sxc[m]] = -np.inf
+                # kth-highest per query, then ALL candidates
+                # within an ulp margin of it: duplicate vectors
+                # tie constantly on a templated corpus, and GEMM
+                # ulps vary with batch SHAPE — the same content
+                # can rank differently in different batches,
+                # breaking the ties-to-smaller-id contract (sf1:
+                # 152/20k wrong representatives). Candidates are
+                # re-scored with a shape-independent per-pair
+                # dot before ranking. k=1 needs only the row
+                # max (single pass, no partition copy).
+                if kk == 1:
+                    kth = np.max(sims, axis=1, out=kthb[:nr])
+                else:
+                    p = pbuf[:nr]
+                    np.copyto(p, sims)
+                    p.partition(b - kk, axis=1)
+                    kth = p[:, b - kk]
+                # vectorized candidate extraction (r8): the old
+                # per-query python loop (np.nonzero per strided
+                # column) plus the np.where cosine temporaries
+                # dominated the sf10 s_most_similar wall. One
+                # block-wide mask extracts every (query, corpus)
+                # candidate pair in C. Per-query threshold:
+                # kth minus max(relative, absolute) margin — a
+                # purely relative margin collapses below GEMM
+                # absolute error (~1e-13) when the kth cosine
+                # sits near zero (ADVICE r6). kth == -inf gives
+                # thr == -inf (IEEE: -inf - inf = -inf); the
+                # two branches below handle that row exactly as
+                # the original per-column code did.
+                thr = kth - np.maximum(1e-9 * np.abs(kth), 1e-12)
+                mask = maskb[:nr]
+                if kk == 1:
+                    # kth is the row max: kth == -inf means the
+                    # whole row is masked (no candidates) — set
+                    # thr to +inf there and a single >= pass
+                    # reproduces the 3-op mask below exactly
+                    # (finite kth: -inf >= finite thr is False,
+                    # so the > -inf term is redundant)
+                    thr[kth == -np.inf] = np.inf
+                    np.greater_equal(sims, thr[:, None], out=mask)
+                else:
+                    # kth == -inf with kk > 1 can coexist with
+                    # finite entries (fewer than kk unmasked):
+                    # candidates are then ALL unmasked entries
+                    tmp = tmpb[:nr]
+                    np.greater(sims, -np.inf, out=mask)
+                    np.greater_equal(sims, thr[:, None], out=tmp)
+                    np.logical_and(mask, tmp, out=mask)
+                # row-chunked nonzero: bounds the pair-array
+                # peak on degenerate all-duplicate corpora
+                # (worst case qblk x b pairs) without changing
+                # total scan work
+                for r0 in range(0, sims.shape[0], 512):
+                    qr, ci = np.nonzero(mask[r0:r0 + 512])
+                    if not len(qr):
+                        continue
+                    qr = qr + r0
+                    # per-pair np.dot rescore, unchanged from
+                    # the original scalar path: same op, same
+                    # operand order on the UNnormalized vectors
+                    # — shape-independent across batch
+                    # compositions (the tie-bug lesson)
+                    sarr = np.empty(len(qr), dtype=np.float64)
+                    for t in range(len(qr)):
+                        i, g = ci[t], lo + qr[t]
+                        sarr[t] = (float(np.dot(cm[i], qm_[g]))
+                                   / (cn[i] * qn_[g]))
+                    ncid = cid[ci]
+                    # rank within query: cosine desc, id asc —
+                    # lexsort's last key is primary
+                    order = np.lexsort((ncid, -sarr, qr))
+                    js = qr[order]
+                    starts = np.r_[0, 1 + np.flatnonzero(
+                        js[1:] != js[:-1])]
+                    sizes = np.diff(np.r_[starts, len(js)])
+                    rank = (np.arange(len(js))
+                            - np.repeat(starts, sizes))
+                    keep_p = order[rank < kk]
+                    o_q.append(qid_[lo + qr[keep_p]])
+                    o_n.append(ncid[keep_p])
+                    o_s.append(sarr[keep_p])
+            if o_q:
+                yield pd.DataFrame(
+                    {"query_id": np.concatenate(o_q),
+                     "neighbor_id": np.concatenate(o_n),
+                     "cosine_sim": np.concatenate(o_s)})
+
+    return topk_partials
+
+
 def _merge_partial_topk(partials: DataFrame, k: int) -> DataFrame:
     """Global top-k per query from per-batch partial top-k rows.
 
@@ -135,186 +349,6 @@ class BruteForceKNN(Operator):
             + df.schema[self.id_key].dataType.simpleString()
             + ", cosine_sim double")
 
-        def _slab_partials(bc):
-            def topk_partials(batches):
-                import pandas as pd
-
-                qid_, qm_, qn_ = bc.value
-                nq = len(qid_)
-                dim_ = qm_.shape[1]
-                # unit-normalized query matrix, built once per task:
-                # the sims GEMM then yields cosines directly — no
-                # 128MB/block denom + np.where temporaries (the r8
-                # profile's top cost). Zero-norm rows stay all-zero and
-                # are masked to -inf below. Candidate SELECTION only;
-                # final scores still come from the per-pair rescore.
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    qu_ = np.divide(qm_, qn_[:, None],
-                                    out=np.zeros_like(qm_),
-                                    where=qn_[:, None] > 0)
-                # self-exclusion by id lookup, not broadcast equality:
-                # qid_ is dtype=object, so cid[:,None] == qid_[None,:]
-                # was 16M python __eq__ calls per block — the silent
-                # dominator of the sf10 s_most_similar wall
-                qpos_ = ({v: i for i, v in enumerate(qid_)}
-                         if not include_self else None)
-                for pdf in batches:
-                    # null / dimension-mismatched corpus vectors: the
-                    # join path computes a null cosine for them and
-                    # excludes the row; np.stack would instead raise on
-                    # the whole batch (ADVICE r6) — drop before stacking
-                    vals = pdf["_c_emb"]
-                    keep = [i for i, v in enumerate(vals)
-                            if v is not None and len(v) == dim_]
-                    if not keep:
-                        continue
-                    cm = np.stack(
-                        [np.asarray(vals.iloc[i], dtype=np.float64)
-                         for i in keep])
-                    cn = np.sqrt((cm * cm).sum(axis=1))
-                    cid = pdf["_cid"].to_numpy()[keep]
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        cu = np.divide(cm, cn[:, None],
-                                       out=np.zeros_like(cm),
-                                       where=cn[:, None] > 0)
-                    czero = np.nonzero(cn == 0)[0]
-                    b = cm.shape[0]
-                    kk = min(k, b)
-                    cuT = np.ascontiguousarray(cu.T)
-                    # self pairs present in this batch: (global query
-                    # row, corpus row) via dict lookup — O(b), not
-                    # O(b x nq)
-                    if qpos_ is not None:
-                        sx = [(qpos_[c], i) for i, c in enumerate(cid)
-                              if c in qpos_]
-                        sxq = np.array([p[0] for p in sx], dtype=np.int64)
-                        sxc = np.array([p[1] for p in sx], dtype=np.int64)
-                    else:
-                        sxq = sxc = None
-                    o_q, o_n, o_s = [], [], []
-                    # bound the sim block to ~16M float64 (128MB/worker)
-                    qblk = max(1, (1 << 24) // max(b, 1))
-                    # preallocated per-batch buffers, reused across
-                    # blocks via out=: a fresh 128MB allocation per
-                    # GEMM/partition/mask turned into mmap+munmap page
-                    # churn under 32 concurrent workers (measured 63x
-                    # GEMM slowdown vs idle — TLB-shootdown storm, the
-                    # true sf10 s_most_similar dominator)
-                    nr0 = min(qblk, nq)
-                    sims_buf = np.empty((nr0, b))
-                    pbuf = np.empty((nr0, b)) if kk > 1 else None
-                    maskb = np.empty((nr0, b), dtype=bool)
-                    tmpb = np.empty((nr0, b), dtype=bool) if kk > 1 else None
-                    kthb = np.empty(nr0)
-                    for lo in range(0, nq, qblk):
-                        nr = min(qblk, nq - lo)
-                        # query-major sims: kth-extraction reduces
-                        # along the CONTIGUOUS axis (the corpus-major
-                        # layout's axis-0 partition was 5x slower on
-                        # strided columns)
-                        sims = sims_buf[:nr]
-                        np.matmul(qu_[lo:lo + nr], cuT, out=sims)
-                        # zero-norm vectors never match (join path:
-                        # null cosine, excluded from any ranked prefix)
-                        if len(czero):
-                            sims[:, czero] = -np.inf
-                        qzero = np.nonzero(qn_[lo:lo + nr] == 0)[0]
-                        if len(qzero):
-                            sims[qzero, :] = -np.inf
-                        if sxq is not None and len(sxq):
-                            m = (sxq >= lo) & (sxq < lo + nr)
-                            if m.any():
-                                sims[sxq[m] - lo, sxc[m]] = -np.inf
-                        # kth-highest per query, then ALL candidates
-                        # within an ulp margin of it: duplicate vectors
-                        # tie constantly on a templated corpus, and GEMM
-                        # ulps vary with batch SHAPE — the same content
-                        # can rank differently in different batches,
-                        # breaking the ties-to-smaller-id contract (sf1:
-                        # 152/20k wrong representatives). Candidates are
-                        # re-scored with a shape-independent per-pair
-                        # dot before ranking. k=1 needs only the row
-                        # max (single pass, no partition copy).
-                        if kk == 1:
-                            kth = np.max(sims, axis=1, out=kthb[:nr])
-                        else:
-                            p = pbuf[:nr]
-                            np.copyto(p, sims)
-                            p.partition(b - kk, axis=1)
-                            kth = p[:, b - kk]
-                        # vectorized candidate extraction (r8): the old
-                        # per-query python loop (np.nonzero per strided
-                        # column) plus the np.where cosine temporaries
-                        # dominated the sf10 s_most_similar wall. One
-                        # block-wide mask extracts every (query, corpus)
-                        # candidate pair in C. Per-query threshold:
-                        # kth minus max(relative, absolute) margin — a
-                        # purely relative margin collapses below GEMM
-                        # absolute error (~1e-13) when the kth cosine
-                        # sits near zero (ADVICE r6). kth == -inf gives
-                        # thr == -inf (IEEE: -inf - inf = -inf); the
-                        # two branches below handle that row exactly as
-                        # the original per-column code did.
-                        thr = kth - np.maximum(1e-9 * np.abs(kth), 1e-12)
-                        mask = maskb[:nr]
-                        if kk == 1:
-                            # kth is the row max: kth == -inf means the
-                            # whole row is masked (no candidates) — set
-                            # thr to +inf there and a single >= pass
-                            # reproduces the 3-op mask below exactly
-                            # (finite kth: -inf >= finite thr is False,
-                            # so the > -inf term is redundant)
-                            thr[kth == -np.inf] = np.inf
-                            np.greater_equal(sims, thr[:, None], out=mask)
-                        else:
-                            # kth == -inf with kk > 1 can coexist with
-                            # finite entries (fewer than kk unmasked):
-                            # candidates are then ALL unmasked entries
-                            tmp = tmpb[:nr]
-                            np.greater(sims, -np.inf, out=mask)
-                            np.greater_equal(sims, thr[:, None], out=tmp)
-                            np.logical_and(mask, tmp, out=mask)
-                        # row-chunked nonzero: bounds the pair-array
-                        # peak on degenerate all-duplicate corpora
-                        # (worst case qblk x b pairs) without changing
-                        # total scan work
-                        for r0 in range(0, sims.shape[0], 512):
-                            qr, ci = np.nonzero(mask[r0:r0 + 512])
-                            if not len(qr):
-                                continue
-                            qr = qr + r0
-                            # per-pair np.dot rescore, unchanged from
-                            # the original scalar path: same op, same
-                            # operand order on the UNnormalized vectors
-                            # — shape-independent across batch
-                            # compositions (the tie-bug lesson)
-                            sarr = np.empty(len(qr), dtype=np.float64)
-                            for t in range(len(qr)):
-                                i, g = ci[t], lo + qr[t]
-                                sarr[t] = (float(np.dot(cm[i], qm_[g]))
-                                           / (cn[i] * qn_[g]))
-                            ncid = cid[ci]
-                            # rank within query: cosine desc, id asc —
-                            # lexsort's last key is primary
-                            order = np.lexsort((ncid, -sarr, qr))
-                            js = qr[order]
-                            starts = np.r_[0, 1 + np.flatnonzero(
-                                js[1:] != js[:-1])]
-                            sizes = np.diff(np.r_[starts, len(js)])
-                            rank = (np.arange(len(js))
-                                    - np.repeat(starts, sizes))
-                            keep_p = order[rank < kk]
-                            o_q.append(qid_[lo + qr[keep_p]])
-                            o_n.append(ncid[keep_p])
-                            o_s.append(sarr[keep_p])
-                    if o_q:
-                        yield pd.DataFrame(
-                            {"query_id": np.concatenate(o_q),
-                             "neighbor_id": np.concatenate(o_n),
-                             "cosine_sim": np.concatenate(o_s)})
-
-            return topk_partials
-
         corpus = df.select(F.col(self.id_key).alias("_cid"),
                            V.to_double_array(
                                F.col(self.embedding_key)).alias("_c_emb"))
@@ -324,7 +358,8 @@ class BruteForceKNN(Operator):
             sl = slice(s0, s0 + rows_per_slab)
             bc = spark.sparkContext.broadcast(
                 (qid[sl], qm[sl], qn[sl]))
-            p = corpus.mapInPandas(_slab_partials(bc), schema=out_schema)
+            p = corpus.mapInPandas(_dense_topk_worker(bc, k, include_self),
+                                   schema=out_schema)
             partials = p if partials is None else partials.union(p)
         return _merge_partial_topk(partials, self.k)
 

@@ -30,6 +30,25 @@ at 100 TB):
 - scans reading far more columns than any operator consumes is
   reported in ``audit()['scans']`` for review (the engine cannot know
   intent, so it reports rather than raises).
+
+One scale rule lives OUTSIDE the physical plan, in Python worker code
+(this lint cannot see it — stated here because this docstring is the
+engine's scale-hygiene contract for operator authors):
+
+- **Preallocate block buffers once per batch; compute via ``out=``.**
+  Any mapInPandas/pandas_udf worker that allocates a large (100MB+)
+  numpy temporary PER BLOCK pays the OS first-touch page-fault cost on
+  every block — measured on this VM class at ~50MB/s under 32
+  concurrent workers (a 63x GEMM slowdown; the r8 ``s_most_similar``
+  dominator was mmap/munmap churn, not math). Allocate the buffer set
+  once per batch (``np.empty`` outside the block loop), slice views
+  per block, and route every kernel through ``out=``
+  (``np.matmul(a, b, out=buf)``, ``np.greater_equal(.., out=mask)``).
+  Reference implementations: ``operators/similarity.py::
+  _dense_topk_worker`` and ``tools/brute_text_oracle.py::
+  numpy_most_similar``; the pattern is pinned by the allocation
+  -pattern tests in ``tests/test_similarity.py``. Full write-up:
+  ``docs/engineering-notes.md``.
 """
 
 from __future__ import annotations

@@ -167,3 +167,137 @@ def test_matmul_k1_ties_to_smaller_id_with_zero_norms(spark):
     assert not any(q == 10 or n == 10 for q, n in top)
     # every non-zero-norm query got exactly one neighbor
     assert len(d) == 5
+
+
+def test_matmul_k3_ties_to_smaller_id_with_zero_norms(spark):
+    """k > 1 takes the partition-copy + 3-op fused-mask + lexsort
+    branch in the dense worker (distinct from the k == 1 row-max path
+    pinned above, ADVICE r8): byte-identical duplicate trios must rank
+    ties by ascending neighbor id, zero-norm rows must produce and
+    receive no matches, and the result must agree with the exact join
+    path."""
+    dup = [0.6, 0.8]
+    rows = ([(i, dup) for i in (7, 3, 5)]          # byte-identical trio
+            + [(10, [0.0, 0.0]), (11, [1.0, 0.0]), (12, [0.99, 0.02])])
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    common = {"k": 3, "id_key": "id", "embedding_key": "embedding"}
+    dense = get_operator("BruteForceKNN", common)
+    joinp = get_operator("BruteForceKNN", {**common, "dense_broadcast_mb": 0})
+    d = _knn(dense.run(df).collect())
+    j = _knn(joinp.run(df).collect())
+    assert d == j
+    # per-query ranked neighbor order: cosine desc, id asc
+    by_q = {}
+    for q, n, s in sorted(d, key=lambda t: (t[0], -t[2], t[1])):
+        by_q.setdefault(q, []).append(n)
+    # each duplicate's top-2 are the OTHER duplicates in id order
+    assert by_q[3][:2] == [5, 7]
+    assert by_q[5][:2] == [3, 7]
+    assert by_q[7][:2] == [3, 5]
+    # zero-norm row 10: no matches either direction
+    assert 10 not in by_q
+    assert not any(10 in ns for ns in by_q.values())
+    # 5 live queries x k=3 over 4 eligible others
+    assert all(len(ns) == 3 for ns in by_q.values())
+
+
+def test_matmul_duplicate_query_ids_agree_with_join_path(spark):
+    """Malformed input: non-unique id column. The join path excludes
+    the self pair for EVERY duplicate row (neighbor_id != query_id);
+    the dense path's id->rows exclusion map must do the same for every
+    row position of a duplicated id, not just the last one (ADVICE
+    r8)."""
+    rows = [(1, [1.0, 0.0]), (1, [0.8, 0.6]),      # duplicated id 1
+            (2, [0.9, 0.1]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    common = {"k": 2, "id_key": "id", "embedding_key": "embedding"}
+    dense = get_operator("BruteForceKNN", common)
+    joinp = get_operator("BruteForceKNN", {**common, "dense_broadcast_mb": 0})
+    d = _knn(dense.run(df).collect())
+    j = _knn(joinp.run(df).collect())
+    assert d == j
+    # no self pair for either physical row of id 1
+    assert not any(q == n for q, n, _ in d)
+
+
+def test_dense_worker_preallocates_block_buffers_once(monkeypatch):
+    """ENGINE RULE (r8): GEMM workers preallocate their block buffers
+    ONCE per batch and compute via out= — freshly-mmapped numpy
+    temporaries first-touch-fault at ~50MB/s on this VM class, so a
+    fresh 128MB allocation per block across 32 concurrent workers is a
+    measured 63x slowdown (see docs/engineering-notes.md). This pins
+    the allocation PATTERN: with the block budget shrunk so one batch
+    runs many blocks, the number of large 2-D allocations must equal
+    the fixed buffer-set size (4 for k>1: sims, partition copy, two
+    masks), not scale with block count."""
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    nq, b, dim, k = 64, 8, 4, 3
+    qm = rng.normal(size=(nq, dim))
+    qid = np.array(list(range(nq)), dtype=object)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    class _Bc:
+        value = (qid, qm, qn)
+
+    # qblk = 64/8 = 8 queries/block -> 8 blocks over one corpus batch
+    monkeypatch.setattr(S, "_GEMM_BLOCK_ENTRIES", 8 * b)
+    worker = S._dense_topk_worker(_Bc(), k, False)
+    pdf = pd.DataFrame({
+        "_cid": np.arange(1000, 1000 + b, dtype=np.int64),
+        "_c_emb": [qm[i].tolist() for i in range(b)]})
+
+    real_empty = np.empty
+    two_d = []
+
+    def counting_empty(shape, *a, **kw):
+        # min(shape) > 1 skips pandas block-manager (1, N) internals
+        # when the worker assembles its output DataFrame
+        if isinstance(shape, tuple) and len(shape) == 2 and min(shape) > 1:
+            two_d.append(shape)
+        return real_empty(shape, *a, **kw)
+
+    monkeypatch.setattr(np, "empty", counting_empty)
+    out = list(worker(iter([pdf])))
+    monkeypatch.setattr(np, "empty", real_empty)
+    assert len(two_d) == 4, two_d  # sims + pbuf + maskb + tmpb, once
+    # sanity: the multi-block path really ran and produced ranked rows
+    assert len(out) == 1 and len(out[0]) == nq * k
+
+
+def test_oracle_gemm_preallocates_block_buffers_once(tmp_path, monkeypatch):
+    """Same rule pinned for the second GEMM worker — the sf-scale
+    verification oracle (tools/brute_text_oracle.numpy_most_similar):
+    2 large 2-D allocations (raw cosine block + mask), regardless of
+    block count."""
+    import numpy as np
+    import pandas as pd
+
+    import tools.brute_text_oracle as O
+
+    rng = np.random.default_rng(11)
+    n, dim = 16, 4
+    emb = rng.normal(size=(n, dim))
+    pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                  "embedding": [r.tolist() for r in emb]}).to_parquet(
+        tmp_path / "embeddings.parquet")
+
+    monkeypatch.setattr(O, "_ORACLE_GEMM_BLK", 4)  # 4 blocks of 4 rows
+    real_empty = np.empty
+    two_d = []
+
+    def counting_empty(shape, *a, **kw):
+        if isinstance(shape, tuple) and len(shape) == 2 and min(shape) > 1:
+            two_d.append(shape)
+        return real_empty(shape, *a, **kw)
+
+    monkeypatch.setattr(np, "empty", counting_empty)
+    cols, rows = O.numpy_most_similar(str(tmp_path))
+    monkeypatch.setattr(np, "empty", real_empty)
+    assert len(two_d) == 2, two_d  # rawb + maskb, once
+    assert cols == ["query_id", "neighbor_id", "cosine_sim"]
+    assert len(rows) == n

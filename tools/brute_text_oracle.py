@@ -43,6 +43,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.verify_oracle import to_rows  # noqa: E402
 
+# GEMM block height for numpy_most_similar. Module-level so the
+# allocation-pattern test (tests/test_similarity.py) can shrink it to
+# force many blocks and assert the two block buffers are allocated
+# exactly once (ENGINE RULE r8: preallocate block buffers once,
+# compute via out= — see docs/engineering-notes.md).
+_ORACLE_GEMM_BLK = 2048
+
 PY_QUERIES = {"d_minhash_lsh", "d_simhash", "d_minhash_clusters",
               "d_incremental_minhash", "q_pipeline_corpus_curation"}
 NUMPY_QUERIES = {"s_most_similar", "e_vendi_diversity", "x_kcenter_coreset",
@@ -410,7 +417,7 @@ def numpy_most_similar(sf_dir: str):
     best_id = np.zeros(n, dtype=np.int64)
     best_cos = np.full(n, -np.inf)
     zero = norms == 0  # null-cosine rows are excluded on both sides
-    blk = 2048
+    blk = _ORACLE_GEMM_BLK
     # pre-normalized unit vectors + ONE reused GEMM buffer: the
     # expression form allocated ~20GB of temporaries per block, and on
     # this VM first-touch page faults run at ~50MB/s — the oracle spent
