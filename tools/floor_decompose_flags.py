@@ -43,6 +43,9 @@ TABLES = {
     "d_exact_hash": ["documents"],
     "q5_regional_revenue": ["lineitem", "orders", "customer",
                             "supplier", "nation", "region"],
+    "q3_shipping_priority": ["lineitem", "orders", "customer"],
+    "q_anti_join_customers": ["customer", "orders"],
+    "q_semi_join_orders": ["orders", "lineitem"],
     "d_minhash_lsh": ["documents"],
     "q_events_hourly": ["events"],
 }
