@@ -467,16 +467,121 @@ class FuzzyJoinOperator(Operator):
         similarity (``optimal_bands(t', fallback_num_perm)``). Two
         documented recall losses:
 
-        - metric='containment': MinHash collides on Jaccard, and a
-          short left set contained in a huge right set has tiny Jaccard
-          — banding targets t/(2-t) (the Jaccard lower bound when
-          |B| <= |A|), so strongly asymmetric pairs may be missed;
         - oversized buckets: per (band, h) bucket each side is capped
           at ``fallback_max_bucket`` rows (smallest ids kept —
           deterministic), bounding candidates at buckets*cap^2 on the
           degenerate corpora that route here. Rows beyond the cap can
           only match through another band.
+
+        ``metric='containment'`` does NOT use MinHash banding at all:
+        MinHash collides on JACCARD, and the flagship containment shape
+        (a 40-char quote inside a full document) has near-zero Jaccard
+        — banding recall there is ~0 (measured 0/57 pairs at sf0.01,
+        r9). It routes to ``_containment_fallback`` instead: pigeonhole
+        prefix probing with a capped inverted index, whose only recall
+        loss is the per-bucket cap.
+
+        Both schemes run on identical-set REPRESENTATIVES (same
+        degenerate-corpus armor as the sparse path): rows with equal
+        shingle sets collapse to one per side before candidate
+        generation and expand back at the end. Without this, a
+        replicated corpus multiplies every candidate bucket by the
+        replica count (r9 at sf10: 250k quote rows = ~2.5k distinct
+        sets; uncollapsed, the verify join's candidate fan-out broke
+        the driver's broadcast-collect budget).
         """
+        pins: list[DataFrame] = []
+        try:
+            return self._minhash_join_pinned(lraw, rraw, pins)
+        finally:
+            for p in pins:
+                p.unpersist()
+
+    def _collapse_side(self, raw: DataFrame, pins: list[DataFrame]):
+        """(members, representatives) for identical-shingle-set rows:
+        members maps _sethash -> every original _id; representatives
+        carry one (_id=_sethash, _sh) row per distinct set."""
+        hashed = raw.withColumn(
+            "_sethash",
+            F.md5(F.concat_ws(",", F.transform(
+                "_sh", lambda x: x.cast("string")))))
+        members = hashed.select("_id", "_sethash").persist()
+        pins.append(members)
+        reps = (hashed.dropDuplicates(["_sethash"])
+                .select(F.col("_sethash").alias("_id"), "_sh").persist())
+        pins.append(reps)
+        return members, reps
+
+    def _expand_members(self, verified: DataFrame, lmem: DataFrame,
+                        rmem: DataFrame) -> DataFrame:
+        """Representative pairs -> original-id pairs (metric is
+        set-determined, so every member pair inherits it). Eager
+        localCheckpoint so the caller can release the pinned frames."""
+        lx = lmem.select(F.col("_sethash").alias("left_id"),
+                         F.col("_id").alias("_lorig"))
+        rx = rmem.select(F.col("_sethash").alias("right_id"),
+                         F.col("_id").alias("_rorig"))
+        out = (verified.join(lx, "left_id").join(rx, "right_id")
+               .select(F.col("_lorig").alias("left_id"),
+                       F.col("_rorig").alias("right_id"), self.metric))
+        return out.localCheckpoint(eager=True)
+
+    def _minhash_join_pinned(self, lraw: DataFrame, rraw: DataFrame,
+                             pins: list[DataFrame]) -> DataFrame:
+        lmem, lreps = self._collapse_side(lraw, pins)
+        if self.metric == "containment":
+            rmem, rreps = self._collapse_right_projected(lreps, rraw,
+                                                         pins)
+            verified = self._containment_fallback(lreps, rreps)
+        else:
+            rmem, rreps = self._collapse_side(rraw, pins)
+            verified = self._banding_fallback(lreps, rreps)
+        return self._expand_members(verified, lmem, rmem)
+
+    def _collapse_right_projected(self, lreps: DataFrame,
+                                  rraw: DataFrame,
+                                  pins: list[DataFrame]):
+        """Right-side collapse for the containment fallback: collapse
+        by the PROJECTION of each right set onto the left vocabulary.
+
+        containment(A, B) = |A∩B| / |A| depends on B only through
+        B∩U where U = union of all left shingles (A ⊆ U for every A),
+        so two right rows with equal projections are EXCHANGEABLE for
+        this metric — verification against the projection is exact,
+        not approximate. This is what lets a replicated corpus
+        collapse on the right even when raw sets differ (r9 at sf1:
+        per-replica text suffixes defeat the raw-set collapse, but no
+        suffix shingle occurs in any quote, so all replicas of a base
+        doc share one projection — right reps drop from 50k rows to
+        ~5k, prefix buckets shrink to base-corpus document
+        frequencies, and the capped-bucket recall loss all but
+        disappears: measured 0.357 -> ~1.0). Rows with an EMPTY
+        projection can never reach a threshold > 0 and are dropped
+        here (the inner join + groupBy does it).
+
+        Scale shape: U is one distinct over the (already collapsed)
+        left reps; the right explode is pruned by an equi-join on U
+        (AQE broadcasts it when small) and re-grouped by _id — one
+        linear shuffle, no quadratic term.
+        """
+        probe = lreps.select(F.explode("_sh").alias("_p")).distinct()
+        proj = (rraw.select("_id", F.explode("_sh").alias("_p"))
+                .join(probe, "_p")
+                .groupBy("_id")
+                .agg(F.array_sort(F.collect_set("_p")).alias("_sh")))
+        hashed = proj.withColumn(
+            "_sethash",
+            F.md5(F.concat_ws(",", F.transform(
+                "_sh", lambda x: x.cast("string")))))
+        members = hashed.select("_id", "_sethash").persist()
+        pins.append(members)
+        reps = (hashed.dropDuplicates(["_sethash"])
+                .select(F.col("_sethash").alias("_id"), "_sh").persist())
+        pins.append(reps)
+        return members, reps
+
+    def _banding_fallback(self, lraw: DataFrame,
+                          rraw: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
         t = self.threshold
@@ -505,6 +610,14 @@ class FuzzyJoinOperator(Operator):
                 .join(banded(rraw.select("_id", "_sh"))
                       .withColumnRenamed("_id", "_rid"), ["band", "h"])
                 .select("_lid", "_rid").distinct())
+        return self._verify_candidates(cand, lraw, rraw)
+
+    def _verify_candidates(self, cand: DataFrame, lraw: DataFrame,
+                           rraw: DataFrame) -> DataFrame:
+        """Exact-metric verification of (_lid, _rid) candidate pairs —
+        shared by both approximate fallbacks: every output row truly
+        meets the threshold (precision exact), whatever produced the
+        candidates."""
         lsets = lraw.select(F.col("_id").alias("_lid"),
                             F.col("_sh").alias("_sa"))
         rsets = rraw.select(F.col("_id").alias("_rid"),
@@ -518,7 +631,60 @@ class FuzzyJoinOperator(Operator):
                 if self.metric == "containment"
                 else F.col("_ov").cast("double")
                 / (F.size("_sa") + F.size("_sb") - F.col("_ov")))
-            .filter(F.col(self.metric) >= t)
+            .filter(F.col(self.metric) >= self.threshold)
             .select(F.col("_lid").alias("left_id"),
                     F.col("_rid").alias("right_id"),
                     F.round(self.metric, 6).alias(self.metric)))
+
+    def _containment_fallback(self, lraw: DataFrame,
+                              rraw: DataFrame) -> DataFrame:
+        """Approximate containment join: pigeonhole prefix probe +
+        capped inverted index (``on_budget_exceeded='minhash'`` with
+        ``metric='containment'``).
+
+        Candidate guarantee: containment(A, B) >= t means at most
+        (1-t)|A| elements of A are outside B, so ANY floor((1-t)|A|)+1
+        elements of A include one of A∩B — the pigeonhole block, same
+        as the exact path's left prefix (fuzzy_join reference
+        semantics; prefix ordered rarest-first by right-side document
+        frequency to keep probe buckets minimal, exactly PPJoin's
+        ordering trick). Every true pair therefore shares at least one
+        (prefix shingle, bucket); the ONLY recall loss is the
+        per-shingle bucket cap below. Work bound: candidates <=
+        |left prefix rows| * fallback_max_bucket, verification is
+        exact per pair (precision 1.0).
+
+        Scale shape: one groupBy for document frequency (map-side
+        combine to |vocab| rows), the right explode is pre-pruned to
+        shingles that occur in some left prefix (AQE broadcasts the
+        probe set when small — the BM25 query-term trick), and the
+        per-shingle cap is a deterministic pseudo-random sample
+        (xxhash64 order, unbiased — smallest-id capping would
+        systematically miss high-id replicas).
+        """
+        from pyspark.sql import Window
+
+        cap = self.fallback_max_bucket
+        rex = rraw.select("_id", F.explode("_sh").alias("_p"))
+        dfreq = rex.groupBy("_p").agg(F.count(F.lit(1)).alias("_df"))
+        lex = lraw.select("_id", F.size("_sh").alias("_len"),
+                          F.explode("_sh").alias("_p"))
+        # rarest-first: left shingles absent from the right get df 0 —
+        # harmless prefix members (their buckets are empty; the
+        # pigeonhole guarantee is per-B and holds for ANY fixed subset)
+        lex = (lex.join(dfreq, "_p", "left")
+               .withColumn("_df", F.coalesce("_df", F.lit(0))))
+        wl = Window.partitionBy("_id").orderBy("_df", "_p")
+        lpre = (lex.withColumn("_rn", F.row_number().over(wl))
+                .filter(F.col("_rn")
+                        <= H.prefix_length(self.threshold, F.col("_len")))
+                .select(F.col("_id").alias("_lid"), "_p"))
+        probe = lpre.select("_p").distinct()
+        wr = Window.partitionBy("_p").orderBy(F.xxhash64("_p", "_id"),
+                                              "_id")
+        ridx = (rex.join(probe, "_p")
+                .withColumn("_rn", F.row_number().over(wr))
+                .filter(F.col("_rn") <= cap)
+                .select(F.col("_id").alias("_rid"), "_p"))
+        cand = lpre.join(ridx, "_p").select("_lid", "_rid").distinct()
+        return self._verify_candidates(cand, lraw, rraw)
