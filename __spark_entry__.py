@@ -6117,71 +6117,64 @@ def q_containment_join(spark, sf_dir):
 #   2. never-driver-checked queries;
 #   3. everything already green in r1/r2 (lowest information value).
 _REVERIFY_HEAD = [
-    # r8 rotation by STALENESS (rotation rule continued): head = queries
-    # whose plans/operators CHANGED in r8 (must be driver-re-checked the
-    # round they changed: the graph pair's linear edge constructions,
-    # the exact-similarity family's budget/persist rework, s_knn_lsh's
-    # join-path null-cosine fix, the dedup-base _row_id tracking), then
-    # the 50-slot head filled by the stalest names after r7 — the 34
-    # last checked in r2 and the alphabetically-first 9 of the r3 set
-    # (computed from CORRECTNESS_r01-07 keys). Late-r8 session adds:
-    # the BruteForceKNN matmul worker was rewritten (buffer reuse,
-    # query-major pre-normalized GEMM, vectorized tie extraction) and
-    # connected_components gained the initial-edge checkpoint, so the
-    # queries on those paths lead.
-    "s_most_similar",
-    "s_knn_brute",
-    "d_minhash_clusters",
-    "q_pagerank",
-    "q_connected_components",
+    # r9 rotation by STALENESS: head = queries whose operator paths
+    # CHANGED in r9 (FuzzyJoinOperator.run gained the containment
+    # fallback + identical-set/projection collapse; BruteForceKNN's
+    # dense worker was hoisted with the duplicate-id self-exclusion
+    # fix), then the 50-slot head filled by the STALEST names from the
+    # CORRECTNESS_r01-08 union — the 32 names last checked in r3 and
+    # the alphabetically-first of the r4 set (computed from the
+    # artifact files, not guessed).
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",
-    "s_knn_lsh",
-    "d_exact_hash",
-    "e_model_score_hash",
-    "e_perplexity_unigram",
-    "g_char_chunks",
-    "g_embedding",
-    "g_mathbook_extract",
-    "g_qa_extract",
-    "g_sentence_chunks",
-    "g_text2qa",
-    "m_media_headers",
-    "m_media_meta",
-    "q_doc_distribution",
-    "q_langid_accuracy",
-    "r_answer_extraction",
-    "r_category_dist",
-    "r_remove_repetition_punct",
-    "r_token_stats",
-    "t_code_composition",
-    "t_fingerprint",
-    "t_langid",
-    "t_language_filter",
-    "t_lexical_diversity",
-    "t_ngram_ratio",
-    "t_quality_score",
-    "t_token_count",
-    "x_code_sandbox",
-    "x_conversation_roundtrip",
-    "x_kbc_clean",
-    "x_kcenter_coreset",
-    "x_pii_anonymize",
-    "x_pii_count",
-    "x_sql_execution_filter",
-    "x_sql_generator",
-    "x_sql_hardness",
-    "x_stemming",
-    "d_incremental_minhash",
-    "d_minhash_lsh",
-    "d_semantic",
-    "d_simhash",
-    "e_task2vec_diversity",
-    "e_vendi_diversity",
+    "s_most_similar",
+    "s_knn_brute",
     "q_asof_join",
     "q_bm25_topk",
     "q_corpus_profile",
+    "q_count_distinct_users",
+    "q_domain_mixture",
+    "q_events_hourly",
+    "q_expectations",
+    "q_global_shuffle",
+    "q_hash_sample",
+    "q_histogram",
+    "q_hypertable_rollup",
+    "q_kmeans",
+    "q_normalize_robust",
+    "q_ntile_quality",
+    "q_pct_rank",
+    "q_pivot_status",
+    "q_quality_quota",
+    "q_rolling_anomaly",
+    "q_salted_agg",
+    "q_sessionize",
+    "q_snapshot_diff",
+    "q_token_packing",
+    "q_top_events",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_upsert_latest",
+    "q_weighted_sample",
+    "r_segment_dedup",
+    "s_knn_ivf",
+    "t_gopher_repetition",
+    "x_contamination_report",
+    "x_decontaminate",
+    "e_bench_question_level",
+    "e_llm_judges",
+    "e_question_judges",
+    "e_unified_bench",
+    "e_unigram_kl",
+    "f_code_length",
+    "f_debertav3_threshold",
+    "f_langkit_threshold",
+    "f_lexical_diversity_threshold",
+    "f_ngram_threshold",
+    "f_presidio_threshold",
+    "g_consistent_chat",
+    "g_funccall_chain",
 ]
 
 # Round-1 driver check covered these 50 names.

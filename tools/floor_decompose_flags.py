@@ -47,6 +47,7 @@ TABLES = {
     "q_anti_join_customers": ["customer", "orders"],
     "q_semi_join_orders": ["orders", "lineitem"],
     "d_minhash_lsh": ["documents"],
+    "d_simhash": ["documents"],
     "q_events_hourly": ["events"],
 }
 DEFAULT = ",".join(TABLES)
