@@ -2791,6 +2791,54 @@ def d_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# exact substring duplicates (the suffix-array dedup of Lee et al. 2022,
+# re-expressed as winnowing fingerprints + byte-exact verification —
+# operators/filters/substring.py). Oracle: brute all-L-gram equijoin,
+# which is the DEFINITION of "shares an exact >=40-char substring".
+# ---------------------------------------------------------------------------
+
+@q("d_substring_pairs", """
+WITH subs AS (
+  SELECT doc_id, substr(text, i, 40) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE length(text) >= 40)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def d_substring_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("SubstringDuplicatePairs", {
+        "input_key": "text", "id_key": "doc_id", "min_length": 40})
+    return op.run(docs).select("doc_a", "doc_b")
+
+
+@q("d_substring_dedup", """
+WITH RECURSIVE subs AS (
+  SELECT doc_id, substr(text, i, 40) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE length(text) >= 40),
+prs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+SELECT d.doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.a
+WHERE comp.a IS NULL OR comp.mb >= d.doc_id
+""")
+def d_substring_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("SubstringDeduplicateFilter", {
+        "input_key": "text", "min_length": 40, "order_key": "doc_id"})
+    return op.run(docs).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # chunking (knowledge-cleaning surface)
 # ---------------------------------------------------------------------------
 
@@ -6125,6 +6173,10 @@ _REVERIFY_HEAD = [
     # CORRECTNESS_r01-08 union — the 32 names last checked in r3 and
     # the alphabetically-first of the r4 set (computed from the
     # artifact files, not guessed).
+    # r9 late addition: the substring-duplicate family is NEW this
+    # round (never driver-checked) — it outranks every stale name.
+    "d_substring_pairs",
+    "d_substring_dedup",
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",

@@ -18,7 +18,7 @@ from dataflow_spark.operators import pdf2vqa, chemistry  # noqa: F401
 from dataflow_spark.operators.filters import threshold  # noqa: F401
 from dataflow_spark.operators import reasoning_filters, mineru  # noqa: F401
 from dataflow_spark.operators import sampling, timeseries  # noqa: F401
-from dataflow_spark.operators.filters import decontaminate  # noqa: F401
+from dataflow_spark.operators.filters import decontaminate, substring  # noqa: F401
 from dataflow_spark.operators.refiners import segment_dedup  # noqa: F401
 from dataflow_spark.operators import keywords, validation, fuzzy_join  # noqa: F401
 from dataflow_spark.operators import clustering, graph  # noqa: F401

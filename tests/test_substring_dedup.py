@@ -1,0 +1,187 @@
+"""Exact substring duplicate detection (winnowing + byte verify).
+
+Every test pins the operator against a from-scratch python brute force
+(set-of-substrings intersection), so the winnowing guarantee, the lcp
+edge cases, and the keep-first component semantics are all checked
+independently of the Spark expressions they exercise.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.operator import BudgetExceededError
+from dataflow_spark.operators.filters.substring import (
+    SubstringDeduplicateFilter, SubstringDuplicatePairs, _lcp,
+)
+
+
+def _brute_pairs(texts: dict, min_length: int):
+    """All (a, b, longest shared substring >= min_length) by brute force."""
+    out = {}
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ta, tb = texts[a], texts[b]
+            n = min_length
+            best = 0
+            while n <= min(len(ta), len(tb)):
+                sa = {ta[i:i + n] for i in range(len(ta) - n + 1)}
+                if any(tb[i:i + n] in sa for i in range(len(tb) - n + 1)):
+                    best = n
+                    n += 1
+                else:
+                    break
+            if best:
+                out[(a, b)] = best
+    return out
+
+
+def _run_pairs(spark, texts: dict, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"])
+    rows = SubstringDuplicatePairs(**kw).run(df).collect()
+    return {(r.doc_a, r.doc_b): r.match_len for r in rows}
+
+
+def test_planted_shared_passage_detected_exactly(spark):
+    rng = random.Random(7)
+    alpha = "abcdefghij "
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    passage = "the quick brown fox jumps over the lazy dog!"  # 44 chars
+    texts = {
+        0: mk(80) + passage + mk(60),          # middle
+        1: passage + mk(100),                   # at start (pos 1 lcp edge)
+        2: mk(120) + passage,                   # at end (suffix lcp edge)
+        3: mk(200),                              # unrelated
+        4: passage,                              # exactly the passage
+    }
+    got = _run_pairs(spark, texts, min_length=40)
+    exp = _brute_pairs(texts, 40)
+    assert got == exp
+    assert (0, 1) in got and got[(0, 1)] >= 44
+
+
+def test_threshold_boundary_39_vs_40(spark):
+    shared39 = "x" * 20 + "y" * 19          # 39 chars
+    shared40 = shared39 + "z"               # 40 chars
+    rng = random.Random(3)
+    pad = lambda: "".join(rng.choice("qrstuv ") for _ in range(60))
+    texts = {
+        0: pad() + shared39 + pad(),
+        1: pad() + shared39 + pad(),
+        2: pad() + shared40 + pad(),
+        3: pad() + shared40 + pad(),
+    }
+    got = _run_pairs(spark, texts, min_length=40)
+    exp = _brute_pairs(texts, 40)
+    assert got == exp
+    assert (2, 3) in got and got[(2, 3)] >= 40
+    # 39-char sharing must NOT pair 0-1 unless the random pads collide
+    assert ((0, 1) in got) == ((0, 1) in exp)
+
+
+def test_random_corpus_matches_brute(spark):
+    """Property-style: random word-salad corpus with randomly planted
+    shared passages at random offsets; pair set AND max lengths must
+    equal brute force exactly."""
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    passages = [mk(12), mk(15), mk(9)]
+    texts = {}
+    for i in range(30):
+        body = mk(rng.randint(20, 60))
+        if rng.random() < 0.5:
+            p = rng.choice(passages)
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + " " + p + " " + body[cut:]
+        texts[i] = body
+    got = _run_pairs(spark, texts, min_length=40)
+    exp = _brute_pairs(texts, 40)
+    assert got == exp
+
+
+def test_multibyte_characters_use_char_semantics(spark):
+    # 40 CHARS of multibyte text (would be 120+ bytes in utf-8)
+    passage = "é世界" * 14  # 42 chars
+    rng = random.Random(5)
+    pad = lambda: "".join(rng.choice("abcd") for _ in range(50))
+    texts = {0: pad() + passage + pad(), 1: passage + pad(), 2: pad()}
+    got = _run_pairs(spark, texts, min_length=40)
+    exp = _brute_pairs(texts, 40)
+    assert got == exp
+    assert (0, 1) in got
+
+
+def test_identical_documents_pair_with_full_length(spark):
+    t = "shared identical document body " * 4  # 128 chars
+    texts = {0: t, 1: t, 2: t}
+    got = _run_pairs(spark, texts, min_length=40)
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert all(v == len(t) for v in got.values())
+
+
+def test_budget_refusal_is_actionable(spark):
+    t = "shared identical document body " * 4
+    df = spark.createDataFrame([(i, t) for i in range(40)],
+                               ["doc_id", "text"])
+    op = SubstringDuplicatePairs(min_length=40, max_candidate_pairs=10)
+    with pytest.raises(BudgetExceededError, match="max_candidate_pairs"):
+        op.run(df).collect()
+    # raising the budget completes
+    ok = SubstringDuplicatePairs(min_length=40, max_candidate_pairs=1e6)
+    assert ok.run(df).count() == 40 * 39 // 2
+
+
+def test_dedup_filter_keeps_component_minimum(spark):
+    """Transitive chain: A~B and B~C share different passages (A and C
+    share nothing) — one component, keep only A. Keep-first is by
+    order_key, and user columns survive."""
+    p1 = "first shared passage padding out to forty!! chars"
+    p2 = "second shared passage padding out to forty! chars"
+    rng = random.Random(11)
+    pad = lambda: "".join(rng.choice("mnop ") for _ in range(50))
+    rows = [
+        (10, pad() + p1 + pad(), "keep"),
+        (20, pad() + p1 + pad() + p2 + pad(), "drop-via-p1"),
+        (30, pad() + p2 + pad(), "drop-via-chain"),
+        (40, pad(), "unrelated"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+    out = SubstringDeduplicateFilter(order_key="doc_id").run(df)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [10, 40]
+    assert set(out.columns) == {"doc_id", "text", "tag"}
+
+
+def test_lcp_expression_edges(spark):
+    cases = [
+        ("", "", 0), ("", "abc", 0), ("abc", "", 0),
+        ("abc", "abc", 3), ("abc", "abd", 2), ("abc", "xbc", 0),
+        ("abc", "abcdef", 3), ("a", "a", 1),
+        ("éx", "éy", 1),
+    ]
+    df = spark.createDataFrame(cases, ["a", "b", "exp"])
+    got = df.select((_lcp(F.col("a"), F.col("b")) == F.col("exp"))
+                    .alias("ok")).collect()
+    assert all(r.ok for r in got)
+
+
+def test_short_documents_never_fingerprint(spark):
+    texts = {0: "short", 1: "short", 2: "x" * 39, 3: "x" * 39}
+    got = _run_pairs(spark, texts, min_length=40)
+    assert got == {}
+
+
+def test_gram_size_validation():
+    with pytest.raises(ValueError):
+        SubstringDuplicatePairs(min_length=1)
+    with pytest.raises(ValueError):
+        SubstringDuplicatePairs(min_length=40, gram_size=41)
+    op = SubstringDuplicatePairs(min_length=40)
+    assert op.gram_size == 25 and op.window == 16
+    op8 = SubstringDuplicatePairs(min_length=8)
+    assert 1 <= op8.gram_size <= 8
