@@ -2838,6 +2838,36 @@ def d_substring_dedup(spark, sf_dir):
     return op.run(docs).select("doc_id")
 
 
+@q("d_substring_cut", """
+WITH subs AS (
+  SELECT doc_id, i, substr(text, i, 40) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE length(text) >= 40),
+dup AS (
+  SELECT DISTINCT b.doc_id, b.i
+  FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id),
+cover AS (
+  SELECT DISTINCT doc_id, j AS p
+  FROM dup, LATERAL (SELECT unnest(generate_series(i, i + 39)) AS j)),
+chars AS (
+  SELECT doc_id, p, substr(text, p, 1) AS c
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS p)),
+kept AS (
+  SELECT ch.doc_id, ch.p, ch.c
+  FROM chars ch LEFT JOIN cover cv ON ch.doc_id = cv.doc_id AND ch.p = cv.p
+  WHERE cv.p IS NULL)
+SELECT d.doc_id,
+       coalesce(string_agg(k.c, '' ORDER BY k.p), '') AS text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+""")
+def d_substring_cut(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("SubstringDuplicateCutRefiner", {
+        "input_key": "text", "id_key": "doc_id", "min_length": 40})
+    return op.run(docs).select("doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # chunking (knowledge-cleaning surface)
 # ---------------------------------------------------------------------------
@@ -6177,6 +6207,7 @@ _REVERIFY_HEAD = [
     # round (never driver-checked) — it outranks every stale name.
     "d_substring_pairs",
     "d_substring_dedup",
+    "d_substring_cut",
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",

@@ -241,6 +241,112 @@ class SubstringDuplicatePairs(Operator):
 
 
 @OPERATOR_REGISTRY.register()
+class SubstringDuplicateCutRefiner(Operator):
+    """Cut duplicated spans instead of dropping documents — the actual
+    remediation of Lee et al. 2022 (their ExactSubstr tool), with
+    keep-first semantics: every character of a document covered by a
+    substring of >= ``min_length`` chars shared with any smaller-``id_key``
+    document's ORIGINAL text is removed; the earliest document keeps its
+    copy intact. Same rows out, ``input_key`` rewritten in place (the
+    refiner archetype — implemented directly on Operator because the
+    rewrite needs joins, not one column expression).
+
+    Exactness: the removable set equals "positions inside some maximal
+    shared run of >= min_length chars with an earlier document", which
+    equals "positions inside some shared min_length-gram window" (a run
+    of length m >= L contains an L-window around each of its positions,
+    and a shared L-gram IS a shared run) — the latter is the brute
+    SQL-oracle form. The engine recovers each maximal run by extending
+    around a co-selected winnowing anchor (every run >= L contains one,
+    per the guarantee), merges the run intervals per document, and
+    rebuilds the text with one JVM ``aggregate`` fold. Within-document
+    self-repetition is never cut (pairs exclude same-id); duplication is
+    judged against original texts, not iteratively re-cut ones.
+    """
+
+    def __init__(self, input_key: str = "text", id_key: str = "doc_id",
+                 min_length: int = 40, gram_size: int | None = None,
+                 max_candidate_pairs: float = 5e9):
+        self._pairs = SubstringDuplicatePairs(
+            input_key=input_key, id_key=id_key, min_length=min_length,
+            gram_size=gram_size, max_candidate_pairs=max_candidate_pairs)
+        self.input_key, self.id_key = input_key, id_key
+        self.min_length = min_length
+        self.input_keys = (input_key, id_key)
+        self.output_keys = (input_key,)
+
+    def _runs(self, cand: DataFrame, docs: DataFrame) -> DataFrame:
+        """Maximal shared-run intervals on the LATER document of each
+        pair: DataFrame[_cid, s, e] with 1-based [s, e) spans >= L."""
+        p = self._pairs
+        k = p.gram_size
+        texts_a = docs.select(F.col(self.id_key).alias("doc_a"),
+                              F.col(self.input_key).alias("_ta"))
+        texts_b = docs.select(F.col(self.id_key).alias("doc_b"),
+                              F.col(self.input_key).alias("_tb"))
+        both = cand.join(texts_a, "doc_a").join(texts_b, "doc_b")
+        ta, tb = F.col("_ta"), F.col("_tb")
+
+        def run_iv(a) -> Column:
+            pa, pb = a["pa"], a["pb"]
+            gram_ok = ta.substr(pa, F.lit(k)) == tb.substr(pb, F.lit(k))
+            right = _lcp(F.substring(ta, pa + k, F.length(ta)),
+                         F.substring(tb, pb + k, F.length(tb)))
+            left = _lcp(F.reverse(F.substring(ta, 1, pa - 1)),
+                        F.reverse(F.substring(tb, 1, pb - 1)))
+            ln = left + F.lit(k) + right
+            return F.struct(
+                F.when(gram_ok, (pb - left).cast("long"))
+                 .otherwise(F.lit(None)).alias("s"),
+                F.when(gram_ok, (pb - left + ln).cast("long"))
+                 .otherwise(F.lit(None)).alias("e"))
+
+        ivs = F.explode(F.transform(F.col("anchors"), run_iv)).alias("_iv")
+        return (
+            both.select(F.col("doc_b").alias("_cid"), ivs)
+            .select("_cid", F.col("_iv.s").alias("s"), F.col("_iv.e").alias("e"))
+            .filter(F.col("e") - F.col("s") >= self.min_length)
+        )
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        p = self._pairs
+        cand = p._candidates(p._fingerprints(df))
+        merged = (
+            self._runs(cand, df)
+            .groupBy("_cid")
+            .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs"))
+        )
+        out = df.join(merged.withColumnRenamed("_cid", self.id_key),
+                      self.id_key, "left")
+        txt = F.col(self.input_key)
+        ivs = F.col("_ivs")
+        one = F.lit(1).cast("long")
+        # single fold merges overlapping intervals AND rebuilds the
+        # text: emit [cursor, s) for each interval, advance the cursor
+        # monotonically (greatest), then flush the tail
+        folded = F.aggregate(
+            ivs,
+            F.struct(F.lit("").alias("o"), one.alias("c")),
+            lambda acc, iv: F.struct(
+                F.when(iv["s"] > acc["c"],
+                       F.concat(acc["o"], txt.substr(
+                           acc["c"].cast("int"),
+                           (iv["s"] - acc["c"]).cast("int"))))
+                 .otherwise(acc["o"]).alias("o"),
+                F.greatest(acc["c"], iv["e"]).alias("c")),
+            lambda acc: F.concat(acc["o"], txt.substr(
+                acc["c"].cast("int"),
+                F.greatest(F.lit(0),
+                           F.length(txt) - acc["c"] + 1).cast("int"))),
+        )
+        return (
+            out.withColumn(self.input_key,
+                           F.when(ivs.isNull(), txt).otherwise(folded))
+            .drop("_ivs")
+        )
+
+
+@OPERATOR_REGISTRY.register()
 class SubstringDeduplicateFilter(_BaseDedup):
     """Drop documents connected (transitively) to an earlier document by
     a shared exact substring of >= ``min_length`` characters; keep the

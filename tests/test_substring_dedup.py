@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from dataflow_spark.core.operator import BudgetExceededError
 from dataflow_spark.operators.filters.substring import (
-    SubstringDeduplicateFilter, SubstringDuplicatePairs, _lcp,
+    SubstringDeduplicateFilter, SubstringDuplicateCutRefiner,
+    SubstringDuplicatePairs, _lcp,
 )
 
 
@@ -155,6 +156,71 @@ def test_dedup_filter_keeps_component_minimum(spark):
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [10, 40]
     assert set(out.columns) == {"doc_id", "text", "tag"}
+
+
+def _brute_cut(texts: dict, min_length: int = 40):
+    """Keep-first span cut by the L-gram-cover definition (the SQL
+    oracle's form): remove positions of doc d inside any L-gram shared
+    with a smaller-id document's original text."""
+    out = {}
+    ids = sorted(texts)
+    earlier_grams: set = set()
+    for d in ids:
+        t, L = texts[d], min_length
+        covered = set()
+        for i in range(len(t) - L + 1):
+            if t[i:i + L] in earlier_grams:
+                covered.update(range(i, i + L))
+        out[d] = "".join(ch for j, ch in enumerate(t) if j not in covered)
+        earlier_grams.update(t[i:i + L] for i in range(len(t) - L + 1))
+    return out
+
+
+def test_cut_refiner_matches_brute_cover(spark):
+    rng = random.Random(99)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    passages = [mk(12), mk(15)]
+    texts = {}
+    for i in range(25):
+        body = mk(rng.randint(20, 60))
+        if rng.random() < 0.6:
+            p = rng.choice(passages)
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + " " + p + " " + body[cut:]
+        texts[i] = body
+    texts[100] = texts[0]                # identical later copy: fully cut
+    texts[101] = "zz" + texts[1] + "qq"  # superstring: keeps only edges
+    exp = _brute_cut(texts)
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    out = SubstringDuplicateCutRefiner().run(df)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == exp
+    assert got[100] == ""
+    # earliest copy is never touched
+    assert got[0] == texts[0] and got[1] == texts[1]
+    # refiner contract: same rows, same columns
+    assert sorted(out.columns) == ["doc_id", "text"]
+
+
+def test_cut_refiner_merges_overlapping_runs(spark):
+    """Two earlier docs share different overlapping pieces of a later
+    doc; the union of the two runs is removed once (interval merge)."""
+    rng = random.Random(17)
+    base = "".join(rng.choice("abcdefghij") for _ in range(90))
+    texts = {
+        0: base[:55],        # shares [0, 55) with doc 2
+        1: base[35:],        # shares [35, 90) with doc 2 (not with doc 0)
+        2: base,             # fully covered by the union -> empty
+    }
+    exp = _brute_cut(texts)
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in
+           SubstringDuplicateCutRefiner().run(df).collect()}
+    assert got == exp
+    assert got[2] == "" and got[1] == texts[1]
 
 
 def test_lcp_expression_edges(spark):
