@@ -2869,6 +2869,76 @@ def d_substring_cut(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+# hashed unigram+bigram multinomials, target = the English slice.
+# operators/sampling.py::DSIRWeightEvaluator / DSIRResampleFilter.
+# The md5 bucket hash makes the whole computation replayable in DuckDB.
+# ---------------------------------------------------------------------------
+
+_DSIR_SC_SQL = """
+w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i)),
+b AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('dsir' || gram), 1, 15))::UBIGINT % 10000)::BIGINT AS bk
+  FROM g),
+cr AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+ct AS (SELECT bk, count(*) AS n FROM b WHERE lang = 'en' GROUP BY bk),
+tot AS (SELECT (SELECT sum(n) FROM cr) AS tr,
+               (SELECT coalesce(sum(n), 0) FROM ct) AS tt),
+model AS (
+  SELECT cr.bk,
+         ln(coalesce(ct.n, 0) + 1) - ln(tt + 10000.0)
+         - ln(cr.n + 1) + ln(tr + 10000.0) AS lr
+  FROM cr LEFT JOIN ct ON cr.bk = ct.bk, tot),
+sc AS (SELECT b.doc_id, sum(m.lr) AS s FROM b JOIN model m ON b.bk = m.bk
+       GROUP BY b.doc_id)
+"""
+
+
+@q("x_dsir_weights", f"""
+WITH {_DSIR_SC_SQL}
+SELECT d.doc_id, coalesce(sc.s, 0.0) AS dsir_logratio
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""")
+def x_dsir_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("DSIRWeightEvaluator", {
+        "input_key": "text", "id_key": "doc_id", "n_buckets": 10000})
+    out = op.run(docs, target=docs.filter(F.col("lang") == "en"))
+    return out.select("doc_id", "dsir_logratio")
+
+
+@q("x_dsir_select", f"""
+WITH {_DSIR_SC_SQL},
+wts AS (
+  SELECT d.doc_id, coalesce(sc.s, 0.0) AS wt
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+keyed AS (
+  SELECT doc_id,
+         wt - ln(-ln((('0x' || substr(md5('dsir-gumbel' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                      + 0.5) / 1152921504606846976.0)) AS gk
+  FROM wts)
+SELECT doc_id FROM keyed ORDER BY gk DESC, doc_id ASC LIMIT 200
+""")
+def x_dsir_select(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    weights = get_operator("DSIRWeightEvaluator", {
+        "input_key": "text", "id_key": "doc_id", "n_buckets": 10000,
+    }).run(docs, target=docs.filter(F.col("lang") == "en"))
+    sel = get_operator("DSIRResampleFilter", {
+        "k": 200, "weight_key": "dsir_logratio", "key": "doc_id"})
+    return sel.run(weights).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # chunking (knowledge-cleaning surface)
 # ---------------------------------------------------------------------------
 
@@ -6208,6 +6278,8 @@ _REVERIFY_HEAD = [
     "d_substring_pairs",
     "d_substring_dedup",
     "d_substring_cut",
+    "x_dsir_weights",
+    "x_dsir_select",
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",

@@ -315,3 +315,122 @@ class WeightedHashSampleFilter(Operator):
                         * ((F.col(self.weight_key) * F.col("_n"))
                            / F.col("_s")))
                 .drop("_n", "_s"))
+
+
+@OPERATOR_REGISTRY.register()
+class DSIRWeightEvaluator(Operator):
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) — per-document log importance weight ``log p_target(x) -
+    log p_raw(x)`` under hashed n-gram bag models.
+
+    Engine-original (the reference has no data-selection operator; this
+    is THE published method for targeting a pretraining mix at a
+    high-quality domain). ``run(df, target=target_df)`` fits two
+    add-1-smoothed multinomials over md5-hashed unigram+bigram buckets —
+    raw from ``df``, target from ``target`` — and adds
+    ``output_key`` = sum over the document's n-gram occurrences of
+    ``ln((ct[b]+1)/(Tt+B)) - ln((cr[b]+1)/(Tr+B))``.
+
+    Scale design: two B-bucket count aggregates (map-side combinable;
+    B=10k means the models are ~160 KB however large the corpus), a
+    broadcast join of the log-ratio table against the exploded n-grams,
+    and ONE doc-key shuffle for the per-document sum. No driver
+    collect; the model never leaves the cluster. md5 bucketing keeps
+    the whole computation bit-reproducible in external SQL engines
+    (the oracle contract, same convention as HashSampleFilter).
+    """
+
+    def __init__(self, input_key: str = "text", id_key: str = "doc_id",
+                 output_key: str = "dsir_logratio",
+                 n_buckets: int = 10_000, salt: str = "dsir"):
+        if n_buckets < 2:
+            raise ValueError("n_buckets must be >= 2")
+        self.input_key, self.id_key = input_key, id_key
+        self.output_key = output_key
+        self.n_buckets, self.salt = n_buckets, salt
+        self.input_keys = (input_key, id_key)
+        self.output_keys = (output_key,)
+
+    def _gram_buckets(self, df: DataFrame) -> DataFrame:
+        """DataFrame[id, _b]: one row per unigram AND bigram occurrence,
+        md5-hashed into [0, n_buckets)."""
+        from dataflow_spark.functions.text import words
+
+        w = words(F.col(self.input_key))
+        uni = w
+        bi = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(w, i),
+                                      F.element_at(w, i + 1))),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(uni, bi)
+        b = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(self.salt), F.col("_g"))), 1, 15),
+                16, 10).cast("long"),
+            F.lit(self.n_buckets))
+        return (df.select(F.col(self.id_key).alias("_did"),
+                          F.explode(grams).alias("_g"))
+                .select("_did", b.alias("_b")))
+
+    def run(self, df: DataFrame, target: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        if target is None:
+            raise ValueError("DSIRWeightEvaluator needs target= (the "
+                             "DataFrame whose distribution to move toward)")
+        B = float(self.n_buckets)
+        ex = self._gram_buckets(df)
+        cr = ex.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+        ct = (self._gram_buckets(target)
+              .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")))
+        m = (cr.join(ct, "_b", "full_outer")
+             .fillna(0, subset=["_cr", "_ct"]))
+        tot = m.agg(F.sum("_cr").cast("double").alias("_tr"),
+                    F.sum("_ct").cast("double").alias("_tt"))
+        lr = (F.log(F.col("_ct") + 1) - F.log(F.col("_tt") + B)
+              - F.log(F.col("_cr") + 1) + F.log(F.col("_tr") + B))
+        model = (m.crossJoin(F.broadcast(tot))
+                 .select("_b", lr.alias("_lr")))
+        sc = (ex.join(F.broadcast(model), "_b")
+              .groupBy("_did").agg(F.sum("_lr").alias(self.output_key)))
+        out = df.join(sc.withColumnRenamed("_did", self.id_key),
+                      self.id_key, "left")
+        return out.withColumn(
+            self.output_key, F.coalesce(F.col(self.output_key), F.lit(0.0)))
+
+
+@OPERATOR_REGISTRY.register()
+class DSIRResampleFilter(Operator):
+    """Gumbel-top-k resampling without replacement on a log-weight
+    column — the selection half of DSIR: sampling k documents with
+    probability proportional to exp(weight) equals taking the top k by
+    ``weight + Gumbel noise`` (the Gumbel-max trick), and deriving the
+    noise from md5(salt, id) makes the drawn SAMPLE a pure function of
+    the data — re-runs, engines, and backfills agree row for row.
+
+    Spark plans ``orderBy(...).limit(k)`` as a distributed
+    TakeOrderedAndProject (per-partition top-k then a k-row merge), so
+    no global sort and only k rows cross the network.
+    """
+
+    def __init__(self, k: int = 1000, weight_key: str = "dsir_logratio",
+                 key: str = "doc_id", salt: str = "dsir-gumbel"):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k, self.weight_key = k, weight_key
+        self.key, self.salt = key, salt
+        self.input_keys = (weight_key, key)
+        self.output_keys = ()
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        s = F.concat(F.lit(self.salt), F.col(self.key).cast("string"))
+        # (h + 0.5) / 2^60 is strictly inside (0, 1): both logs finite
+        u = ((F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("double")
+              + F.lit(0.5)) / F.lit(float(1 << 60)))
+        gk = F.col(self.weight_key) - F.log(-F.log(u))
+        return (df.withColumn("_gk", gk)
+                .orderBy(F.col("_gk").desc(), F.col(self.key).asc())
+                .limit(self.k)
+                .drop("_gk"))
