@@ -210,6 +210,41 @@ class SubstringDuplicatePairs(Operator):
         )
 
     # -- stage 3: exact verification --------------------------------------
+    #
+    # Redundant-anchor elision (the sf10 find): a duplicated-passage
+    # pair co-selects ~2*len/w anchors that all certify the SAME run,
+    # and extending around each one re-scans the texts ~25x. Exact
+    # reduction: anchors are folded in (offset, pa) order, where
+    # offset = pa - pb is the alignment; maximal runs at one alignment
+    # are DISJOINT intervals, so an anchor with pa inside the last
+    # computed run at its offset is either in that run (same maximal
+    # extension — redundant) or a hash-colliding gram crossing the
+    # run's boundary (byte check would fail — contributes nothing).
+    # Skipping both keeps the result exact while doing ~one extension
+    # per (pair, run) instead of per anchor. CaseWhen evaluates the
+    # expensive branch lazily, so skipped anchors cost two compares.
+
+    def _sorted_anchors(self) -> Column:
+        return F.array_sort(F.transform(
+            F.col("anchors"),
+            lambda a: F.struct(
+                (a["pa"].cast("long") - a["pb"]).alias("off"),
+                a["pa"].cast("long").alias("pa"),
+                a["pb"].cast("long").alias("pb"))))
+
+    def _extension(self, a, ta: Column, tb: Column):
+        """(gram_ok, left, right) around anchor ``a`` — evaluated only
+        on non-skipped anchors."""
+        k = self.gram_size
+        pa, pb = a["pa"], a["pb"]
+        gram_ok = (ta.substr(pa.cast("int"), F.lit(k))
+                   == tb.substr(pb.cast("int"), F.lit(k)))
+        right = _lcp(F.substring(ta, (pa + k).cast("int"), F.length(ta)),
+                     F.substring(tb, (pb + k).cast("int"), F.length(tb)))
+        left = _lcp(F.reverse(F.substring(ta, 1, (pa - 1).cast("int"))),
+                    F.reverse(F.substring(tb, 1, (pb - 1).cast("int"))))
+        return gram_ok, left, right
+
     def _verify(self, cand: DataFrame, docs: DataFrame) -> DataFrame:
         k = self.gram_size
         texts_a = docs.select(F.col(self.id_key).alias("doc_a"),
@@ -218,17 +253,25 @@ class SubstringDuplicatePairs(Operator):
                               F.col(self.input_key).alias("_tb"))
         both = cand.join(texts_a, "doc_a").join(texts_b, "doc_b")
         ta, tb = F.col("_ta"), F.col("_tb")
+        far = F.lit(-(2 ** 62)).cast("long")
+        init = F.struct(far.alias("off"), far.alias("end"),
+                        F.lit(0).cast("long").alias("best"))
 
-        def match_len(a) -> Column:
-            pa, pb = a["pa"], a["pb"]
-            gram_ok = ta.substr(pa, F.lit(k)) == tb.substr(pb, F.lit(k))
-            right = _lcp(F.substring(ta, pa + k, F.length(ta)),
-                         F.substring(tb, pb + k, F.length(tb)))
-            left = _lcp(F.reverse(F.substring(ta, 1, pa - 1)),
-                        F.reverse(F.substring(tb, 1, pb - 1)))
-            return F.when(gram_ok, left + F.lit(k) + right).otherwise(F.lit(0))
+        def step(acc, a):
+            skip = (a["off"] == acc["off"]) & (a["pa"] < acc["end"])
+            gram_ok, left, right = self._extension(a, ta, tb)
+            computed = F.struct(
+                a["off"].alias("off"),
+                F.when(gram_ok, a["pa"] + k + right)
+                 .otherwise(a["pa"]).alias("end"),
+                F.greatest(
+                    acc["best"],
+                    F.when(gram_ok, left + F.lit(k) + right)
+                     .otherwise(F.lit(0).cast("long"))).alias("best"))
+            return F.when(skip, acc).otherwise(computed)
 
-        best = F.array_max(F.transform(F.col("anchors"), match_len))
+        best = F.aggregate(self._sorted_anchors(), init, step,
+                           lambda acc: acc["best"])
         return (
             both.select("doc_a", "doc_b", best.alias("match_len"))
             .filter(F.col("match_len") >= self.min_length)
@@ -277,7 +320,13 @@ class SubstringDuplicateCutRefiner(Operator):
 
     def _runs(self, cand: DataFrame, docs: DataFrame) -> DataFrame:
         """Maximal shared-run intervals on the LATER document of each
-        pair: DataFrame[_cid, s, e] with 1-based [s, e) spans >= L."""
+        pair: DataFrame[_cid, s, e] with 1-based [s, e) spans >= L.
+
+        Same redundant-anchor elision fold as
+        SubstringDuplicatePairs._verify — anchors inside an
+        already-computed run at their alignment offset emit nothing
+        (their run interval is already in the accumulator).
+        """
         p = self._pairs
         k = p.gram_size
         texts_a = docs.select(F.col(self.id_key).alias("doc_a"),
@@ -286,26 +335,34 @@ class SubstringDuplicateCutRefiner(Operator):
                               F.col(self.input_key).alias("_tb"))
         both = cand.join(texts_a, "doc_a").join(texts_b, "doc_b")
         ta, tb = F.col("_ta"), F.col("_tb")
+        far = F.lit(-(2 ** 62)).cast("long")
+        empty_ivs = F.array().cast("array<struct<s:long,e:long>>")
+        init = F.struct(far.alias("off"), far.alias("end"),
+                        empty_ivs.alias("ivs"))
 
-        def run_iv(a) -> Column:
-            pa, pb = a["pa"], a["pb"]
-            gram_ok = ta.substr(pa, F.lit(k)) == tb.substr(pb, F.lit(k))
-            right = _lcp(F.substring(ta, pa + k, F.length(ta)),
-                         F.substring(tb, pb + k, F.length(tb)))
-            left = _lcp(F.reverse(F.substring(ta, 1, pa - 1)),
-                        F.reverse(F.substring(tb, 1, pb - 1)))
+        def step(acc, a):
+            skip = (a["off"] == acc["off"]) & (a["pa"] < acc["end"])
+            gram_ok, left, right = p._extension(a, ta, tb)
             ln = left + F.lit(k) + right
-            return F.struct(
-                F.when(gram_ok, (pb - left).cast("long"))
-                 .otherwise(F.lit(None)).alias("s"),
-                F.when(gram_ok, (pb - left + ln).cast("long"))
-                 .otherwise(F.lit(None)).alias("e"))
+            s_b = a["pb"] - left
+            keep = gram_ok & (ln >= self.min_length)
+            computed = F.struct(
+                a["off"].alias("off"),
+                F.when(gram_ok, a["pa"] + k + right)
+                 .otherwise(a["pa"]).alias("end"),
+                F.when(keep, F.array_append(
+                    acc["ivs"], F.struct(s_b.alias("s"),
+                                         (s_b + ln).alias("e"))))
+                 .otherwise(acc["ivs"]).alias("ivs"))
+            return F.when(skip, acc).otherwise(computed)
 
-        ivs = F.explode(F.transform(F.col("anchors"), run_iv)).alias("_iv")
+        folded = F.aggregate(p._sorted_anchors(), init, step,
+                             lambda acc: acc["ivs"])
         return (
-            both.select(F.col("doc_b").alias("_cid"), ivs)
-            .select("_cid", F.col("_iv.s").alias("s"), F.col("_iv.e").alias("e"))
-            .filter(F.col("e") - F.col("s") >= self.min_length)
+            both.select(F.col("doc_b").alias("_cid"),
+                        F.explode(folded).alias("_iv"))
+            .select("_cid", F.col("_iv.s").alias("s"),
+                    F.col("_iv.e").alias("e"))
         )
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:

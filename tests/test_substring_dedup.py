@@ -223,6 +223,27 @@ def test_cut_refiner_merges_overlapping_runs(spark):
     assert got[2] == "" and got[1] == texts[1]
 
 
+def test_two_disjoint_runs_at_same_alignment_offset(spark):
+    """The anchor-elision fold skips anchors inside an already-computed
+    run at their alignment offset. Two documents sharing TWO disjoint
+    runs at the SAME offset (equal-length distinct gaps between them)
+    must still report both: match_len = the longer run, and the cut
+    refiner must remove both runs but keep the gap."""
+    rng = random.Random(23)
+    mk = lambda n: "".join(rng.choice("abcdefgh") for _ in range(n))
+    r1, r2 = mk(60), mk(45)
+    gap_a, gap_b = "X" * 12, "Y" * 12   # same length -> same alignment
+    texts = {0: r1 + gap_a + r2, 1: r1 + gap_b + r2}
+    got = _run_pairs(spark, texts, min_length=40)
+    exp = _brute_pairs(texts, 40)
+    assert got == exp and got[(0, 1)] == 60
+    cut = {r.doc_id: r.text for r in SubstringDuplicateCutRefiner().run(
+        spark.createDataFrame([(i, t) for i, t in texts.items()],
+                              ["doc_id", "text"])).collect()}
+    assert cut == _brute_cut(texts)
+    assert cut[1] == gap_b and cut[0] == texts[0]
+
+
 def test_lcp_expression_edges(spark):
     cases = [
         ("", "", 0), ("", "abc", 0), ("abc", "", 0),
