@@ -141,6 +141,7 @@ def main():
     ap.add_argument("--sf", default=".bench_data/sf10")
     ap.add_argument("--base-sf", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--out", default="/tmp/sf10_substring_oracle.json")
     args = ap.parse_args()
     global NREP
     NREP = args.factor
@@ -262,6 +263,18 @@ def main():
         print("  missing:", sorted(set(exp_survivors) - set(got_surv))[:10])
         print("  extra:", sorted(set(got_surv) - set(exp_survivors))[:10])
 
+    import json
+    with open(args.out, "w") as f:
+        json.dump({"sf": args.sf, "factor": args.factor,
+                   "expected_pairs": int(exp.shape[0]),
+                   "engine_pairs": int(got_arr.shape[0]),
+                   "pairs_exact": ok_pairs,
+                   "pairs_engine_s": round(wall_pairs, 1),
+                   "expected_survivors": len(exp_survivors),
+                   "engine_survivors": len(got_surv),
+                   "survivors_exact": ok_surv,
+                   "dedup_engine_s": round(wall_dedup, 1)}, f, indent=1)
+    print("wrote", args.out)
     sys.exit(0 if (ok_pairs and ok_surv) else 1)
 
 
