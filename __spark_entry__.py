@@ -2905,15 +2905,21 @@ sc AS (SELECT b.doc_id, sum(m.lr) AS s FROM b JOIN model m ON b.bk = m.bk
 
 @q("x_dsir_weights", f"""
 WITH {_DSIR_SC_SQL}
-SELECT d.doc_id, coalesce(sc.s, 0.0) AS dsir_logratio
+SELECT d.doc_id, round(coalesce(sc.s, 0.0), 4) AS dsir_logratio
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """)
 def x_dsir_weights(spark, sf_dir):
+    # the contract projection rounds to 4 decimals: the per-doc sum
+    # accumulates ~1e2 float terms in engine-specific order, so the raw
+    # doubles differ by ~1e-13 between Spark and DuckDB and a 50k-row
+    # corpus has even odds of straddling the harness's 1e-9 rounding
+    # boundary somewhere (it did, once, at the true-sf1 replica). The
+    # operator itself returns full precision.
     docs = _t(spark, sf_dir, "documents")
     op = get_operator("DSIRWeightEvaluator", {
         "input_key": "text", "id_key": "doc_id", "n_buckets": 10000})
     out = op.run(docs, target=docs.filter(F.col("lang") == "en"))
-    return out.select("doc_id", "dsir_logratio")
+    return out.select("doc_id", F.round("dsir_logratio", 4).alias("dsir_logratio"))
 
 
 @q("x_dsir_select", f"""
