@@ -2868,6 +2868,38 @@ def d_substring_cut(spark, sf_dir):
     return op.run(docs).select("doc_id", "text")
 
 
+@q("d_substring_incremental", """
+WITH RECURSIVE subs AS (
+  SELECT doc_id, substr(text, i, 40) AS s
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 39)) AS i)
+  WHERE length(text) >= 40),
+prs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM subs a JOIN subs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT i AS a, j AS b FROM prs UNION SELECT j, i FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+-- new batch = odd doc_ids, existing corpus = even doc_ids; a new doc
+-- survives iff its component holds no existing doc and no earlier new
+-- doc (exactly the engine's union keep-first restricted to the batch)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.a = d.doc_id
+                    AND (r.b % 2 = 0 OR r.b < d.doc_id))
+""")
+def d_substring_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("IncrementalSubstringDedupFilter", {
+        "input_key": "text", "min_length": 40, "order_key": "doc_id"})
+    out = op.run(docs.filter(F.col("doc_id") % 2 == 1),
+                 existing=docs.filter(F.col("doc_id") % 2 == 0))
+    return out.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
 # hashed unigram+bigram multinomials, target = the English slice.
@@ -6284,6 +6316,7 @@ _REVERIFY_HEAD = [
     "d_substring_pairs",
     "d_substring_dedup",
     "d_substring_cut",
+    "d_substring_incremental",
     "x_dsir_weights",
     "x_dsir_select",
     "q_fuzzy_join",

@@ -59,7 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataflow_spark.core.operator import (
-    BudgetExceededError, Operator, ROW_ID,
+    BudgetExceededError, Operator, ROW_ID, with_row_id,
 )
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.operators.filters.dedup import (
@@ -281,6 +281,74 @@ class SubstringDuplicatePairs(Operator):
         fp = self._fingerprints(df)
         cand = self._candidates(fp)
         return self._verify(cand, df)
+
+
+@OPERATOR_REGISTRY.register()
+class IncrementalSubstringDedupFilter(_BaseDedup):
+    """Dedup a NEW batch against an EXISTING corpus by shared exact
+    substrings, then within itself: ``run(new_df, existing=corpus_df)``
+    — the substring-family member of the incremental pattern
+    (IncrementalHashDedupFilter / IncrementalMinHashDedupFilter).
+
+    Semantics: the standard keep-first-per-component contract over the
+    UNION corpus with every existing document ordered before every new
+    one, restricted to the new batch — so a new document is dropped iff
+    its component contains any existing document or an earlier new
+    document (transitive chains through either side count, which is
+    what makes re-running the filter on a growing corpus equivalent to
+    one big batch run). Existing rows are never returned.
+
+    The existing-before-new ordering is encoded by offsetting new-batch
+    order ids by 2^62 (order keys must fit in 62 bits — doc ids and
+    engine row ids do). The daily-increment scale story matches the
+    hash variant: the existing side contributes its winnowing
+    fingerprint index (in production written once, bucketed by gram
+    hash) plus texts for the anchor verification of candidate pairs
+    only.
+    """
+
+    _NEW_OFFSET = 1 << 62
+
+    def __init__(self, input_key: str = "text", min_length: int = 40,
+                 gram_size: int | None = None, order_key: str | None = None,
+                 max_candidate_pairs: float = 5e9):
+        super().__init__(input_key, order_key)
+        self._filter = SubstringDeduplicateFilter(
+            input_key=input_key, min_length=min_length,
+            gram_size=gram_size, order_key="_inc_oid",
+            max_candidate_pairs=max_candidate_pairs)
+
+    def run(self, df: DataFrame, existing: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        if existing is None:
+            raise ValueError("IncrementalSubstringDedupFilter needs "
+                             "existing= (the already-kept corpus)")
+        df, order_col = self._ordered(df)
+        # existing only needs (text, an order id); never returned
+        exi = with_row_id(existing)
+        ex_oid = (F.col(self.order_key).cast("long")
+                  if self.order_key and self.order_key in existing.columns
+                  else F.col(ROW_ID))
+        union = (
+            exi.select(F.lit(False).alias("_inc_new"),
+                       ex_oid.alias("_inc_oid"),
+                       F.col(self.input_key).alias(self.input_key))
+            .unionByName(
+                df.select(
+                    F.lit(True).alias("_inc_new"),
+                    (F.col(order_col).cast("long")
+                     + F.lit(self._NEW_OFFSET)).alias("_inc_oid"),
+                    F.col(self.input_key).alias(self.input_key)))
+        )
+        kept = self._filter.run(union)
+        kept_new = (kept.filter(F.col("_inc_new"))
+                    .select((F.col("_inc_oid")
+                             - F.lit(self._NEW_OFFSET)).alias("_inc_k")))
+        out = df.join(
+            kept_new,
+            F.col(order_col).cast("long") == F.col("_inc_k"),
+            "left_semi")
+        return self._finish(out, order_col)
 
 
 @OPERATOR_REGISTRY.register()

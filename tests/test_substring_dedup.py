@@ -263,6 +263,64 @@ def test_short_documents_never_fingerprint(spark):
     assert got == {}
 
 
+def test_incremental_filter_drops_vs_existing_and_within_batch(spark):
+    from dataflow_spark.operators.filters.substring import (
+        IncrementalSubstringDedupFilter,
+    )
+    rng = random.Random(31)
+    mk = lambda n: "".join(rng.choice("abcdefgh ") for _ in range(n))
+    corpus_passage = mk(60)
+    batch_passage = mk(55)
+    existing = spark.createDataFrame(
+        [(1, mk(50) + corpus_passage + mk(30)), (2, mk(120))],
+        ["doc_id", "text"])
+    rows = [
+        (10, mk(30) + corpus_passage + mk(40)),   # dup of existing -> drop
+        (20, mk(20) + batch_passage + mk(50)),    # first in batch -> keep
+        (30, mk(35) + batch_passage + mk(25)),    # within-batch dup -> drop
+        (40, mk(150)),                             # unrelated -> keep
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    op = IncrementalSubstringDedupFilter(order_key="doc_id")
+    kept = sorted(r.doc_id for r in op.run(batch, existing=existing).collect())
+    assert kept == [20, 40]
+    # existing rows are never returned; batch columns survive
+    out = op.run(batch, existing=existing)
+    assert set(out.columns) == {"doc_id", "text"}
+    with pytest.raises(ValueError, match="existing"):
+        op.run(batch)
+
+
+def test_incremental_equals_batch_run_restricted_to_new(spark):
+    """Incremental(new, existing=old) == full-batch keep-first on the
+    union, restricted to the new side — the property that makes daily
+    increments equivalent to one big run."""
+    rng = random.Random(37)
+    mk = lambda n: "".join(rng.choice("mnopqr ") for _ in range(n))
+    passages = [mk(12 * 4), mk(11 * 4)]
+    texts = {}
+    for i in range(20):
+        body = mk(rng.randint(60, 150))
+        if rng.random() < 0.5:
+            p = rng.choice(passages)
+            cut = rng.randint(0, len(body))
+            texts[i] = body[:cut] + p + body[cut:]
+        else:
+            texts[i] = body
+    df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                               ["doc_id", "text"])
+    old = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+    from dataflow_spark.operators.filters.substring import (
+        IncrementalSubstringDedupFilter,
+    )
+    inc = sorted(r.doc_id for r in IncrementalSubstringDedupFilter(
+        order_key="doc_id").run(new, existing=old).collect())
+    full = sorted(r.doc_id for r in SubstringDeduplicateFilter(
+        order_key="doc_id").run(df).collect() if r.doc_id >= 10)
+    assert inc == full
+
+
 def test_gram_size_validation():
     with pytest.raises(ValueError):
         SubstringDuplicatePairs(min_length=1)
