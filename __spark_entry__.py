@@ -1147,6 +1147,52 @@ def d_incremental_hash(spark, sf_dir):
     return op.run(new, existing=existing).select("doc_id")
 
 
+@q("d_bloom_incremental", """
+WITH existing AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+fresh AS (SELECT doc_id, md5(text) AS h FROM new
+          WHERE md5(text) NOT IN (SELECT h FROM existing))
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM fresh) WHERE rn = 1
+""")
+def d_bloom_incremental(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup. Same RESULT contract as
+    d_incremental_hash (the bloom only prefilters; positives get exact
+    digest confirmation, so the oracle is hash-implementation-agnostic)
+    on a %4 corpus split — but the engine path never SHUFFLES the
+    corpus: map-only per-partition bloom build OR-merged via treeReduce
+    (driver gets m/8 bytes regardless of corpus size), then a
+    broadcast-semi-join confirm bounded by the positive tail."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("BloomIncrementalDedupFilter", {"order_key": "doc_id"})
+    out = op.run(docs.filter(F.col("doc_id") % 4 != 0),
+                 existing=docs.filter(F.col("doc_id") % 4 == 0))
+    return out.select("doc_id")
+
+
+@q("q_heavy_hitters", f"""
+WITH w AS (SELECT unnest({LW('text')}) AS word FROM documents),
+nn AS (SELECT word FROM w WHERE word != '')
+SELECT word, count(*) AS cnt FROM nn GROUP BY word
+HAVING count(*) > 0.005 * (SELECT count(*) FROM nn)
+ORDER BY cnt DESC, word
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (words with freq > 0.5% of all word
+    occurrences) via the two-pass Misra-Gries candidate + exact-recount
+    operator — the full word universe is never shuffled; only
+    partitions x ceil(1/phi) candidates cross the cluster before the
+    candidate-restricted recount."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), T.WS_RE)).alias("word")
+    ).filter(F.col("word") != "")
+    op = get_operator("HeavyHittersOperator",
+                      {"input_key": "word", "phi": 0.005})
+    return op.run(words).orderBy(F.col("cnt").desc(), "word")
+
+
 @q("r_segment_dedup", f"""
 WITH d AS (SELECT doc_id, {W('text')} AS w FROM documents),
 seg AS (SELECT doc_id, i AS pos, array_to_string(w[(i-1)*10+1:i*10], ' ') AS s
@@ -6319,6 +6365,9 @@ _REVERIFY_HEAD = [
     "d_substring_incremental",
     "x_dsir_weights",
     "x_dsir_select",
+    # r9 third-session additions (never driver-checked)
+    "d_bloom_incremental",
+    "q_heavy_hitters",
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",

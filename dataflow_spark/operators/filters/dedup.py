@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -727,3 +729,147 @@ class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
         fresh = (df.withColumn("_nid", F.col(order_col).cast("long"))
                  .join(matched, "_nid", "left_anti").drop("_nid"))
         return super().run(fresh)
+
+
+def _bloom_positions(h1, h2, m: int, k: int):
+    """(n, k) int64 bit positions via Kirsch-Mitzenmacher double hashing.
+
+    pos_i = (h1 + i * (h2 | 1)) & (m - 1) — ``m`` is a power of two, so
+    the mask keeps every position non-negative; int64 overflow wraps
+    identically (C semantics) on the build and probe sides, which is all
+    membership exactness needs. ``h2 | 1`` forces an odd stride so the k
+    probes never collapse onto one position.
+    """
+    import numpy as np
+
+    stride = np.bitwise_or(h2, np.int64(1))
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * stride[:, None]) & np.int64(m - 1)
+
+
+@OPERATOR_REGISTRY.register()
+class BloomIncrementalDedupFilter(HashDeduplicateFilter):
+    """Incremental dedup with a Bloom-filter prefilter:
+    ``run(new_df, existing=corpus_df)``.
+
+    Result is IDENTICAL to :class:`IncrementalHashDedupFilter` by
+    construction — the Bloom filter only PREFILTERS. A bloom-negative
+    row is provably absent from the corpus (no false negatives: both
+    sides derive positions from the same JVM ``xxhash64`` pair with the
+    same numpy arithmetic) and skips the confirm join entirely; the
+    bloom-positive tail (true duplicates + an ~fpr slice of the batch)
+    is confirmed EXACTLY against the corpus digests. False positives
+    therefore cost a join probe, never a wrong answer.
+
+    Why this exists next to the plain anti-join: at 100 TB the corpus
+    digest set itself is too large to broadcast and anti-joining the
+    whole new batch against it shuffles both sides. Here the corpus is
+    read twice but SHUFFLED never: (1) a map-only pass folds each
+    partition into an m-bit array, OR-merged with ``treeReduce`` (driver
+    receives m/8 bytes — independent of corpus size); (2) a map-only
+    broadcast semi-join extracts just the digests matching the positive
+    tail. Everything that crosses the cluster after the scan is bounded
+    by the bloom size or the duplicate tail. With the default m=2^27
+    bits / k=7 probes the filter is 16 MiB and holds ~10M digests at
+    fpr < 1%; size m at ~13 bits per corpus key for that regime.
+
+    When the positive tail exceeds ``broadcast_max_digests`` (a
+    duplicate-heavy batch), the confirm step falls back to the plain
+    shuffled anti-join — correct at any size, just no longer map-only.
+    """
+
+    def __init__(self, input_keys: list[str] | str = "text",
+                 order_key: str | None = None, bits_log2: int = 27,
+                 k: int = 7, broadcast_max_digests: int = 2_000_000):
+        super().__init__(input_keys, "xxh", order_key)
+        if not (10 <= bits_log2 <= 36):
+            raise ValueError("bits_log2 must be in [10, 36]")
+        self.bits_log2 = bits_log2
+        self.m = 1 << bits_log2
+        self.k = k
+        self.broadcast_max_digests = broadcast_max_digests
+
+    def _hash_pair(self) -> tuple[Column, Column]:
+        joined = F.concat_ws("", *[F.col(c) for c in self.keys])
+        return F.xxhash64(joined), F.xxhash64(joined, F.lit(0x9E3779B9))
+
+    def _build_bloom(self, existing: DataFrame) -> bytes:
+        """One map-only pass: per-partition bit arrays, treeReduce OR."""
+        import numpy as np
+
+        m, k = self.m, self.k
+        h1, h2 = self._hash_pair()
+        hdf = existing.select(h1.alias("h1"), h2.alias("h2"))
+
+        def build(batches):
+            import numpy as np
+            bits = np.zeros(m >> 3, dtype=np.uint8)
+            import pandas as pd
+            seen_any = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen_any = True
+                pos = _bloom_positions(pdf["h1"].to_numpy(np.int64),
+                                       pdf["h2"].to_numpy(np.int64), m, k)
+                np.bitwise_or.at(bits, pos >> 3,
+                                 (np.uint8(1) << (pos & 7).astype(np.uint8)))
+            if seen_any:
+                yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+        partial = hdf.mapInPandas(build, schema="bloom binary")
+        arrs = partial.rdd.map(
+            lambda r: __import__("numpy").frombuffer(r[0], dtype="uint8"))
+        try:
+            merged = arrs.treeReduce(lambda a, b: np.bitwise_or(a, b))
+        except ValueError:  # empty existing corpus -> empty filter
+            merged = np.zeros(m >> 3, dtype=np.uint8)
+        return merged.tobytes()
+
+    def run(self, df: DataFrame, existing: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        if existing is None:
+            raise ValueError("BloomIncrementalDedupFilter needs existing=")
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bloom_bytes = self._build_bloom(existing)
+        bc = df.sparkSession.sparkContext.broadcast(bloom_bytes)
+        m, k = self.m, self.k
+
+        @pandas_udf("boolean")
+        def member(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            if not len(h1):
+                return pd.Series([], dtype=bool)
+            pos = _bloom_positions(h1.to_numpy(np.int64),
+                                   h2.to_numpy(np.int64), m, k)
+            hit = (bits[pos >> 3] &
+                   (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            return pd.Series(hit.all(axis=1))
+
+        h = self._hash()
+        h1, h2 = self._hash_pair()
+        df, order_col = self._ordered(df)
+        df2 = (df.withColumn("_seen_h", h)
+                 .withColumn("_maybe", member(h1, h2)))
+
+        seen = existing.select(self._hash().alias("_seen_h"))
+        pos = df2.filter(F.col("_maybe"))
+        neg = df2.filter(~F.col("_maybe"))
+
+        pos_digests = pos.select("_seen_h").distinct()
+        # bounded action: the positive tail is |true dups| + ~fpr*|batch|
+        if pos_digests.limit(self.broadcast_max_digests + 1).count() \
+                <= self.broadcast_max_digests:
+            confirmed = (seen.join(F.broadcast(pos_digests), "_seen_h",
+                                   "left_semi").distinct())
+            fresh_pos = pos.join(F.broadcast(confirmed), "_seen_h",
+                                 "left_anti")
+        else:  # duplicate-heavy batch: correct-at-any-size fallback
+            fresh_pos = pos.join(seen.distinct(), "_seen_h", "left_anti")
+
+        fresh = fresh_pos.unionByName(neg)
+        out = _keep_first(fresh, F.col("_seen_h"), order_col)
+        return self._finish(out.drop("_seen_h", "_maybe"), order_col)

@@ -249,3 +249,91 @@ class BM25RetrievalOperator(Operator):
                 .filter(F.col("rank") <= self.top_k)
                 .select("query", F.col("_id").alias(self.id_key),
                         "score", "rank"))
+
+
+@OPERATOR_REGISTRY.register()
+class HeavyHittersOperator(Operator):
+    """EXACT heavy hitters — every key whose count exceeds ``phi * N``
+    (N = non-null rows), with exact counts — WITHOUT shuffling the full
+    key universe.
+
+    Two passes:
+      1. Map-only candidate proposal: each partition folds its rows
+         through a mergeable Misra-Gries summary with
+         ``capacity = ceil(1/phi)`` counters (Agarwal et al., "Mergeable
+         Summaries", PODS'12: add a batch's counts, then subtract the
+         (capacity+1)-th largest counter from all and drop the
+         non-positive). MG undercounts any key by at most
+         n_p/(capacity+1) within a partition, so a key with GLOBAL
+         count > N/(capacity+1) must survive in at least one partition
+         summary (pigeonhole over partition totals) — and
+         N/(capacity+1) < phi*N, so the candidate union has NO false
+         negatives for the phi threshold. Each summary is at most
+         ``capacity`` keys regardless of key cardinality; the driver
+         collects partitions x capacity candidate rows, nothing more.
+      2. Exact recount: broadcast-semi-join the data against the
+         candidate set, groupBy count (map-side combine collapses each
+         task to <= |candidates| rows), keep count > phi*N.
+
+    The sketch only PROPOSES — the returned set and counts are exact.
+    Why not a plain groupBy: counting every distinct key of a 100 TB
+    corpus (e.g. all shingles) shuffles the full key universe; here the
+    shuffle is bounded by |candidates| per map task.
+
+    Output: DataFrame[<input_key> string, cnt long]. Null keys are
+    ignored (excluded from N and from candidacy).
+    """
+
+    def __init__(self, input_key: str = "text", phi: float = 0.001,
+                 capacity: int | None = None):
+        if not (0.0 < phi < 1.0):
+            raise ValueError("phi must be in (0, 1)")
+        self.input_key = input_key
+        self.phi = phi
+        import math
+        self.capacity = capacity or math.ceil(1.0 / phi)
+        self.input_keys = (input_key,)
+        self.output_keys = ("cnt",)
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        import pandas as pd
+
+        cap = self.capacity
+        keyed = df.select(F.col(self.input_key).cast("string").alias("k")) \
+                  .filter(F.col("k").isNotNull())
+
+        def mg(batches):
+            counts: dict[str, int] = {}
+            n = 0
+            for pdf in batches:
+                vc = pdf["k"].value_counts()
+                n += int(vc.sum())
+                for key, c in vc.items():
+                    counts[key] = counts.get(key, 0) + int(c)
+                if len(counts) > cap:
+                    vals = sorted(counts.values(), reverse=True)
+                    sub = vals[cap]  # the (cap+1)-th largest counter
+                    counts = {k2: v - sub for k2, v in counts.items()
+                              if v > sub}
+            # sentinel row (k=None) carries the partition row count so N
+            # needs no second scan
+            yield pd.DataFrame({"k": list(counts) + [None],
+                                "n": [0] * len(counts) + [n]})
+
+        summaries = keyed.mapInPandas(mg, schema="k string, n long")
+        # bounded collect: <= partitions x (capacity + 1) rows by
+        # construction of the MG summary
+        rows = summaries.collect()
+        total = sum(r["n"] for r in rows if r["k"] is None)
+        cands = [r["k"] for r in rows if r["k"] is not None]
+        spark = df.sparkSession
+        out_schema = f"`{self.input_key}` string, cnt long"
+        if not cands or total == 0:
+            return spark.createDataFrame([], out_schema)
+        thr = self.phi * total
+        cand_df = spark.createDataFrame(
+            [(c,) for c in set(cands)], "k string")
+        return (keyed.join(F.broadcast(cand_df), "k", "left_semi")
+                .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") > F.lit(thr))
+                .select(F.col("k").alias(self.input_key), "cnt"))

@@ -1,0 +1,148 @@
+"""Bloom-prefilter incremental dedup and exact two-pass heavy hitters.
+
+The contracts under test:
+  - BloomIncrementalDedupFilter returns IDENTICAL rows to
+    IncrementalHashDedupFilter on every branch (clean bloom, high-fpr
+    bloom, empty corpus, non-broadcast fallback) — the bloom is only a
+    prefilter, exactness never depends on fpr.
+  - HeavyHittersOperator returns the EXACT set and counts of keys with
+    freq > phi*N under adversarial partition layouts — the Misra-Gries
+    pass only proposes candidates; the pigeonhole guarantee (any key
+    with global count > N/(capacity+1) survives in some partition
+    summary) makes false negatives impossible.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.core.registry import get_operator
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.collect())
+
+
+def _split(docs):
+    return (docs.filter(F.col("doc_id") % 4 == 0),
+            docs.filter(F.col("doc_id") % 4 != 0))
+
+
+def test_bloom_matches_exact_incremental(docs):
+    existing, new = _split(docs)
+    a = get_operator("IncrementalHashDedupFilter",
+                     {"order_key": "doc_id"}).run(new, existing=existing)
+    b = get_operator("BloomIncrementalDedupFilter",
+                     {"order_key": "doc_id"}).run(new, existing=existing)
+    assert _ids(a.select("doc_id")) == _ids(b.select("doc_id"))
+    assert set(a.columns) == set(b.columns)
+
+
+def test_bloom_exact_under_saturated_filter(docs):
+    """bits_log2=10 saturates the filter -> near-100% fpr -> every row
+    takes the exact-confirm path; result must be unchanged."""
+    existing, new = _split(docs)
+    a = get_operator("IncrementalHashDedupFilter",
+                     {"order_key": "doc_id"}).run(new, existing=existing)
+    b = get_operator("BloomIncrementalDedupFilter",
+                     {"order_key": "doc_id", "bits_log2": 10, "k": 2}
+                     ).run(new, existing=existing)
+    assert _ids(a.select("doc_id")) == _ids(b.select("doc_id"))
+
+
+def test_bloom_fallback_branch_exact(docs):
+    """broadcast_max_digests=1 forces the shuffled anti-join fallback."""
+    existing, new = _split(docs)
+    a = get_operator("IncrementalHashDedupFilter",
+                     {"order_key": "doc_id"}).run(new, existing=existing)
+    b = get_operator("BloomIncrementalDedupFilter",
+                     {"order_key": "doc_id", "broadcast_max_digests": 1}
+                     ).run(new, existing=existing)
+    assert _ids(a.select("doc_id")) == _ids(b.select("doc_id"))
+
+
+def test_bloom_empty_corpus_is_in_batch_dedup(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], ["doc_id", "text"])
+    out = get_operator("BloomIncrementalDedupFilter",
+                       {"order_key": "doc_id"}).run(
+        df, existing=df.limit(0))
+    assert _ids(out.select("doc_id")) == [1, 2]
+
+
+def test_bloom_no_false_negatives_synthetic(spark):
+    """Every corpus duplicate must be dropped — a bloom false NEGATIVE
+    (impossible by construction) would leak one through."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(500)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc number {i}") for i in range(500)]
+        + [(2000, "genuinely new")], ["doc_id", "text"])
+    out = get_operator("BloomIncrementalDedupFilter",
+                       {"order_key": "doc_id"}).run(batch, existing=corpus)
+    assert _ids(out.select("doc_id")) == [2000]
+
+
+def test_bloom_requires_existing(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    try:
+        get_operator("BloomIncrementalDedupFilter", {}).run(df)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def _exact_hh(df, key, phi):
+    n = df.filter(F.col(key).isNotNull()).count()
+    return {
+        (str(r[key]), r["cnt"])
+        for r in df.filter(F.col(key).isNotNull())
+        .groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > phi * n).collect()
+    }
+
+
+def test_heavy_hitters_exact_on_skewed_keys(spark):
+    rng = random.Random(7)
+    # zipf-ish: key i appears ~ 3000/i times; shuffled row order
+    rows = [(f"k{i}",) for i in range(1, 200) for _ in range(3000 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    for phi in (0.05, 0.01, 0.002):
+        got = {(r["k"], r["cnt"]) for r in
+               get_operator("HeavyHittersOperator",
+                            {"input_key": "k", "phi": phi}).run(df).collect()}
+        assert got == _exact_hh(df, "k", phi), phi
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark):
+    """capacity=2 forces constant MG eviction; candidates may include
+    junk but the exact recount must still return precisely the heavy
+    set (no false negatives above N/(capacity+1) by pigeonhole —
+    phi=0.4 > 1/3 keeps the guarantee honest)."""
+    rows = ([("hot",)] * 500 + [(f"cold{i}",) for i in range(300)])
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {(r["k"], r["cnt"]) for r in
+           get_operator("HeavyHittersOperator",
+                        {"input_key": "k", "phi": 0.4, "capacity": 2}
+                        ).run(df).collect()}
+    assert got == {("hot", 500)}
+
+
+def test_heavy_hitters_nulls_and_casts(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (None,)], "k int")
+    got = {(r["k"], r["cnt"]) for r in
+           get_operator("HeavyHittersOperator",
+                        {"input_key": "k", "phi": 0.5}).run(df).collect()}
+    # N=4 non-null; only 1 (count 3 > 2.0) qualifies; key cast to string
+    assert got == {("1", 3)}
+
+
+def test_heavy_hitters_empty(spark):
+    df = spark.createDataFrame([], "k string")
+    out = get_operator("HeavyHittersOperator",
+                       {"input_key": "k", "phi": 0.1}).run(df)
+    assert out.collect() == []
+    assert out.columns == ["k", "cnt"]
