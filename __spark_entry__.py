@@ -1193,6 +1193,36 @@ def q_heavy_hitters(spark, sf_dir):
     return op.run(words).orderBy(F.col("cnt").desc(), "word")
 
 
+@q("q_source_overlap", f"""
+WITH g AS (SELECT DISTINCT source, unnest({NG('text', 3)}) AS gram
+           FROM documents),
+s AS (SELECT source, count(*) AS cnt FROM g GROUP BY source),
+p AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT s1.source AS group_a, s2.source AS group_b,
+       s1.cnt AS grams_a, s2.cnt AS grams_b,
+       coalesce(p.shared, 0) AS shared,
+       round(coalesce(p.shared, 0)::DOUBLE
+             / (s1.cnt + s2.cnt - coalesce(p.shared, 0)), 6) AS jaccard
+FROM s s1 JOIN s s2 ON s1.source < s2.source
+LEFT JOIN p ON p.sa = s1.source AND p.sb = s2.source
+ORDER BY group_a, group_b
+""")
+def q_source_overlap(spark, sf_dir):
+    """Pairwise word-3-gram overlap matrix between the document sources
+    — the pre-mixing curation question "which domains duplicate each
+    other". One shuffle of the distinct (source, gram) set; per-gram
+    fan-out bounded by the source count. hash_impl='raw' keeps the
+    distinct-gram COUNTS collision-proof (the metric is a count, not a
+    join, so the usual injective-in-practice hash convention would bend
+    at billions of grams)."""
+    docs = _t(spark, sf_dir, "documents")
+    op = get_operator("SourceOverlapMatrixOperator",
+                      {"group_key": "source", "n": 3, "hash_impl": "raw"})
+    return op.run(docs).orderBy("group_a", "group_b")
+
+
 @q("r_segment_dedup", f"""
 WITH d AS (SELECT doc_id, {W('text')} AS w FROM documents),
 seg AS (SELECT doc_id, i AS pos, array_to_string(w[(i-1)*10+1:i*10], ' ') AS s
@@ -6368,6 +6398,7 @@ _REVERIFY_HEAD = [
     # r9 third-session additions (never driver-checked)
     "d_bloom_incremental",
     "q_heavy_hitters",
+    "q_source_overlap",
     "q_fuzzy_join",
     "q_containment_join",
     "d_ngram_jaccard",

@@ -337,3 +337,77 @@ class HeavyHittersOperator(Operator):
                 .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
                 .filter(F.col("cnt") > F.lit(thr))
                 .select(F.col("k").alias(self.input_key), "cnt"))
+
+
+@OPERATOR_REGISTRY.register()
+class SourceOverlapMatrixOperator(Operator):
+    """Pairwise n-gram overlap matrix between corpus slices — for every
+    unordered pair of ``group_key`` values: each side's distinct word
+    n-gram count, the shared count, and the Jaccard overlap. The
+    curation question this answers: which sources/domains substantially
+    duplicate each other (and should be cross-deduped or downweighted)
+    BEFORE mixing a training corpus.
+
+    Gram semantics mirror the decontamination family
+    (``filters.decontaminate.word_ngrams``: ASCII whitespace split,
+    empties dropped, texts shorter than n words contribute their whole
+    word sequence), so the overlap matrix and the decontamination ops
+    agree on what a "gram" is.
+
+    Scale shape: ONE shuffle of the distinct (group, gram) set — grams
+    hash uniformly, map-side combinable — then a per-gram group-set
+    aggregate whose fan-out is bounded by the number of groups (sources
+    are few; a gram's ``collect_set`` can never exceed it). The pair
+    expansion happens on gram-level rows that at least two groups
+    share, and the final matrix is |groups|^2/2 rows. Nothing driver-
+    side. Groups whose texts produce zero grams don't appear.
+
+    Output: group_a, group_b, grams_a, grams_b, shared, jaccard
+    (round 6), one row per unordered pair, group_a < group_b.
+    """
+
+    def __init__(self, group_key: str = "source", input_key: str = "text",
+                 n: int = 3, hash_impl: str = "fast",
+                 round_digits: int = 6):
+        if n <= 0:
+            raise ValueError("n must be positive")
+        self.group_key, self.input_key, self.n = group_key, input_key, n
+        self.hash_impl = hash_impl
+        self.round_digits = round_digits
+        self.input_keys = (group_key, input_key)
+        self.output_keys = ("group_a", "group_b", "grams_a", "grams_b",
+                            "shared", "jaccard")
+
+    def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
+        from dataflow_spark.operators.filters.decontaminate import (
+            _grams_udf, _join_key)
+
+        grams = (
+            df.select(F.col(self.group_key).alias("_grp"),
+                      F.explode(_grams_udf(self.n)(
+                          F.col(self.input_key))).alias("_g"))
+            .select("_grp", _join_key(self.hash_impl).alias("_k"))
+            .distinct()
+        )
+        sizes = grams.groupBy("_grp").agg(F.count(F.lit(1)).alias("_cnt"))
+        shared = (
+            grams.groupBy("_k").agg(F.collect_set("_grp").alias("_gs"))
+            .filter(F.size("_gs") >= 2)
+            .select(F.explode("_gs").alias("_a"), "_gs")
+            .select("_a", F.explode("_gs").alias("_b"))
+            .filter(F.col("_a") < F.col("_b"))
+            .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("shared"))
+        )
+        a = sizes.select(F.col("_grp").alias("_a"),
+                         F.col("_cnt").alias("grams_a"))
+        b = sizes.select(F.col("_grp").alias("_b"),
+                         F.col("_cnt").alias("grams_b"))
+        pairs = (a.crossJoin(b).filter(F.col("_a") < F.col("_b"))
+                 .join(shared, ["_a", "_b"], "left")
+                 .withColumn("shared", F.coalesce("shared", F.lit(0))))
+        return pairs.select(
+            F.col("_a").alias("group_a"), F.col("_b").alias("group_b"),
+            "grams_a", "grams_b", "shared",
+            F.round(F.col("shared") / (F.col("grams_a") + F.col("grams_b")
+                                       - F.col("shared")),
+                    self.round_digits).alias("jaccard"))

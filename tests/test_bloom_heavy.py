@@ -146,3 +146,42 @@ def test_heavy_hitters_empty(spark):
                        {"input_key": "k", "phi": 0.1}).run(df)
     assert out.collect() == []
     assert out.columns == ["k", "cnt"]
+
+
+def test_source_overlap_hand_checkable(spark):
+    rows = [("s1", "a b c d"), ("s2", "a b c e"), ("s3", "x y z w"),
+            ("s4", "")]  # s4 has zero grams -> absent from the matrix
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = sorted(
+        (r["group_a"], r["group_b"], r["grams_a"], r["grams_b"],
+         r["shared"], r["jaccard"])
+        for r in get_operator("SourceOverlapMatrixOperator",
+                              {"n": 3}).run(df).collect())
+    # s1 3-grams {a b c, b c d}; s2 {a b c, b c e}; s3 {x y z, y z w}
+    assert got == [("s1", "s2", 2, 2, 1, 0.333333),
+                   ("s1", "s3", 2, 2, 0, 0.0),
+                   ("s2", "s3", 2, 2, 0, 0.0)]
+
+
+def test_source_overlap_short_text_whole_sequence_gram(spark):
+    # texts shorter than n words contribute ONE whole-sequence gram
+    # (decontaminate.word_ngrams mirror)
+    df = spark.createDataFrame(
+        [("a", "hi there"), ("b", "hi there"), ("c", "bye")],
+        ["source", "text"])
+    got = {(r["group_a"], r["group_b"]): (r["shared"], r["jaccard"])
+           for r in get_operator("SourceOverlapMatrixOperator",
+                                 {"n": 5}).run(df).collect()}
+    assert got[("a", "b")] == (1, 1.0)
+    assert got[("a", "c")] == (0, 0.0)
+
+
+def test_source_overlap_raw_equals_fast(docs):
+    """Hash-impl convention check: the xxhash64 path and the raw-string
+    path must agree on the whole matrix at test scale."""
+    op_fast = get_operator("SourceOverlapMatrixOperator", {"n": 3})
+    op_raw = get_operator("SourceOverlapMatrixOperator",
+                          {"n": 3, "hash_impl": "raw"})
+    a = sorted(map(tuple, op_fast.run(docs).collect()))
+    b = sorted(map(tuple, op_raw.run(docs).collect()))
+    assert a == b
