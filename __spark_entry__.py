@@ -1193,6 +1193,32 @@ def q_heavy_hitters(spark, sf_dir):
     return op.run(words).orderBy(F.col("cnt").desc(), "word")
 
 
+@q("q_heavy_ngrams", f"""
+WITH g AS (SELECT unnest({NG('text', 5)}) AS gram FROM documents)
+SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+HAVING count(*) > 0.0001 * (SELECT count(*) FROM g)
+ORDER BY cnt DESC, gram
+""")
+def q_heavy_ngrams(spark, sf_dir):
+    """Corpus boilerplate discovery: word-5-grams occurring in > 0.01%
+    of all distinct-per-doc gram instances — the natural blocklist seed
+    for template removal. This is HeavyHittersOperator in its intended
+    setting: the gram universe is ~corpus-sized (every distinct 5-gram),
+    so a plain groupBy would shuffle it all; the Misra-Gries pass ships
+    only partitions x ceil(1/phi) candidates (boilerplate mining wants
+    a small phi, so the candidate budget — partitions x 10^4 here — is
+    the knob to mind on wide clusters). Gram semantics = decontamination
+    kernel (distinct per doc, short docs contribute the whole
+    sequence)."""
+    from dataflow_spark.operators.filters.decontaminate import _grams_udf
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(_grams_udf(5)(F.col("text"))).alias("gram"))
+    op = get_operator("HeavyHittersOperator",
+                      {"input_key": "gram", "phi": 0.0001})
+    return op.run(grams).orderBy(F.col("cnt").desc(), "gram")
+
+
 @q("q_source_overlap", f"""
 WITH g AS (SELECT DISTINCT source, unnest({NG('text', 3)}) AS gram
            FROM documents),
@@ -6398,6 +6424,7 @@ _REVERIFY_HEAD = [
     # r9 third-session additions (never driver-checked)
     "d_bloom_incremental",
     "q_heavy_hitters",
+    "q_heavy_ngrams",
     "q_source_overlap",
     "q_fuzzy_join",
     "q_containment_join",
