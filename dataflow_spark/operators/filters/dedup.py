@@ -793,6 +793,21 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
         joined = F.concat_ws("", *[F.col(c) for c in self.keys])
         return F.xxhash64(joined), F.xxhash64(joined, F.lit(0x9E3779B9))
 
+    def build_filter(self, existing: DataFrame) -> bytes:
+        """Materialize the corpus bloom (m/8 bytes) for cross-run reuse.
+
+        The production daily-increment shape: build once over today's
+        full corpus, persist the bytes next to the digest table, and
+        pass them back as ``run(batch, existing=digests, bloom=...)``
+        every day until the corpus grows past the sized-for capacity —
+        rebuilding a 16 MiB filter is one map-only pass, but not one
+        you need per increment. The bytes are only valid for the same
+        (input_keys, bits_log2, k) configuration and for any ``existing``
+        that is a SUBSET of what was built over (a superset bloom adds
+        false positives — extra exact probes — never false negatives).
+        """
+        return self._build_bloom(existing)
+
     def _build_bloom(self, existing: DataFrame) -> bytes:
         """One map-only pass: per-partition bit arrays, treeReduce OR."""
         import numpy as np
@@ -827,14 +842,18 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
         return merged.tobytes()
 
     def run(self, df: DataFrame, existing: DataFrame | None = None,
-            **kwargs: Any) -> DataFrame:
+            bloom: bytes | None = None, **kwargs: Any) -> DataFrame:
         if existing is None:
             raise ValueError("BloomIncrementalDedupFilter needs existing=")
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        bloom_bytes = self._build_bloom(existing)
+        if bloom is not None and len(bloom) != self.m >> 3:
+            raise ValueError(
+                f"bloom has {len(bloom)} bytes; bits_log2={self.bits_log2} "
+                f"needs {self.m >> 3} — was it built with this config?")
+        bloom_bytes = bloom if bloom is not None else self._build_bloom(existing)
         bc = df.sparkSession.sparkContext.broadcast(bloom_bytes)
         m, k = self.m, self.k
 

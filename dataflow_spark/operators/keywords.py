@@ -251,6 +251,27 @@ class BM25RetrievalOperator(Operator):
                         "score", "rank"))
 
 
+def mg_update(counts: dict, batch_counts: dict, cap: int) -> dict:
+    """One mergeable Misra-Gries step: absorb a counted batch, then if
+    more than ``cap`` keys remain, subtract the (cap+1)-th largest
+    counter from all and drop the non-positive (Agarwal et al.,
+    "Mergeable Summaries", PODS'12).
+
+    Module-level and pure so the sketch's two invariants are property-
+    testable without Spark: (a) at most ``cap`` keys survive; (b) the
+    undercount of any key after folding a stream of total mass n is at
+    most n/(cap+1) — hence any key with true count > n/(cap+1) is
+    present in the summary.
+    """
+    for key, c in batch_counts.items():
+        counts[key] = counts.get(key, 0) + int(c)
+    if len(counts) > cap:
+        vals = sorted(counts.values(), reverse=True)
+        sub = vals[cap]  # the (cap+1)-th largest counter
+        counts = {k2: v - sub for k2, v in counts.items() if v > sub}
+    return counts
+
+
 @OPERATOR_REGISTRY.register()
 class HeavyHittersOperator(Operator):
     """EXACT heavy hitters — every key whose count exceeds ``phi * N``
@@ -308,13 +329,7 @@ class HeavyHittersOperator(Operator):
             for pdf in batches:
                 vc = pdf["k"].value_counts()
                 n += int(vc.sum())
-                for key, c in vc.items():
-                    counts[key] = counts.get(key, 0) + int(c)
-                if len(counts) > cap:
-                    vals = sorted(counts.values(), reverse=True)
-                    sub = vals[cap]  # the (cap+1)-th largest counter
-                    counts = {k2: v - sub for k2, v in counts.items()
-                              if v > sub}
+                counts = mg_update(counts, vc.to_dict(), cap)
             # sentinel row (k=None) carries the partition row count so N
             # needs no second scan
             yield pd.DataFrame({"k": list(counts) + [None],

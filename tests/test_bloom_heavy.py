@@ -185,3 +185,56 @@ def test_source_overlap_raw_equals_fast(docs):
     a = sorted(map(tuple, op_fast.run(docs).collect()))
     b = sorted(map(tuple, op_raw.run(docs).collect()))
     assert a == b
+
+
+# -- pure-kernel properties (no Spark) --------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from dataflow_spark.operators.keywords import mg_update
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(1, 50)),
+                min_size=0, max_size=40),
+       st.integers(1, 8))
+def test_mg_invariants(batches, cap):
+    """Fold weighted batches through mg_update; check the two published
+    invariants: summary size <= cap, and undercount of every key
+    <= n/(cap+1) — hence presence of every key with count > n/(cap+1)."""
+    counts = {}
+    true = {}
+    n = 0
+    for key, c in batches:
+        counts = mg_update(counts, {key: c}, cap)
+        true[key] = true.get(key, 0) + c
+        n += c
+    assert len(counts) <= cap
+    bound = n / (cap + 1)
+    for key, t in true.items():
+        est = counts.get(key, 0)
+        assert est <= t  # MG never overcounts
+        assert t - est <= bound + 1e-9  # bounded undercount
+        if t > bound:
+            assert key in counts  # the pigeonhole presence guarantee
+
+
+def test_bloom_build_filter_reuse(spark):
+    """build_filter bytes passed back via bloom= must reproduce the
+    from-scratch result; a size-mismatched filter is rejected."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 40}") for i in range(200)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc {i}") for i in range(80)], ["doc_id", "text"])
+    op = get_operator("BloomIncrementalDedupFilter",
+                      {"order_key": "doc_id", "bits_log2": 16})
+    bits = op.build_filter(corpus)
+    assert len(bits) == (1 << 16) >> 3
+    fresh = op.run(batch, existing=corpus)
+    reused = op.run(batch, existing=corpus, bloom=bits)
+    assert _ids(fresh.select("doc_id")) == _ids(reused.select("doc_id"))
+    try:
+        op.run(batch, existing=corpus, bloom=b"\x00" * 10)
+        raise AssertionError("expected ValueError on size mismatch")
+    except ValueError:
+        pass
