@@ -1219,6 +1219,28 @@ def q_heavy_ngrams(spark, sf_dir):
     return op.run(grams).orderBy(F.col("cnt").desc(), "gram")
 
 
+@q("q_heavy_weighted", f"""
+WITH w AS (SELECT unnest({LW('text')}) AS word FROM documents),
+nn AS (SELECT word, length(word) AS wt FROM w WHERE word != '')
+SELECT word, sum(wt) AS cnt FROM nn GROUP BY word
+HAVING sum(wt) > 0.005 * (SELECT sum(wt) FROM nn)
+ORDER BY cnt DESC, word
+""")
+def q_heavy_weighted(spark, sf_dir):
+    """Weighted heavy hitters: words carrying > 0.5% of total CHARACTER
+    mass (weight_key) — the skew diagnosis that matters for storage and
+    shuffle sizing, where mass, not row count, is the cost. Same MG
+    mass-bound guarantee, exact recount sums the weights."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), T.WS_RE)).alias("word")
+    ).filter(F.col("word") != "").withColumn("wt", F.length("word"))
+    op = get_operator("HeavyHittersOperator",
+                      {"input_key": "word", "phi": 0.005,
+                       "weight_key": "wt"})
+    return op.run(words).orderBy(F.col("cnt").desc(), "word")
+
+
 @q("q_source_overlap", f"""
 WITH g AS (SELECT DISTINCT source, unnest({NG('text', 3)}) AS gram
            FROM documents),
@@ -6425,6 +6447,7 @@ _REVERIFY_HEAD = [
     "d_bloom_incremental",
     "q_heavy_hitters",
     "q_heavy_ngrams",
+    "q_heavy_weighted",
     "q_source_overlap",
     "q_fuzzy_join",
     "q_containment_join",

@@ -306,31 +306,44 @@ class HeavyHittersOperator(Operator):
     """
 
     def __init__(self, input_key: str = "text", phi: float = 0.001,
-                 capacity: int | None = None):
+                 capacity: int | None = None, weight_key: str | None = None):
         if not (0.0 < phi < 1.0):
             raise ValueError("phi must be in (0, 1)")
         self.input_key = input_key
         self.phi = phi
         import math
         self.capacity = capacity or math.ceil(1.0 / phi)
-        self.input_keys = (input_key,)
+        #: when set, "heavy" means total WEIGHT > phi * total mass
+        #: (weights cast to long; non-positive/null weights ignored) —
+        #: the MG mass bound is weight-algebra-identical, so the exact
+        #: guarantee carries over (pinned by the mg_update property
+        #: test, which already folds weighted batches). ``cnt`` then
+        #: holds the key's total weight. Heavy-domains-by-bytes is the
+        #: canonical use: storage and shuffle skew follow mass, not
+        #: row counts.
+        self.weight_key = weight_key
+        self.input_keys = (input_key,) if weight_key is None else \
+            (input_key, weight_key)
         self.output_keys = ("cnt",)
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         import pandas as pd
 
         cap = self.capacity
-        keyed = df.select(F.col(self.input_key).cast("string").alias("k")) \
-                  .filter(F.col("k").isNotNull())
+        w = (F.lit(1).cast("long") if self.weight_key is None
+             else F.col(self.weight_key).cast("long"))
+        keyed = (df.select(F.col(self.input_key).cast("string").alias("k"),
+                           w.alias("w"))
+                 .filter(F.col("k").isNotNull() & (F.col("w") > 0)))
 
         def mg(batches):
             counts: dict[str, int] = {}
             n = 0
             for pdf in batches:
-                vc = pdf["k"].value_counts()
-                n += int(vc.sum())
-                counts = mg_update(counts, vc.to_dict(), cap)
-            # sentinel row (k=None) carries the partition row count so N
+                gc = pdf.groupby("k", sort=False)["w"].sum()
+                n += int(gc.sum())
+                counts = mg_update(counts, gc.to_dict(), cap)
+            # sentinel row (k=None) carries the partition mass so N
             # needs no second scan
             yield pd.DataFrame({"k": list(counts) + [None],
                                 "n": [0] * len(counts) + [n]})
@@ -349,7 +362,7 @@ class HeavyHittersOperator(Operator):
         cand_df = spark.createDataFrame(
             [(c,) for c in set(cands)], "k string")
         return (keyed.join(F.broadcast(cand_df), "k", "left_semi")
-                .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+                .groupBy("k").agg(F.sum("w").alias("cnt"))
                 .filter(F.col("cnt") > F.lit(thr))
                 .select(F.col("k").alias(self.input_key), "cnt"))
 

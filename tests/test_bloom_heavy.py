@@ -238,3 +238,23 @@ def test_bloom_build_filter_reuse(spark):
         raise AssertionError("expected ValueError on size mismatch")
     except ValueError:
         pass
+
+
+def test_heavy_hitters_weighted_exact(spark):
+    """Weighted mode: heavy = total weight > phi * mass; exact vs a
+    groupBy-sum oracle on synthetic mass skew (one key carries most of
+    the mass in FEW rows — a count-based pass would miss it)."""
+    rows = ([("whale", 500)] * 4                      # 2000 mass, 4 rows
+            + [(f"krill{i}", 1) for i in range(900)]  # 900 mass
+            + [("zero", 0), ("neg", -5), (None, 10)])
+    df = spark.createDataFrame(rows, "k string, w int").repartition(8)
+    got = {(r["k"], r["cnt"]) for r in
+           get_operator("HeavyHittersOperator",
+                        {"input_key": "k", "phi": 0.25, "weight_key": "w"}
+                        ).run(df).collect()}
+    assert got == {("whale", 2000)}  # 2000 > 0.25*2900; no krill qualifies
+    # unweighted on the same frame: "whale" is only 4 of 907 rows
+    got_cnt = {r["k"] for r in
+               get_operator("HeavyHittersOperator",
+                            {"input_key": "k", "phi": 0.25}).run(df).collect()}
+    assert "whale" not in got_cnt
