@@ -1241,6 +1241,32 @@ def q_heavy_weighted(spark, sf_dir):
     return op.run(words).orderBy(F.col("cnt").desc(), "word")
 
 
+@q("q_heavy_by_source", f"""
+WITH w AS (SELECT source, unnest({LW('text')}) AS word FROM documents),
+nn AS (SELECT source, word FROM w WHERE word != ''),
+c AS (SELECT source, word, count(*) AS cnt FROM nn GROUP BY source, word),
+t AS (SELECT source, count(*) AS tot FROM nn GROUP BY source)
+SELECT c.source, c.word, c.cnt FROM c JOIN t USING (source)
+WHERE c.cnt > 0.02 * t.tot
+ORDER BY c.source, c.cnt DESC, c.word
+""")
+def q_heavy_by_source(spark, sf_dir):
+    """Per-group heavy hitters: words carrying > 2% of their OWN
+    source's word mass — per-slice boilerplate discovery (each source's
+    threshold is its own mass, so a word dominant in a small source is
+    found even when globally rare). One MG summary per (partition,
+    source); candidate bound = partitions x sources x ceil(1/phi)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), T.WS_RE)).alias("word")
+    ).filter(F.col("word") != "")
+    op = get_operator("HeavyHittersOperator",
+                      {"input_key": "word", "phi": 0.02,
+                       "group_key": "source"})
+    return op.run(words).orderBy("source", F.col("cnt").desc(), "word")
+
+
 @q("q_source_overlap", f"""
 WITH g AS (SELECT DISTINCT source, unnest({NG('text', 3)}) AS gram
            FROM documents),
@@ -6448,6 +6474,7 @@ _REVERIFY_HEAD = [
     "q_heavy_hitters",
     "q_heavy_ngrams",
     "q_heavy_weighted",
+    "q_heavy_by_source",
     "q_source_overlap",
     "q_fuzzy_join",
     "q_containment_join",

@@ -301,18 +301,27 @@ class HeavyHittersOperator(Operator):
     corpus (e.g. all shingles) shuffles the full key universe; here the
     shuffle is bounded by |candidates| per map task.
 
-    Output: DataFrame[<input_key> string, cnt long]. Null keys are
-    ignored (excluded from N and from candidacy).
+    Output: DataFrame[<input_key> string, cnt long] — with ``group_key``
+    set, DataFrame[<group_key> string, <input_key> string, cnt long].
+    Null keys/groups are ignored (excluded from N and from candidacy).
     """
 
     def __init__(self, input_key: str = "text", phi: float = 0.001,
-                 capacity: int | None = None, weight_key: str | None = None):
+                 capacity: int | None = None, weight_key: str | None = None,
+                 group_key: str | None = None):
         if not (0.0 < phi < 1.0):
             raise ValueError("phi must be in (0, 1)")
         self.input_key = input_key
         self.phi = phi
         import math
         self.capacity = capacity or math.ceil(1.0 / phi)
+        #: when set, "heavy" is judged WITHIN each group — mass of
+        #: (group, key) > phi * mass(group) — one MG summary per group
+        #: per partition, so the candidate bound becomes partitions x
+        #: |groups present| x capacity. Intended for LOW-cardinality
+        #: slices (language, source); the pigeonhole guarantee applies
+        #: per group over its own partition masses.
+        self.group_key = group_key
         #: when set, "heavy" means total WEIGHT > phi * total mass
         #: (weights cast to long; non-positive/null weights ignored) —
         #: the MG mass bound is weight-algebra-identical, so the exact
@@ -322,49 +331,80 @@ class HeavyHittersOperator(Operator):
         #: canonical use: storage and shuffle skew follow mass, not
         #: row counts.
         self.weight_key = weight_key
-        self.input_keys = (input_key,) if weight_key is None else \
-            (input_key, weight_key)
+        keys = [input_key]
+        if weight_key is not None:
+            keys.append(weight_key)
+        if group_key is not None:
+            keys.append(group_key)
+        self.input_keys = tuple(keys)
         self.output_keys = ("cnt",)
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         import pandas as pd
 
         cap = self.capacity
+        phi = self.phi
         w = (F.lit(1).cast("long") if self.weight_key is None
              else F.col(self.weight_key).cast("long"))
-        keyed = (df.select(F.col(self.input_key).cast("string").alias("k"),
+        # ungrouped mode = one constant group; same machinery throughout
+        g = (F.lit("").cast("string") if self.group_key is None
+             else F.col(self.group_key).cast("string"))
+        keyed = (df.select(g.alias("g"),
+                           F.col(self.input_key).cast("string").alias("k"),
                            w.alias("w"))
-                 .filter(F.col("k").isNotNull() & (F.col("w") > 0)))
+                 .filter(F.col("g").isNotNull() & F.col("k").isNotNull()
+                         & (F.col("w") > 0)))
 
         def mg(batches):
-            counts: dict[str, int] = {}
-            n = 0
+            counts: dict[str, dict[str, int]] = {}  # group -> MG summary
+            mass: dict[str, int] = {}
             for pdf in batches:
-                gc = pdf.groupby("k", sort=False)["w"].sum()
-                n += int(gc.sum())
-                counts = mg_update(counts, gc.to_dict(), cap)
-            # sentinel row (k=None) carries the partition mass so N
-            # needs no second scan
-            yield pd.DataFrame({"k": list(counts) + [None],
-                                "n": [0] * len(counts) + [n]})
+                gc = pdf.groupby(["g", "k"], sort=False)["w"].sum()
+                per_group: dict[str, dict[str, int]] = {}
+                for (grp, key), c in gc.items():
+                    per_group.setdefault(grp, {})[key] = int(c)
+                for grp, batch_counts in per_group.items():
+                    mass[grp] = mass.get(grp, 0) + sum(batch_counts.values())
+                    counts[grp] = mg_update(counts.get(grp, {}),
+                                            batch_counts, cap)
+                # sentinel row per group (k=None) carries the partition
+                # mass so totals need no second scan
+            gs, ks, ns = [], [], []
+            for grp, summary in counts.items():
+                for key in summary:
+                    gs.append(grp); ks.append(key); ns.append(0)
+            for grp, n in mass.items():
+                gs.append(grp); ks.append(None); ns.append(n)
+            yield pd.DataFrame({"g": gs, "k": ks, "n": ns})
 
-        summaries = keyed.mapInPandas(mg, schema="k string, n long")
-        # bounded collect: <= partitions x (capacity + 1) rows by
-        # construction of the MG summary
+        summaries = keyed.mapInPandas(mg, schema="g string, k string, n long")
+        # bounded collect: <= partitions x groups x (capacity + 1) rows
+        # by construction of the per-group MG summaries
         rows = summaries.collect()
-        total = sum(r["n"] for r in rows if r["k"] is None)
-        cands = [r["k"] for r in rows if r["k"] is not None]
+        totals: dict[str, int] = {}
+        cands: set[tuple[str, str]] = set()
+        for r in rows:
+            if r["k"] is None:
+                totals[r["g"]] = totals.get(r["g"], 0) + r["n"]
+            else:
+                cands.add((r["g"], r["k"]))
         spark = df.sparkSession
-        out_schema = f"`{self.input_key}` string, cnt long"
-        if not cands or total == 0:
+        grouped = self.group_key is not None
+        out_cols = ([F.col("g").alias(self.group_key)] if grouped else []) \
+            + [F.col("k").alias(self.input_key), "cnt"]
+        out_schema = ((f"`{self.group_key}` string, " if grouped else "")
+                      + f"`{self.input_key}` string, cnt long")
+        if not cands:
             return spark.createDataFrame([], out_schema)
-        thr = self.phi * total
-        cand_df = spark.createDataFrame(
-            [(c,) for c in set(cands)], "k string")
-        return (keyed.join(F.broadcast(cand_df), "k", "left_semi")
-                .groupBy("k").agg(F.sum("w").alias("cnt"))
-                .filter(F.col("cnt") > F.lit(thr))
-                .select(F.col("k").alias(self.input_key), "cnt"))
+        cand_df = spark.createDataFrame(list(cands), "g string, k string")
+        thr_df = spark.createDataFrame(
+            [(grp, phi * n) for grp, n in totals.items()],
+            "g string, thr double")
+        return (keyed.join(F.broadcast(cand_df), ["g", "k"], "left_semi")
+                .groupBy("g", "k").agg(F.sum("w").alias("cnt"))
+                .join(F.broadcast(thr_df), "g")
+                .filter(F.col("cnt") > F.col("thr"))
+                .select(*out_cols))
 
 
 @OPERATOR_REGISTRY.register()

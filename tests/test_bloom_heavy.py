@@ -258,3 +258,29 @@ def test_heavy_hitters_weighted_exact(spark):
                get_operator("HeavyHittersOperator",
                             {"input_key": "k", "phi": 0.25}).run(df).collect()}
     assert "whale" not in got_cnt
+
+
+def test_heavy_hitters_grouped_exact(spark):
+    """group_key mode: heavy is judged against each group's OWN mass.
+    'dominant' is 60% of tiny group g2 but <1% of g1 — a global pass
+    would miss it; exact per-group oracle via groupBy + window."""
+    rng = random.Random(11)
+    rows = ([("g1", f"k{i % 400}") for i in range(8000)]       # uniform
+            + [("g1", "common")] * 600                          # heavy in g1
+            + [("g2", "dominant")] * 30 + [("g2", f"r{i}",) for i in range(20)])
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "grp string, k string").repartition(16)
+    got = {(r["grp"], r["k"], r["cnt"]) for r in
+           get_operator("HeavyHittersOperator",
+                        {"input_key": "k", "phi": 0.05, "group_key": "grp"}
+                        ).run(df).collect()}
+    from pyspark.sql import Window
+    n_w = Window.partitionBy("grp")
+    exact = {(r["grp"], r["k"], r["cnt"]) for r in
+             df.groupBy("grp", "k").agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("tot", F.sum("cnt").over(n_w))
+             .filter(F.col("cnt") > 0.05 * F.col("tot"))
+             .select("grp", "k", "cnt").collect()}
+    assert got == exact
+    assert ("g2", "dominant", 30) in got
+    assert not any(g == "g1" and k != "common" for g, k, _ in got)
