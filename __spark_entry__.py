@@ -1267,6 +1267,34 @@ def q_heavy_by_source(spark, sf_dir):
     return op.run(words).orderBy("source", F.col("cnt").desc(), "word")
 
 
+@q("q_pipeline_boilerplate", f"""
+WITH g AS (SELECT doc_id, unnest({NG('text', 5)}) AS gram FROM documents),
+hh AS (SELECT gram FROM g GROUP BY gram
+       HAVING count(*) > 0.0001 * (SELECT count(*) FROM g)),
+bad AS (SELECT DISTINCT doc_id FROM g JOIN hh USING (gram))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+""")
+def q_pipeline_boilerplate(spark, sf_dir):
+    """End-to-end boilerplate removal: mine the heavy-5-gram blocklist
+    from the corpus itself (HeavyHittersOperator, phi=1e-4), then drop
+    every document carrying any mined gram — the derive-then-filter
+    composition a curation pipeline runs before training export. The
+    blocklist is heavy-hitter-bounded, so the filter join is a
+    broadcast; the corpus gram explosion is scanned once per pass."""
+    from dataflow_spark.operators.filters.decontaminate import _grams_udf
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_grams_udf(5)(F.col("text"))).alias("gram"))
+    heavy = get_operator("HeavyHittersOperator",
+                         {"input_key": "gram", "phi": 0.0001}
+                         ).run(grams.select("gram")).select("gram")
+    bad = grams.join(F.broadcast(heavy), "gram").select("doc_id").distinct()
+    return (docs.join(bad, "doc_id", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
 @q("q_source_overlap", f"""
 WITH g AS (SELECT DISTINCT source, unnest({NG('text', 3)}) AS gram
            FROM documents),
@@ -6475,6 +6503,7 @@ _REVERIFY_HEAD = [
     "q_heavy_ngrams",
     "q_heavy_weighted",
     "q_heavy_by_source",
+    "q_pipeline_boilerplate",
     "q_source_overlap",
     "q_fuzzy_join",
     "q_containment_join",
