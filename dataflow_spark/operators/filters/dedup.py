@@ -809,12 +809,21 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
         return self._build_bloom(existing)
 
     def _build_bloom(self, existing: DataFrame) -> bytes:
-        """One map-only pass: per-partition bit arrays, treeReduce OR."""
+        h1, h2 = self._hash_pair()
+        return self.build_filter_from_hashes(
+            existing.select(h1.alias("h1"), h2.alias("h2")))
+
+    def build_filter_from_hashes(self, hdf: DataFrame) -> bytes:
+        """Bloom build over a precomputed hash-pair frame
+        (DataFrame[h1 long, h2 long]) — one map-only pass: per-partition
+        bit arrays, treeReduce OR. This is the digest-table path: a
+        persistent dedup state stores (h1, h2) per kept row, so the
+        filter can be rebuilt (or incremented) without the original
+        text."""
         import numpy as np
 
         m, k = self.m, self.k
-        h1, h2 = self._hash_pair()
-        hdf = existing.select(h1.alias("h1"), h2.alias("h2"))
+        hdf = hdf.select("h1", "h2")
 
         def build(batches):
             import numpy as np
@@ -842,9 +851,20 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
         return merged.tobytes()
 
     def run(self, df: DataFrame, existing: DataFrame | None = None,
-            bloom: bytes | None = None, **kwargs: Any) -> DataFrame:
-        if existing is None:
-            raise ValueError("BloomIncrementalDedupFilter needs existing=")
+            bloom: bytes | None = None, digests: DataFrame | None = None,
+            **kwargs: Any) -> DataFrame:
+        """``existing`` = corpus rows (same columns as ``df``), or pass
+        ``digests`` = a precomputed hash-pair frame (DataFrame[h1 long,
+        h2 long], one row per corpus key — what a persistent dedup
+        state stores) instead; ``bloom`` = reusable filter bytes from
+        :meth:`build_filter`/:meth:`build_filter_from_hashes`. A bloom
+        that over-approximates the corpus (stale, or rebuilt after a
+        partial failure) is SAFE — extra positives only cost exact
+        probes — which is what makes crash-resume of persistent state
+        trivial."""
+        if existing is None and digests is None:
+            raise ValueError(
+                "BloomIncrementalDedupFilter needs existing= or digests=")
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -853,7 +873,12 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
             raise ValueError(
                 f"bloom has {len(bloom)} bytes; bits_log2={self.bits_log2} "
                 f"needs {self.m >> 3} — was it built with this config?")
-        bloom_bytes = bloom if bloom is not None else self._build_bloom(existing)
+        if bloom is not None:
+            bloom_bytes = bloom
+        elif digests is not None:
+            bloom_bytes = self.build_filter_from_hashes(digests)
+        else:
+            bloom_bytes = self._build_bloom(existing)
         bc = df.sparkSession.sparkContext.broadcast(bloom_bytes)
         m, k = self.m, self.k
 
@@ -874,7 +899,10 @@ class BloomIncrementalDedupFilter(HashDeduplicateFilter):
         df2 = (df.withColumn("_seen_h", h)
                  .withColumn("_maybe", member(h1, h2)))
 
-        seen = existing.select(self._hash().alias("_seen_h"))
+        if digests is not None:
+            seen = digests.select(F.col("h1").cast("string").alias("_seen_h"))
+        else:
+            seen = existing.select(self._hash().alias("_seen_h"))
         pos = df2.filter(F.col("_maybe"))
         neg = df2.filter(~F.col("_maybe"))
 

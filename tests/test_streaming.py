@@ -306,3 +306,65 @@ def test_drain_complete_reused_out_dir_not_stale(spark, tmp_path):
     # no checkpoint accumulation in the caller's dir
     import os
     assert not [d for d in os.listdir(out_dir) if d.startswith("ckpt")]
+
+
+def test_stream_bloom_dedup_forever_exact(spark, tmp_path):
+    """Forever-dedup across micro-batches: cross-FILE duplicates (far
+    beyond any watermark horizon) must dedup exactly; result equals the
+    batch-mode keep-first over the whole corpus."""
+    import time
+
+    from dataflow_spark.streaming import stream_bloom_dedup
+
+    in_dir = str(tmp_path / "bloom_in")
+    # chunk i: ids [100i, 100i+9]; texts repeat across chunks (t0..t24);
+    # sequential appends give mtime order = chunk order (file source
+    # processes oldest first), so arrival keep-first == doc_id keep-first
+    for i in range(3):
+        rows = [(100 * i + j, f"t{(17 * i + j) % 25}") for j in range(10)]
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        time.sleep(1.1)
+
+    schema = "doc_id bigint, text string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    state = str(tmp_path / "bloom_state")
+    out = stream_bloom_dedup(stream, state, keys="text",
+                             order_key="doc_id", bits_log2=16)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    from dataflow_spark.core.registry import get_operator
+    whole = spark.createDataFrame(
+        [(100 * i + j, f"t{(17 * i + j) % 25}")
+         for i in range(3) for j in range(10)], ["doc_id", "text"])
+    want = sorted(r["doc_id"] for r in get_operator(
+        "HashDeduplicateFilter",
+        {"input_keys": "text", "order_key": "doc_id"}).run(whole)
+        .select("doc_id").collect())
+    assert got == want
+    assert len(got) == 25  # 25 distinct texts
+
+
+def test_stream_bloom_dedup_resume(spark, tmp_path):
+    """Restart with the same state_dir: new files dedup against the
+    PERSISTED corpus (bloom.bin + digest table), not just their own
+    run's batches."""
+    from dataflow_spark.streaming import stream_bloom_dedup
+
+    in_dir = str(tmp_path / "bloom_in2")
+    state = str(tmp_path / "bloom_state2")
+    schema = "doc_id bigint, text string"
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out1 = stream_bloom_dedup(stream, state, keys="text", order_key="doc_id")
+    assert out1.count() == 2
+
+    # day 2: one duplicate of day 1, one genuinely new
+    spark.createDataFrame([(10, "alpha"), (11, "gamma")], ["doc_id", "text"]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(schema).parquet(in_dir)
+    out2 = stream_bloom_dedup(stream2, state, keys="text", order_key="doc_id")
+    got = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert got == [1, 2, 11]  # 10 ("alpha") deduped against day 1
