@@ -378,16 +378,14 @@ class HeavyHittersOperator(Operator):
             yield pd.DataFrame({"g": gs, "k": ks, "n": ns})
 
         summaries = keyed.mapInPandas(mg, schema="g string, k string, n long")
-        # bounded collect: <= partitions x groups x (capacity + 1) rows
-        # by construction of the per-group MG summaries
-        rows = summaries.collect()
-        totals: dict[str, int] = {}
-        cands: set[tuple[str, str]] = set()
-        for r in rows:
-            if r["k"] is None:
-                totals[r["g"]] = totals.get(r["g"], 0) + r["n"]
-            else:
-                cands.add((r["g"], r["k"]))
+        # bounded driver materialization: <= partitions x groups x
+        # (capacity + 1) rows by construction of the per-group MG
+        # summaries; Arrow transfer, not per-Row pickling
+        spdf = summaries.toPandas()
+        sent = spdf[spdf["k"].isna()]
+        totals: dict[str, int] = sent.groupby("g")["n"].sum().to_dict()
+        cand_pdf = spdf[spdf["k"].notna()][["g", "k"]].drop_duplicates()
+        cands = len(cand_pdf)
         spark = df.sparkSession
         grouped = self.group_key is not None
         out_cols = ([F.col("g").alias(self.group_key)] if grouped else []) \
@@ -396,7 +394,10 @@ class HeavyHittersOperator(Operator):
                       + f"`{self.input_key}` string, cnt long")
         if not cands:
             return spark.createDataFrame([], out_schema)
-        cand_df = spark.createDataFrame(list(cands), "g string, k string")
+        # candidate sets can reach partitions x capacity rows (3M+ at
+        # small phi) — ship via pandas/Arrow, not a python-object list
+        # (row-at-a-time pickling was the dominant cost at phi=1e-5)
+        cand_df = spark.createDataFrame(cand_pdf, "g string, k string")
         thr_df = spark.createDataFrame(
             [(grp, phi * n) for grp, n in totals.items()],
             "g string, thr double")

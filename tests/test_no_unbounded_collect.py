@@ -20,10 +20,6 @@ ALLOWED = {
     # driver-union-find vs distributed large-star/small-star CC
     ("operators/filters/dedup.py", "limit(driver_max_edges + 1)"):
         "bounded probe",
-    # Misra-Gries summaries: <= partitions x (capacity+1) rows by
-    # construction (each partition yields one capacity-bounded frame)
-    ("operators/keywords.py", "rows = summaries.collect()"):
-        "partitions x capacity bound",
     # pool is sampled down to <= max_collect before collecting
     ("operators/filters/coreset.py", "rows = pool.collect()"):
         "sample(max_collect/n) upstream; documented driver selection",
