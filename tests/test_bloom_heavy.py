@@ -284,3 +284,29 @@ def test_heavy_hitters_grouped_exact(spark):
     assert got == exact
     assert ("g2", "dominant", 30) in got
     assert not any(g == "g1" and k != "common" for g, k, _ in got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=1, max_size=20),
+       st.lists(st.integers(-2**63, 2**63 - 1), min_size=1, max_size=20),
+       st.integers(4, 20), st.integers(1, 16))
+def test_bloom_positions_invariants(h1s, h2s, bits_log2, k):
+    """Pure-kernel properties the membership exactness rests on:
+    positions are in [0, m), deterministic, and the odd stride makes
+    the k probes per row pairwise DISTINCT (i*odd mod 2^b is injective
+    for i < 2^b), so a row always tests k real bits."""
+    import numpy as np
+
+    from dataflow_spark.operators.filters.dedup import _bloom_positions
+
+    n = min(len(h1s), len(h2s))
+    h1 = np.array(h1s[:n], dtype=np.int64)
+    h2 = np.array(h2s[:n], dtype=np.int64)
+    m = 1 << bits_log2
+    pos = _bloom_positions(h1, h2, m, k)
+    assert pos.shape == (n, k)
+    assert ((pos >= 0) & (pos < m)).all()
+    # determinism (the build/probe agreement that bans false negatives)
+    assert (pos == _bloom_positions(h1, h2, m, k)).all()
+    for row in pos:
+        assert len(set(row.tolist())) == k
