@@ -66,11 +66,18 @@ def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     of a synthetic mix of tied rows. The struct compare is two longs;
     map-side combine and per-column pruning are unaffected.
     """
+    # single-parse expr strings (r9): one JVM parse per aggregate
+    # instead of the min_by/col/struct py4j chain — same trees, same
+    # results, ~3x fewer driver round trips on wide inputs
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     if ROW_ID in df.columns and order_col != ROW_ID:
-        okey = F.struct(F.col(order_col), F.col(ROW_ID))
+        okey_sql = f"struct({bq(order_col)}, {bq(ROW_ID)})"
     else:
-        okey = F.col(order_col)
-    aggs = [F.min_by(F.col(c), okey).alias(c) for c in df.columns]
+        okey_sql = bq(order_col)
+    aggs = [F.expr(f"min_by({bq(c)}, {okey_sql})").alias(c)
+            for c in df.columns]
     return df.groupBy(key.alias("_dedup_k")).agg(*aggs).drop("_dedup_k")
 
 
@@ -97,8 +104,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     The edge list itself is always computed distributedly.
     """
     # one-job probe: fetch up to the bound + 1; small graphs (the common
-    # case) never pay a separate count action
-    probe = edges.limit(driver_max_edges + 1).collect()
+    # case) never pay a separate count action. Arrow toPandas, not
+    # collect: per-Row pickling of a bound-sized edge list (2M rows)
+    # costs seconds on the driver; one Arrow frame + python-int lists
+    # is ~10x cheaper (guide §6 "Arrow for driver transfers", r9)
+    probe = edges.limit(driver_max_edges + 1).toPandas()
     if len(probe) <= driver_max_edges:
         parent: dict[int, int] = {}
 
@@ -111,9 +121,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             return root
 
         nodes: set[int] = set()
-        for row in probe:
-            nodes.add(row[0]); nodes.add(row[1])
-            a, b = find(row[0]), find(row[1])
+        for s, d in zip(probe["src"].tolist(), probe["dst"].tolist()):
+            nodes.add(s); nodes.add(d)
+            a, b = find(s), find(d)
             if a != b:
                 if a > b:
                     a, b = b, a
@@ -131,7 +141,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             "component": pd.Series([find(x) for x in node_list],
                                    dtype="int64"),
         })
-        return spark.createDataFrame(frame)
+        # coalesce(1): the arrow createDataFrame path parallelizes into
+        # defaultParallelism slices (32 near-empty tasks on the broadcast
+        # -build job of every near-dup query); one slice holds the whole
+        # bounded frame (<= ~2 x driver_max_edges rows) at a fraction of
+        # the task-launch overhead (r9)
+        return spark.createDataFrame(frame).coalesce(1)
 
     return _star_contraction(edges, max_iter)
 
@@ -356,7 +371,7 @@ class _NearDupBase(_BaseDedup):
     assign_key: str | None = None
 
     @staticmethod
-    def _collapse_exact(sigs: DataFrame, key: Column) -> tuple[DataFrame, DataFrame]:
+    def _collapse_exact(sigs: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
         """Collapse rows with IDENTICAL signatures to one representative.
 
         Degenerate-corpus armor: a billion byte-identical docs share one
@@ -374,12 +389,18 @@ class _NearDupBase(_BaseDedup):
         identical verify outcomes, so a dup's connectivity through its
         rep equals its direct connectivity.
         """
-        w = Window.partitionBy(key).orderBy(F.col("_nd_id").asc())
-        with_rep = sigs.withColumn("_rep", F.first("_nd_id").over(w))
-        reps = with_rep.filter(F.col("_nd_id") == F.col("_rep")).drop("_rep")
+        # SQL-string window (r9): one parse instead of the Window-API
+        # py4j chain; same default frame (RANGE UNBOUNDED PRECEDING ..
+        # CURRENT ROW), same first-by-min-id semantics. ``key`` is a
+        # trusted engine-internal SQL fragment.
+        with_rep = sigs.selectExpr(
+            "*",
+            f"first(_nd_id) OVER (PARTITION BY {key} "
+            "ORDER BY _nd_id ASC) AS _rep")
+        reps = with_rep.filter("_nd_id = _rep").drop("_rep")
         exact_edges = (
-            with_rep.filter(F.col("_nd_id") != F.col("_rep"))
-            .select(F.col("_rep").alias("src"), F.col("_nd_id").alias("dst"))
+            with_rep.filter("_nd_id != _rep")
+            .selectExpr("_rep AS src", "_nd_id AS dst")
         )
         return reps, exact_edges
 
@@ -410,28 +431,22 @@ class _NearDupBase(_BaseDedup):
             .agg(F.sort_array(F.collect_list("_nd_id")).alias("_ids"))
             .filter(F.size("_ids") > 1)
         )
-        ids = F.col("_ids")
+        # single-parse SQL strings (r9): the Column-lambda forms of these
+        # expansions cost ~100+ py4j round trips per plan build; F.expr
+        # parses the identical tree in one JVM call. Results unchanged.
         if self.pair_expansion == "star":
-            pair_structs = F.transform(
-                F.slice(ids, 2, F.size(ids) - 1),
-                lambda y: F.struct(F.element_at(ids, 1).alias("src"),
-                                   y.alias("dst")),
-            )
+            pair_structs = F.expr(
+                "transform(slice(_ids, 2, size(_ids) - 1), "
+                "y -> named_struct('src', element_at(_ids, 1), 'dst', y))")
         else:
-            all_pairs = F.flatten(F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                ),
-            ))
-            chain = F.transform(
-                F.slice(ids, 1, F.size(ids) - 1),
-                lambda x, i: F.struct(x.alias("src"),
-                                      F.element_at(ids, i + 2).alias("dst")),
-            )
-            pair_structs = F.when(F.size(ids) > F.lit(self.max_bucket_size),
-                                  chain).otherwise(all_pairs)
+            mbs = int(self.max_bucket_size)
+            pair_structs = F.expr(
+                f"CASE WHEN size(_ids) > {mbs} THEN "
+                "transform(slice(_ids, 1, size(_ids) - 1), (x, i) -> "
+                "named_struct('src', x, 'dst', element_at(_ids, i + 2))) "
+                "ELSE flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "y -> named_struct('src', x, 'dst', y)))) END")
         pairs = (
             buckets.select(F.explode(pair_structs).alias("_e"))
             .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
@@ -446,7 +461,7 @@ class _NearDupBase(_BaseDedup):
         # order-id of the cluster (union-find min-root / min-label
         # propagation), so "first occurrence" == rows whose own id equals
         # their component label; unclustered rows (left-join miss) stay.
-        out = df.join(comp.withColumnRenamed("id", "_nd_id"), "_nd_id", "left")
+        out = df.join(comp.toDF("_nd_id", "component"), "_nd_id", "left")
         cluster = F.coalesce(F.col("component"), F.col("_nd_id"))
         if getattr(self, "assign_key", None):
             # assignment mode: keep every row, expose its cluster label
@@ -507,47 +522,45 @@ class MinHashDeduplicateFilter(_NearDupBase):
         df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
         if self.hash_impl == "md5":
             sig_udf = H.minhash_md5_udf(self.num_perm, self.shingle_n)
-            bander = lambda c: H.band_keys_plain(c, self.num_bands, self.rows_per_band)  # noqa: E731
+            bands_sql = H.band_keys_plain_sql(
+                "_sig", self.num_bands, self.rows_per_band)
         else:
             sig_udf = H.minhash64_udf(self.num_perm, self.shingle_n)
-            bander = lambda c: H.band_hashes(c, self.num_bands, self.rows_per_band)  # noqa: E731
+            bands_sql = H.band_hashes_sql(
+                "_sig", self.num_bands, self.rows_per_band)
         # project-then-dedup: only (id, signature) flows through banding,
         # verify, and components — the scan on this branch reads just
         # [order_col, input_key]; full rows join back on survivors only.
         # persist because the signature feeds both the band explode and
         # the candidate-verify join.
         sigs = (
-            df.select("_nd_id", self.input_key)
-            .withColumn("_sig", sig_udf(F.col(self.input_key)))
-            .select("_nd_id", "_sig")
+            df.select(F.col("_nd_id"),
+                      sig_udf(F.col(self.input_key)).alias("_sig"))
             .persist()
         )
         # exact-signature collapse: bounds bucket sizes on degenerate
         # (mass-duplicate) corpora; survivors provably unchanged
+        # (single-parse expr strings here and below: same trees as the
+        # old Column-lambda forms, ~10x fewer py4j round trips — r9)
         reps, exact_edges = self._collapse_exact(
-            sigs, F.md5(F.concat_ws(",", F.transform("_sig", lambda x: x.cast("string")))))
-        banded = reps.select(
-            "_nd_id", F.explode(bander(F.col("_sig"))).alias("bh"),
-        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+            sigs, "md5(concat_ws(',', transform(_sig, x -> cast(x as string))))")
+        # inline() = explode + struct-splat in one generator select
+        banded = reps.selectExpr("_nd_id", f"inline({bands_sql})")
 
         verify = None
         if self.verify_jaccard:
+            est_sql = ("cast(size(filter(zip_with(_sig_a, _sig_b, "
+                       "(x, y) -> x = y), eq -> eq)) as double) / "
+                       f"{int(self.num_perm)} >= "
+                       f"cast({float(self.threshold)!r} as double)")
+
             def verify(pairs: DataFrame) -> DataFrame:
-                est = (
-                    pairs.join(sigs.withColumnRenamed("_nd_id", "src").withColumnRenamed("_sig", "_sig_a"), "src")
-                    .join(sigs.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_sig", "_sig_b"), "dst")
-                    .withColumn(
-                        "est_jaccard",
-                        F.size(
-                            F.filter(
-                                F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
-                                lambda eq: eq,
-                            )
-                        ).cast("double")
-                        / F.lit(self.num_perm),
-                    )
+                return (
+                    pairs.join(sigs.toDF("src", "_sig_a"), "src")
+                    .join(sigs.toDF("dst", "_sig_b"), "dst")
+                    .filter(F.expr(est_sql))
+                    .select("src", "dst")
                 )
-                return est.filter(F.col("est_jaccard") >= self.threshold).select("src", "dst")
 
         return self._dedup_by_bands(df, banded, order_col, verify,
                                     extra_edges=exact_edges)
@@ -584,23 +597,26 @@ class SimHashDeduplicateFilter(_NearDupBase):
         # project-then-dedup: only (id, simhash) feeds banding + Hamming
         # verify; persist to avoid recomputing the signature per consumer
         sims = (
-            df.select("_nd_id", self.input_key)
-            .withColumn("_simhash", sim_udf(F.col(self.input_key)))
-            .select("_nd_id", "_simhash")
+            df.select(F.col("_nd_id"),
+                      sim_udf(F.col(self.input_key)).alias("_simhash"))
             .persist()
         )
         # exact-signature collapse (see _collapse_exact): degenerate-
         # corpus bucket armor, survivors unchanged
-        reps, exact_edges = self._collapse_exact(sims, F.col("_simhash"))
-        banded = reps.select(
-            "_nd_id", F.explode(H.simhash_bands(F.col("_simhash"))).alias("bh")
-        ).select("_nd_id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+        reps, exact_edges = self._collapse_exact(sims, "_simhash")
+        # single-parse expr strings: same trees as the Column forms,
+        # ~10x fewer py4j round trips per plan build (r9); inline() =
+        # explode + struct-splat in one generator select
+        banded = reps.selectExpr(
+            "_nd_id", f"inline({H.simhash_bands_sql('_simhash')})")
+
+        ham_sql = f"bit_count(_ha ^ _hb) <= {int(self.max_hamming)}"
 
         def verify(pairs: DataFrame) -> DataFrame:
             return (
-                pairs.join(sims.withColumnRenamed("_nd_id", "src").withColumnRenamed("_simhash", "_ha"), "src")
-                .join(sims.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_simhash", "_hb"), "dst")
-                .filter(H.hamming64(F.col("_ha"), F.col("_hb")) <= self.max_hamming)
+                pairs.join(sims.toDF("src", "_ha"), "src")
+                .join(sims.toDF("dst", "_hb"), "dst")
+                .filter(F.expr(ham_sql))
                 .select("src", "dst")
             )
 
@@ -641,10 +657,10 @@ class SemDeduplicateFilter(_NearDupBase):
         # exact-embedding collapse (see _collapse_exact): byte-identical
         # vectors band once, dups link via rep edges
         emb_rows = df.select("_nd_id", self.input_key)
+        emb_bq = "`" + self.input_key.replace("`", "``") + "`"
         reps, exact_edges = self._collapse_exact(
             emb_rows,
-            F.md5(F.concat_ws(",", F.transform(self.input_key,
-                                               lambda x: x.cast("string")))))
+            f"md5(concat_ws(',', transform({emb_bq}, x -> cast(x as string))))")
         banded = reps.select(
             "_nd_id",
             F.posexplode(bands_udf(F.col(self.input_key))).alias("band", "h"),
@@ -685,10 +701,12 @@ class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
             raise ValueError("IncrementalMinHashDedupFilter needs existing=")
         if self.hash_impl == "md5":
             sig_udf = H.minhash_md5_udf(self.num_perm, self.shingle_n)
-            bander = lambda c: H.band_keys_plain(c, self.num_bands, self.rows_per_band)  # noqa: E731
+            bands_sql = H.band_keys_plain_sql(
+                "_sig", self.num_bands, self.rows_per_band)
         else:
             sig_udf = H.minhash64_udf(self.num_perm, self.shingle_n)
-            bander = lambda c: H.band_hashes(c, self.num_bands, self.rows_per_band)  # noqa: E731
+            bands_sql = H.band_hashes_sql(
+                "_sig", self.num_bands, self.rows_per_band)
 
         df, order_col = self._ordered(df)
         new_sigs = (
@@ -702,15 +720,15 @@ class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
         # contribute one band row each)
         ex_sigs = (
             existing.select(sig_udf(F.col(self.input_key)).alias("_sig"))
-            .withColumn("_eid", F.md5(F.concat_ws(
-                ",", F.transform("_sig", lambda x: x.cast("string")))))
+            .withColumn("_eid", F.expr(
+                "md5(concat_ws(',', transform(_sig, x -> cast(x as string))))"))
             .dropDuplicates(["_eid"])
             .persist()
         )
 
         def banded(src: DataFrame, idc: str):
             return src.select(
-                idc, F.explode(bander(F.col("_sig"))).alias("bh"),
+                idc, F.explode(F.expr(bands_sql)).alias("bh"),
             ).select(idc, F.col("bh.band").alias("band"),
                      F.col("bh.h").alias("h"))
 
@@ -720,10 +738,10 @@ class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
         est = (cand.join(new_sigs, "_nid")
                .join(ex_sigs.select("_eid", F.col("_sig").alias("_esig")),
                      "_eid")
-               .withColumn("_est", F.size(F.filter(
-                   F.zip_with(F.col("_sig"), F.col("_esig"),
-                              lambda x, y: x == y),
-                   lambda eq: eq)).cast("double") / F.lit(self.num_perm)))
+               .withColumn("_est", F.expr(
+                   "cast(size(filter(zip_with(_sig, _esig, "
+                   "(x, y) -> x = y), eq -> eq)) as double) / "
+                   f"{int(self.num_perm)}")))
         matched = (est.filter(F.col("_est") >= self.threshold)
                    .select("_nid").distinct())
         fresh = (df.withColumn("_nid", F.col(order_col).cast("long"))

@@ -241,17 +241,21 @@ def _merge_partial_topk(partials: DataFrame, k: int) -> DataFrame:
     is bounded by k x #batches — an array_sort over a collected list,
     never a wide window. Ordering: cosine desc, neighbor id asc.
     """
-    pair = F.struct(F.col("cosine_sim").alias("s"),
-                    F.col("neighbor_id").alias("n"))
-    cmp = (lambda a, b: F.when(a["s"] > b["s"], -1)
-           .when(a["s"] < b["s"], 1)
-           .when(a["n"] < b["n"], -1)
-           .when(a["n"] > b["n"], 1).otherwise(0).cast("int"))
+    # single-parse SQL strings, not chained Column lambdas: the
+    # comparator built via F.when/array_sort Python lambdas cost ~300
+    # py4j round trips per plan build (~0.2s of pure driver latency per
+    # invocation, cluster or local); one F.expr parses the identical
+    # expression tree in a single JVM call (r9 driver-latency audit)
+    k = int(k)
     return (partials.groupBy("query_id")
-            .agg(F.collect_list(pair).alias("_ps"))
+            .agg(F.expr("collect_list(named_struct("
+                        "'s', cosine_sim, 'n', neighbor_id))").alias("_ps"))
             .select("query_id",
-                    F.posexplode(F.slice(
-                        F.array_sort(F.col("_ps"), cmp), 1, k))
+                    F.expr(
+                        "posexplode(slice(array_sort(_ps, (a, b) -> "
+                        "CASE WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1 "
+                        "WHEN a.n < b.n THEN -1 WHEN a.n > b.n THEN 1 "
+                        f"ELSE 0 END), 1, {k}))")
                     .alias("_pos", "_p"))
             .select("query_id", F.col("_p.n").alias("neighbor_id"),
                     F.col("_p.s").alias("cosine_sim")))
@@ -322,14 +326,19 @@ class BruteForceKNN(Operator):
 
         budget = max(1, int(self.dense_broadcast_mb * 1024 * 1024))
         # bounded: max_broadcast_queries probe ran just before; the
-        # byte budget re-checks with the actual dim
-        qrows = qsrc.select(self.id_key, self.embedding_key).collect()
+        # byte budget re-checks with the actual dim. Arrow toPandas,
+        # not collect: per-Row pickling of a bound-sized query set costs
+        # seconds on the driver at the 1M-row bound; one Arrow frame is
+        # ~10x cheaper (guide §6 "Arrow for driver transfers", r9)
+        qpdf = qsrc.select(self.id_key, self.embedding_key).toPandas()
         # null/empty query vectors produce null cosine on the join path
         # (no output rows for that query) — drop them here; mixed query
         # dims would need per-dim matmuls, so fall back to the exact
         # join path instead of guessing (ADVICE r6: np.array over
         # ragged rows built a dtype=object matrix that broke the GEMM)
-        qrows = [r for r in qrows if r[1] is not None and len(r[1]) > 0]
+        qrows = [(i, v) for i, v in zip(qpdf[self.id_key].tolist(),
+                                        qpdf[self.embedding_key])
+                 if v is not None and len(v) > 0]
         if not qrows:
             return None
         dim = len(qrows[0][1])
@@ -339,7 +348,7 @@ class BruteForceKNN(Operator):
         if n_slabs > self.max_query_slabs:
             return None
         qid = np.array([r[0] for r in qrows], dtype=object)
-        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
         qn = np.sqrt((qm * qm).sum(axis=1))
         spark = df.sparkSession
         k, include_self = self.k, self.include_self
@@ -602,15 +611,19 @@ class LSHKNN(Operator):
 
         import numpy as np
 
-        # one bounded job: probe and collect fused (limit is the guard)
-        qrows = (qsrc.select(self.id_key, self.embedding_key)
-                 .limit(self.max_broadcast_queries + 1).collect())
-        if len(qrows) > self.max_broadcast_queries:
+        # one bounded job: probe and collect fused (limit is the guard);
+        # Arrow toPandas, not collect — per-Row pickling costs seconds
+        # at the 1M-row bound (guide §6, r9)
+        qpdf = (qsrc.select(self.id_key, self.embedding_key)
+                .limit(self.max_broadcast_queries + 1).toPandas())
+        if len(qpdf) > self.max_broadcast_queries:
             return None
         # null/empty queries produce null cosine on the join path (no
         # output rows); ragged dims would need per-dim plane sets —
         # fall back rather than guess
-        qrows = [r for r in qrows if r[1] is not None and len(r[1]) > 0]
+        qrows = [(i, v) for i, v in zip(qpdf[self.id_key].tolist(),
+                                        qpdf[self.embedding_key])
+                 if v is not None and len(v) > 0]
         if not qrows:
             return None
         dim = len(qrows[0][1])
@@ -619,7 +632,7 @@ class LSHKNN(Operator):
         if len(qrows) * dim * 8 > self.dense_broadcast_mb * 1024 * 1024:
             return None
         qid = np.array([r[0] for r in qrows], dtype=object)
-        qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
         qn = np.sqrt((qm * qm).sum(axis=1))
 
         num_planes, num_bands, seed = (self.num_planes, self.num_bands,
