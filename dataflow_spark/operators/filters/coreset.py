@@ -46,9 +46,12 @@ class KCenterGreedyFilter(Operator):
         n = pool.count()
         if n > self.max_collect:
             pool = pool.sample(fraction=self.max_collect / n, seed=self.seed)
-        rows = pool.collect()
-        ids = np.array([r[0] for r in rows])
-        X = np.array([r[1] for r in rows], dtype=np.float64)
+        # Arrow toPandas, not collect: per-Row pickling of embedding
+        # cells dominates the driver pull at max_collect (guide §6, r9)
+        pdf = pool.toPandas()
+        ids = np.array(pdf[id_col].tolist())
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[self.embedding_key]])
 
         k = min(self.num_samples, len(ids))
         # greedy k-center: start from the smallest id, then repeatedly

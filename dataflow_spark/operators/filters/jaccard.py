@@ -90,17 +90,16 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
                  .agg(F.countDistinct("_p")).first()[0])
         if probe > self.dense_vocab_max:
             return None
-        vocab_rows = (with_sh.select(F.explode("_sh").alias("_p"))
-                      .distinct()
-                      .limit(self.dense_vocab_max + 1).collect()
-                      )  # bounded: limit(dense_vocab_max + 1)
-        if len(vocab_rows) > self.dense_vocab_max:
+        vocab_pdf = (with_sh.select(F.explode("_sh").alias("_p"))
+                     .distinct()
+                     .limit(self.dense_vocab_max + 1).toPandas()
+                     )  # bounded: limit(dense_vocab_max + 1)
+        if len(vocab_pdf) > self.dense_vocab_max:
             return None
 
         import numpy as np
 
-        vocab = np.sort(np.array([r[0] for r in vocab_rows],
-                                 dtype=np.int64))
+        vocab = np.sort(vocab_pdf["_p"].to_numpy(dtype=np.int64))
         nbits = max(len(vocab), 1)
         stats = with_sh.agg(F.count(F.lit(1)).alias("n"),
                             F.sum(F.size("_sh")).alias("tok")).first()
@@ -128,10 +127,12 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
                 "or raise dense_flop_budget explicitly to accept the "
                 "cost.")
 
-        # bounded above: n rows whose packed bits fit dense_broadcast_mb
-        rows = with_sh.select("_nd_id", "_sh").collect()
-        ids = np.array([r["_nd_id"] for r in rows], dtype=np.int64)
-        sets = [np.asarray(r["_sh"], dtype=np.int64) for r in rows]
+        # bounded above: n rows whose packed bits fit dense_broadcast_mb.
+        # Arrow toPandas, not collect: per-Row pickling of array<long>
+        # cells costs seconds at the budget bound (guide §6, r9)
+        pdf = with_sh.select("_nd_id", "_sh").toPandas()
+        ids = pdf["_nd_id"].to_numpy(dtype=np.int64)
+        sets = [np.asarray(v, dtype=np.int64) for v in pdf["_sh"]]
         sz = np.array([len(s) for s in sets], dtype=np.float64)
         packed = np.zeros((n, (nbits + 7) // 8), dtype=np.uint8)
         blk = 8192

@@ -173,10 +173,10 @@ class FuzzyJoinOperator(Operator):
                  .agg(F.countDistinct("_p")).first()[0])
         if probe > self.dense_vocab_max:
             return None
-        vocab_rows = (lraw.select(F.explode("_sh").alias("_p")).distinct()
-                      .limit(self.dense_vocab_max + 1).collect()
-                      )  # bounded: limit(dense_vocab_max + 1)
-        if len(vocab_rows) > self.dense_vocab_max:
+        vocab_pdf = (lraw.select(F.explode("_sh").alias("_p")).distinct()
+                     .limit(self.dense_vocab_max + 1).toPandas()
+                     )  # bounded: limit(dense_vocab_max + 1)
+        if len(vocab_pdf) > self.dense_vocab_max:
             return None
 
         import numpy as np
@@ -184,8 +184,7 @@ class FuzzyJoinOperator(Operator):
         # column j of the bitset matrix = rank of the shingle hash in
         # the sorted left vocabulary — searchsorted IS the token->column
         # map, vectorized on both the driver and the executors
-        vocab = np.sort(np.array([r[0] for r in vocab_rows],
-                                 dtype=np.int64))
+        vocab = np.sort(vocab_pdf["_p"].to_numpy(dtype=np.int64))
         nbits = max(len(vocab), 1)
         stats = lraw.agg(F.count(F.lit(1)).alias("n"),
                          F.sum(F.size("_sh")).alias("tok")).first()
@@ -219,10 +218,12 @@ class FuzzyJoinOperator(Operator):
                     "verify, probabilistic recall), or raise "
                     "dense_flop_budget explicitly to accept the cost.")
 
-        # bounded above: n_l rows whose packed bits fit dense_broadcast_mb
-        lrows = lraw.select("_id", "_sh").collect()
-        lids = np.array([r["_id"] for r in lrows], dtype=object)
-        lsets = [np.asarray(r["_sh"], dtype=np.int64) for r in lrows]
+        # bounded above: n_l rows whose packed bits fit dense_broadcast_mb.
+        # Arrow toPandas, not collect: per-Row pickling of array<long>
+        # cells costs seconds at the budget bound (guide §6, r9)
+        lpdf = lraw.select("_id", "_sh").toPandas()
+        lids = np.array(lpdf["_id"].tolist(), dtype=object)
+        lsets = [np.asarray(v, dtype=np.int64) for v in lpdf["_sh"]]
         lsz = np.array([len(s) for s in lsets], dtype=np.float64)
         packed = np.zeros((n_l, (nbits + 7) // 8), dtype=np.uint8)
         blk = 8192

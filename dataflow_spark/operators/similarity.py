@@ -499,13 +499,16 @@ class IVFKNN(Operator):
 
         import numpy as np
 
-        rows = (
+        # Arrow toPandas, not collect: per-Row pickling of the training
+        # sample's array cells is the slow path (guide §6, r9)
+        tpdf = (
             df.select(self.embedding_key)
             .filter(F.col(self.embedding_key).isNotNull())
             .limit(self.train_sample)
-            .collect()
+            .toPandas()
         )
-        X = np.array([r[0] for r in rows], dtype=np.float64)
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in tpdf[self.embedding_key]])
         rng = np.random.RandomState(self.seed)
         k = min(self.n_cells, len(X))
         cents = X[rng.choice(len(X), size=k, replace=False)]
