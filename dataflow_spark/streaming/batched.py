@@ -106,23 +106,28 @@ def sessionize(events: DataFrame, user_key: str = "user_id", ts_key: str = "ts",
     ``tie_breaker``: extra order column for deterministic results when
     timestamps collide (recommended: the event primary key).
     """
-    from pyspark.sql import Window
+    # single-parse selectExpr (r9): the Window-API form cost ~220 py4j
+    # round trips per plan build; one SQL string parses the identical
+    # tree (Catalyst dedups the repeated lag window expression exactly
+    # as it did for the shared Column reference). unix_timestamp works
+    # on both TIMESTAMP and TIMESTAMP_NTZ (a direct BIGINT cast raises
+    # DATATYPE_MISMATCH on NTZ).
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
-    order = [F.col(ts_key).asc()] + ([F.col(tie_breaker).asc()] if tie_breaker else [])
-    w = Window.partitionBy(user_key).orderBy(*order)
-    prev_ts = F.lag(F.col(ts_key)).over(w)
-    # unix_timestamp works on both TIMESTAMP and TIMESTAMP_NTZ (a direct
-    # BIGINT cast raises DATATYPE_MISMATCH on NTZ).
-    new_session = (
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_key)) - F.unix_timestamp(prev_ts) > gap_minutes * 60)
-    ).cast("int")
-    sess_n = F.sum(new_session).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return events.withColumn(
-        "session_id", F.concat_ws("-", F.col(user_key).cast("string"), sess_n.cast("string"))
-    )
+    u, t = bq(user_key), bq(ts_key)
+    order = f"{t} ASC" + (f", {bq(tie_breaker)} ASC" if tie_breaker else "")
+    over = f"OVER (PARTITION BY {u} ORDER BY {order})"
+    prev = f"lag({t}) {over}"
+    new_session = (f"cast(({prev} IS NULL OR "
+                   f"unix_timestamp({t}) - unix_timestamp({prev}) > "
+                   f"{int(gap_minutes) * 60}) as int)")
+    sess_n = (f"sum({new_session}) OVER (PARTITION BY {u} ORDER BY {order} "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return events.selectExpr(
+        "*",
+        f"concat_ws('-', cast({u} as string), cast({sess_n} as string)) "
+        "AS session_id")
 
 
 def session_window_agg(events: DataFrame, user_key: str = "user_id",
