@@ -141,12 +141,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
             "component": pd.Series([find(x) for x in node_list],
                                    dtype="int64"),
         })
-        # coalesce(1): the arrow createDataFrame path parallelizes into
-        # defaultParallelism slices (32 near-empty tasks on the broadcast
-        # -build job of every near-dup query); one slice holds the whole
-        # bounded frame (<= ~2 x driver_max_edges rows) at a fraction of
-        # the task-launch overhead (r9)
-        return spark.createDataFrame(frame).coalesce(1)
+        # below spark.sql.execution.arrow.localRelationThreshold (48MB)
+        # this is a LocalTableScan — the broadcast build reads it driver
+        # -side with no scan job (verified in the audited plan, r9)
+        return spark.createDataFrame(frame)
 
     return _star_contraction(edges, max_iter)
 
