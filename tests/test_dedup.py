@@ -344,3 +344,27 @@ def test_user_row_id_survives_explicit_order_key(spark):
     assert "_row_id" in out.columns
     assert {(r["doc_id"], r["_row_id"]) for r in out.collect()} == \
         {(1, 10), (3, 30)}
+
+
+def test_sql_band_twins_match_column_forms(spark):
+    """r9: the *_sql single-parse twins must stay value-identical to
+    the Column-API band builders they replaced on the hot paths."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions import hashing as H
+
+    sig = [[i * 7 + j for j in range(8)] for i in range(5)]
+    df = spark.createDataFrame([(s,) for s in sig], ["_sig"])
+    for col_form, sql_form in [
+        (H.band_hashes(F.col("_sig"), 4, 2), H.band_hashes_sql("_sig", 4, 2)),
+        (H.band_keys_plain(F.col("_sig"), 4, 2),
+         H.band_keys_plain_sql("_sig", 4, 2)),
+    ]:
+        a = df.select(col_form.alias("b")).collect()
+        b = df.select(F.expr(sql_form).alias("b")).collect()
+        assert a == b
+    sim = spark.createDataFrame([(x,) for x in [0, 1, -1, (1 << 62) + 5]],
+                                "s long")
+    a = sim.select(H.simhash_bands(F.col("s")).alias("b")).collect()
+    b = sim.select(F.expr(H.simhash_bands_sql("s")).alias("b")).collect()
+    assert a == b
