@@ -1,8 +1,11 @@
-"""Driver-memory guard: every ``.collect()`` in engine source must be
-provably bounded (an explicit ``.limit(...)``, a size-capped sample, or
-a k x dim aggregate) — an unbounded collect is a 100 TB scale-killer.
+"""Driver-memory guard: every ``.collect()`` AND ``.toPandas()`` in
+engine source must be provably bounded (an explicit ``.limit(...)``, a
+size-capped sample, or a k x dim aggregate) — an unbounded driver pull
+is a 100 TB scale-killer. (r9 widened the scan to toPandas when the
+budget-bounded pulls moved to Arrow per guide §6 — the Arrow path is
+faster, not safer, so it gets the same audit.)
 
-New collect sites must either carry an inline bound visible on the same
+New pull sites must either carry an inline bound visible on the same
 statement or be added to the audited allowlist below WITH a justification
 comment. CLI export paths stream via ``toLocalIterator`` instead (one
 partition in driver memory at a time).
@@ -16,12 +19,12 @@ SRC = Path(__file__).resolve().parent.parent / "dataflow_spark"
 # (path suffix, substring that must appear on the collect line) -> why
 # the site is bounded. Audited one by one; keep this list short.
 ALLOWED = {
-    # probe collects exactly driver_max_edges+1 rows to decide
+    # probe pulls exactly driver_max_edges+1 rows to decide
     # driver-union-find vs distributed large-star/small-star CC
     ("operators/filters/dedup.py", "limit(driver_max_edges + 1)"):
         "bounded probe",
-    # pool is sampled down to <= max_collect before collecting
-    ("operators/filters/coreset.py", "rows = pool.collect()"):
+    # pool is sampled down to <= max_collect before the pull
+    ("operators/filters/coreset.py", "pdf = pool.toPandas()"):
         "sample(max_collect/n) upstream; documented driver selection",
     # k centroid seeds
     ("operators/clustering.py", "limit(self.k).collect()"):
@@ -35,10 +38,10 @@ ALLOWED = {
     # probe collects max_broadcast_queries+1 ids to guard the broadcast
     ("operators/similarity.py", "limit(self.max_broadcast_queries + 1)"):
         "bounded probe",
-    # matmul fast path collects the (probe-bounded) query side; the
+    # matmul fast path pulls the (probe-bounded) query side; the
     # dense_broadcast_mb byte budget re-checks with the actual dim
     ("operators/similarity.py",
-     "qrows = qsrc.select(self.id_key, self.embedding_key).collect()"):
+     "qpdf = qsrc.select(self.id_key, self.embedding_key).toPandas()"):
         "probe + byte budget",
     # IVF trains on a train_sample-row sample
     ("operators/similarity.py", "limit(self.train_sample)"):
@@ -46,6 +49,12 @@ ALLOWED = {
     # documented row-limited driver-side writer (xlsx/pickle)
     ("sources/writers.py", "df.limit(limit).collect()"):
         "explicit limit",
+    ("sources/writers.py", "limit(limit).toPandas()"):
+        "explicit limit",
+    # heavy-hitter candidate summaries: bounded by n_partitions x
+    # capacity rows (the Misra-Gries contract; shipped via Arrow, r9-s3)
+    ("operators/keywords.py", "spdf = summaries.toPandas()"):
+        "partitions x capacity bound",
     # dense fuzzy-join path: left vocab collected only after a sampled
     # probe, hard-capped at dense_vocab_max + 1 rows
     ("operators/fuzzy_join.py", "limit(self.dense_vocab_max + 1)"):
@@ -53,15 +62,15 @@ ALLOWED = {
     # dense ngram-jaccard path: same bounded vocab probe
     ("operators/filters/jaccard.py", "limit(self.dense_vocab_max + 1)"):
         "bounded probe",
-    # dense ngram-jaccard path: corpus sets collected only when the
+    # dense ngram-jaccard path: corpus sets pulled only when the
     # packed bitset matrix fits dense_broadcast_mb (checked above call)
     ("operators/filters/jaccard.py",
-     'rows = with_sh.select("_nd_id", "_sh").collect()'):
+     'pdf = with_sh.select("_nd_id", "_sh").toPandas()'):
         "byte-budget guard upstream",
-    # dense fuzzy-join path: left side collected only when its packed
+    # dense fuzzy-join path: left side pulled only when its packed
     # bitset matrix fits dense_broadcast_mb (n_l and payload checked
     # immediately above the call)
-    ("operators/fuzzy_join.py", 'lrows = lraw.select("_id", "_sh").collect()'):
+    ("operators/fuzzy_join.py", 'lpdf = lraw.select("_id", "_sh").toPandas()'):
         "byte-budget guard upstream",
 }
 
@@ -73,7 +82,7 @@ def _collect_sites():
     for py in SRC.rglob("*.py"):
         lines = py.read_text().splitlines()
         for i, line in enumerate(lines, 1):
-            if re.search(r"\.collect\(\)", line):
+            if re.search(r"\.(collect|toPandas)\(\)", line):
                 window = " ".join(
                     x.strip() for x in lines[max(0, i - 8):i])
                 out.append((py, i, window))
