@@ -12,6 +12,7 @@ Design notes (100 TB scale):
 from __future__ import annotations
 
 import random
+from typing import Iterator
 
 import pandas as pd
 
@@ -189,6 +190,17 @@ def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     ``char_shingles``: distinct char n-grams, whole string when
     len < n, [0]*num_perm for empty/null. Permutation mins are one
     numpy matrix reduce per row; only the md5 calls are per-gram.
+
+    Iterator form (r9, guide §4.5): per-TASK memo dicts amortize the
+    per-gram md5 across rows — natural-language n-gram vocabularies are
+    zipfian, so most grams of a row were already hashed by an earlier
+    row, and duplicate-heavy corpora (the dedup target) re-hit whole
+    texts. md5 is deterministic, the memos live only for the task
+    (recomputed every run), and ``int.from_bytes(digest[:8]) >> 4`` ==
+    ``int(hexdigest[:15], 16)`` (first 60 bits), so signatures are
+    bit-identical to ``minhash_md5_one`` — pinned by
+    tests/test_dedup.py::test_minhash_md5_udf_matches_kernel.
+    Memo caps bound worker memory (~1M grams / 8k texts).
     """
     import hashlib
 
@@ -198,23 +210,43 @@ def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
     params = _perm_params(num_perm, seed)
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     Bv = np.array([b for _, b in params], dtype=np.int64)[:, None]
-
-    def one(text: str):
-        if not text:
-            return [0] * num_perm
-        if len(text) < n:
-            grams = [text]
-        else:
-            grams = set(text[i:i + n] for i in range(len(text) - n + 1))
-        hr = np.array(
-            [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
-             for g in grams], dtype=np.int64)
-        # A*hr + B < 2^62: exact in int64
-        return ((A * hr[None, :] + Bv) % MERSENNE_P).min(axis=1).tolist()
+    zero = [0] * num_perm
 
     @pandas_udf("array<long>")
-    def _minhash(s: pd.Series) -> pd.Series:
-        return s.fillna("").map(one)
+    def _minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        md5 = hashlib.md5
+        gram_hr: dict[str, int] = {}   # gram -> md5-60bit % P
+        sig_memo: dict[str, list] = {}  # text -> signature
+        GRAM_CAP, TEXT_CAP = 1 << 20, 1 << 13
+
+        def one(text: str):
+            if not text:
+                return zero
+            hit = sig_memo.get(text)
+            if hit is not None:
+                return hit
+            if len(text) < n:
+                grams = (text,)
+            else:
+                grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+            hr_list = []
+            for g in grams:
+                v = gram_hr.get(g)
+                if v is None:
+                    v = (int.from_bytes(md5(g.encode("utf-8")).digest()[:8],
+                                        "big") >> 4) % MERSENNE_P
+                    if len(gram_hr) < GRAM_CAP:
+                        gram_hr[g] = v
+                hr_list.append(v)
+            hr = np.array(hr_list, dtype=np.int64)
+            # A*hr + B < 2^62: exact in int64
+            sig = ((A * hr[None, :] + Bv) % MERSENNE_P).min(axis=1).tolist()
+            if len(sig_memo) < TEXT_CAP:
+                sig_memo[text] = sig
+            return sig
+
+        for s in batches:
+            yield s.fillna("").map(one)
 
     return _minhash
 
@@ -248,15 +280,59 @@ def simhash_md5_udf(n: int = 4):
     ``int(md5(gram)[:15], 16)`` gives 60 well-mixed bits; sign-sums run
     over bits 0-59 (bits 60-63 of the result are always 0 — still a
     valid simhash family, and every step is reproducible in DuckDB SQL).
+
+    Iterator form (r9, guide §4.5): per-task gram->hash and
+    text->simhash memos, same rationale and caps as
+    ``minhash_md5_udf``. The sign-sum numpy block is verbatim
+    ``simhash_md5_one``; the byte conversion is the same first-60-bits
+    value, so results are bit-identical to the kernel — pinned by
+    tests/test_dedup.py::test_simhash_md5_udf_matches_kernel.
     """
+    import hashlib
+
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    def one(text: str) -> int:
-        return simhash_md5_one(text, n)
-
     @pandas_udf("long")
-    def _simhash(s: pd.Series) -> pd.Series:
-        return s.fillna("").map(one)
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        md5 = hashlib.md5
+        gram_h: dict[str, int] = {}   # gram -> md5 60-bit int
+        sim_memo: dict[str, int] = {}  # text -> simhash
+        GRAM_CAP, TEXT_CAP = 1 << 20, 1 << 13
+        bitpos = np.arange(60, dtype=np.uint64)
+
+        def one(text: str) -> int:
+            if not text:
+                return 0
+            hit = sim_memo.get(text)
+            if hit is not None:
+                return hit
+            if len(text) < n:
+                grams = (text,)
+            else:
+                grams = set(text[i:i + n] for i in range(len(text) - n + 1))
+            h_list = []
+            for g in grams:
+                v = gram_h.get(g)
+                if v is None:
+                    v = int.from_bytes(md5(g.encode("utf-8")).digest()[:8],
+                                       "big") >> 4
+                    if len(gram_h) < GRAM_CAP:
+                        gram_h[g] = v
+                h_list.append(v)
+            h = np.array(h_list, dtype=np.uint64)
+            bits = ((h[:, None] >> bitpos) & np.uint64(1)).astype(np.int64)
+            sums = (bits * 2 - 1).sum(axis=0)
+            out = np.uint64(0)
+            for k in np.nonzero(sums > 0)[0]:
+                out |= np.uint64(1) << np.uint64(k)
+            res = int(out.astype(np.int64))
+            if len(sim_memo) < TEXT_CAP:
+                sim_memo[text] = res
+            return res
+
+        for s in batches:
+            yield s.fillna("").map(one)
 
     return _simhash
 

@@ -191,6 +191,41 @@ def test_minhash_md5_handles_empty_and_short(spark):
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
 
 
+def test_minhash_md5_udf_matches_kernel(spark):
+    """The memoized iterator-form UDF (r9) must be bit-identical to the
+    module-level ``minhash_md5_one`` oracle kernel — duplicates in the
+    batch exercise the text memo, shared grams the gram memo, and the
+    short/empty rows the edge paths."""
+    from dataflow_spark.functions import hashing as H
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "the quick brown fox jumps over the lazy dog",  # text-memo hit
+             "ab", "", "xyzzy plugh"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    got = {r["id"]: list(r["sig"]) for r in df.select(
+        "id", H.minhash_md5_udf(64, 5)(F.col("text")).alias("sig")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == H.minhash_md5_one(t, num_perm=64, n=5), t
+
+
+def test_simhash_md5_udf_matches_kernel(spark):
+    """Same bit-identity pin for the memoized simhash md5 UDF."""
+    from dataflow_spark.functions import hashing as H
+
+    texts = ["large scale distributed data processing with spark",
+             "large scale distributed data processing with sparc",
+             "large scale distributed data processing with spark",
+             "ab", "", "xyzzy plugh"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    got = {r["id"]: r["sh"] for r in df.select(
+        "id", H.simhash_md5_udf(4)(F.col("text")).alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == H.simhash_md5_one(t, n=4), t
+
+
 def test_near_dup_degenerate_mass_duplicates(spark):
     """5000 byte-identical docs + 2 distinct: exact-signature collapse
     keeps every LSH bucket at distinct-signature size (no giant
