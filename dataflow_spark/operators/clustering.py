@@ -6,8 +6,10 @@ analytics (topic bucketing, stratified curation, semantic sharding)
 wants clustering over ALL vectors. Lloyd's maps cleanly onto DataFrame
 ops and none of the heavy steps touch the driver:
 
-  - assignment: corpus x broadcast(k centroids) squared-distance argmin
-    — narrow, no shuffle of the corpus;
+  - assignment: squared-distance argmin over the k x dim centroid
+    literal folded INLINE per row (r9) — a pure narrow projection, zero
+    shuffle, zero join; above a literal-size cap it falls back to the
+    broadcast-join + window-rank form with identical assignments;
   - update: posexplode dims -> groupBy (cluster, dim) avg — one shuffle
     of k*dim tiny keys with map-side partial aggregation.
 
@@ -59,8 +61,57 @@ class KMeansClusteringOperator(Operator):
         self.input_keys = (id_key, embedding_key)
         self.output_keys = ("cluster",)
 
-    def _assign(self, pts: DataFrame, cdf: DataFrame) -> DataFrame:
-        """(id, cluster) under the given broadcast centroid frame."""
+    # above this many inline literals (k*dim), fall back to the
+    # broadcast-join assignment: giant literal expression trees blow
+    # past codegen method limits and slow Catalyst itself
+    _INLINE_LIT_CAP = 4096
+
+    def _assign_col(self, cents, vcol):
+        """Column: argmin-cluster id for embedding column ``vcol``.
+
+        r9 (guide §2.4): the original assignment crossJoined the corpus
+        with the broadcast k-centroid frame and ranked with a window
+        partitioned by point id — an Exchange + sort of n*k rows per
+        assignment. The centroids are a k x dim literal the driver
+        already holds, so the argmin is a pure narrow projection: fold
+        over the centroid array, keep the first strictly-smaller
+        distance (ties keep the smaller cid, identical to the old
+        ``ORDER BY _d2 ASC, _cid ASC`` rank). Distance is the same
+        left-to-right zip_with/aggregate fold, so d2 is bit-identical
+        and assignments match the join form exactly; the null/NaN
+        corner (null embedding -> all-null d2; NaN -> NaN d2) keeps the
+        old nulls-first/NaN-tie outcome of cid 0 via the ``acc.c IS
+        NULL OR d2 < acc.d`` fold condition.
+        """
+        carr = F.array(*[
+            F.struct(F.lit(int(cid)).cast("long").alias("c"),
+                     F.array(*[F.lit(float(x)) for x in vec]).alias("v"))
+            for cid, vec in cents])
+
+        def d2(s):
+            return F.aggregate(
+                F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        best = F.aggregate(
+            carr,
+            F.struct(F.lit(None).cast("double").alias("d"),
+                     F.lit(None).cast("long").alias("c")),
+            lambda acc, s: F.when(
+                acc["c"].isNull() | (d2(s) < acc["d"]),
+                F.struct(d2(s).alias("d"), s["c"].alias("c"))
+            ).otherwise(acc))
+        return best["c"]
+
+    def _assign(self, pts: DataFrame, cents) -> DataFrame:
+        """(id, cluster): narrow argmin when the centroid literal is
+        small (the common case), broadcast-join + window rank beyond
+        the literal cap — both produce identical assignments."""
+        if sum(len(v) for _, v in cents) <= self._INLINE_LIT_CAP:
+            return (pts.withColumn(
+                "_cid", self._assign_col(cents, F.col("_v")))
+                .select("_pid", "_cid"))
+        cdf = self._cdf_of(pts.sparkSession, cents)
         d2 = F.aggregate(
             F.zip_with(F.col("_v"), F.col("_cv"),
                        lambda a, b: (a - b) * (a - b)),
@@ -95,9 +146,15 @@ class KMeansClusteringOperator(Operator):
         cents = [(i, list(r["_v"])) for i, r in enumerate(seed_rows)]
 
         for _ in range(self.n_iter):
-            assigned = self._assign(pts, self._cdf_of(spark, cents))
+            # narrow assignment keeps _v on the row, so the means pass
+            # needs no join back to pts (r9: one scan per iteration)
+            if sum(len(v) for _, v in cents) <= self._INLINE_LIT_CAP:
+                assigned = pts.withColumn(
+                    "_cid", self._assign_col(cents, F.col("_v")))
+            else:
+                assigned = self._assign(pts, cents).join(pts, "_pid")
             # per-dim means, quantized: k*dim keys, map-side combined
-            means = (assigned.join(pts, "_pid")
+            means = (assigned
                      .select("_cid", F.posexplode("_v").alias("_i", "_x"))
                      .groupBy("_cid", "_i")
                      .agg(F.round(
@@ -116,8 +173,15 @@ class KMeansClusteringOperator(Operator):
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
         cents = list(enumerate(self.fit(df)))
-        out = self._assign(self._pts(df),
-                           self._cdf_of(df.sparkSession, cents))
+        if sum(len(v) for _, v in cents) <= self._INLINE_LIT_CAP:
+            # narrow final assignment: no join back to df (r9); column
+            # order replicates the old join form (id_key leads)
+            vcol = F.col(self.embedding_key).cast("array<double>")
+            cols = [self.id_key] + [c for c in df.columns
+                                    if c != self.id_key] + ["cluster"]
+            return (df.withColumn(
+                "cluster", self._assign_col(cents, vcol)).select(*cols))
+        out = self._assign(self._pts(df), cents)
         return (df.join(out.withColumnRenamed("_pid", self.id_key),
                         self.id_key)
                 .withColumn("cluster", F.col("_cid")).drop("_cid"))
