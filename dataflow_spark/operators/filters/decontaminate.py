@@ -7,9 +7,19 @@ reference has no decontamination operator — this is part of the
 training-data-pipeline surface the engine adds as first-class.
 
 Scale design (100 TB corpus vs MB-scale benchmark):
-  - The benchmark side reduces to its DISTINCT gram-hash set and is
-    broadcast — benchmarks are a few thousand questions, so the
-    broadcast is KBs-to-MBs even at 13-grams.
+  - Default path (r9): the benchmark's distinct gram set is collected
+    under a byte budget, broadcast as a python frozenset, and the
+    corpus side becomes ONE narrow pandas-UDF pass — an early-exit
+    membership test for the filter, a (matched, total) count pair for
+    the scorer. Zero shuffles, no gram arrays cross the python
+    boundary; membership on the raw gram string is exactly the
+    raw-string semi-join predicate, so results are identical for every
+    ``hash_impl``.
+  - Past the budget (or with ``broadcast_benchmark=False``) the
+    original plan below runs unchanged: the benchmark side reduces to
+    its DISTINCT gram-hash set and is broadcast — benchmarks are a few
+    thousand questions, so the broadcast is KBs-to-MBs even at
+    13-grams.
   - The corpus side is one explode (linear in corpus tokens) joined
     map-side against the broadcast set; only MATCHED (doc, gram) rows
     survive, so the follow-up per-doc aggregate shuffles contaminated
@@ -29,7 +39,7 @@ Scale design (100 TB corpus vs MB-scale benchmark):
 from __future__ import annotations
 
 import re as _re
-from typing import Any
+from typing import Any, Iterator
 
 import pandas as pd
 
@@ -41,6 +51,12 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 
 
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+# benchmark gram set budget for the broadcast-set path (approx bytes of
+# gram text; python set overhead adds ~2-3x on top). Benchmarks are
+# KB-to-MB, so the fast path is the normal case; past the budget the
+# operator falls back to the explode + semi-join plan unchanged.
+_BENCH_SET_BUDGET = 64 << 20
 
 
 def word_ngrams(text: str | None, n: int) -> list[str]:
@@ -74,6 +90,65 @@ def _grams_udf(n: int):
         return s.map(lambda t: word_ngrams(t, n))
 
     return grams
+
+
+def _contaminated_udf(n: int, bc):
+    """Boolean pandas UDF: does the text share any word n-gram with the
+    broadcast benchmark gram set?
+
+    Membership on the raw gram string is EXACTLY the raw-string
+    semi-join's predicate (python ``==`` and SQL ``=`` agree on UTF-8
+    strings), so results are identical for every ``hash_impl`` — while
+    nothing but one boolean crosses the boundary back, no gram arrays
+    materialize, no explode/join/distinct runs, and ``any()`` stops at
+    the first matching gram (guide §4.1/§3.2: broadcast the small side,
+    decide on the big side before shuffling anything — here to the
+    point of no shuffle at all)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def contaminated(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        S = bc.value
+        split, join = _WS_RE.split, " ".join
+
+        def one(t):
+            if not t:
+                return False
+            w = [x for x in split(t) if x]
+            if not w:
+                return False
+            if len(w) < n:
+                return join(w) in S
+            return any(join(w[i:i + n]) in S
+                       for i in range(len(w) - n + 1))
+
+        for s in batches:
+            yield s.map(one)
+
+    return contaminated
+
+
+def _contam_counts_udf(n: int, bc):
+    """Struct pandas UDF: (matched, total) distinct-gram counts against
+    the broadcast benchmark gram set — the scorer twin of
+    :func:`_contaminated_udf`; same membership semantics as the
+    explode + broadcast-join + groupBy count it replaces."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<m: long, t: long>")
+    def counts(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        S = bc.value
+
+        def one(t):
+            g = word_ngrams(t, n)
+            return sum(x in S for x in g), len(g)
+
+        for s in batches:
+            pairs = s.map(one)
+            yield pd.DataFrame({"m": [p[0] for p in pairs],
+                                "t": [p[1] for p in pairs]})
+
+    return counts
 
 
 def _join_key(hash_impl: str) -> Column:
@@ -112,6 +187,29 @@ class ContaminationScoreEvaluator(Operator):
         self.input_keys = (input_key, id_key)
         self.output_keys = ("matched_ngrams", "total_ngrams", "overlap_frac")
 
+    def _bench_set_bc(self, benchmark: DataFrame):
+        """Broadcast the benchmark's distinct gram set as a python
+        frozenset, or None when the benchmark is too big for the
+        budget (caller falls back to the explode + join plan).
+
+        The pull is budget-bounded (cheap length pre-check, then one
+        Arrow toPandas of the text column); the set is built once per
+        invocation on the driver — no cross-run caching."""
+        if not self.broadcast_benchmark:
+            return None
+        tot = benchmark.agg(
+            F.sum(F.length(F.col(self.bench_key)))).first()[0] or 0
+        # each word lands in <= n grams, so gram bytes <= ~n * text
+        # bytes; stay under the budget with that bound before pulling
+        if tot * max(self.n, 1) > _BENCH_SET_BUDGET:
+            return None
+        tp = benchmark.select(F.col(self.bench_key).alias("_t")).toPandas()
+        s: set[str] = set()
+        for t in tp["_t"]:
+            s.update(word_ngrams(t, self.n))
+        sc = benchmark.sparkSession.sparkContext
+        return sc.broadcast(frozenset(s))
+
     def _bench_grams(self, benchmark: DataFrame) -> DataFrame:
         bg = (
             benchmark.select(
@@ -125,6 +223,28 @@ class ContaminationScoreEvaluator(Operator):
             **kw: Any) -> DataFrame:
         if benchmark is None:
             raise ValueError("ContaminationScoreEvaluator needs benchmark=")
+        bc = self._bench_set_bc(benchmark)
+        if bc is not None:
+            # broadcast-set path (r9): one pandas UDF computes both
+            # distinct-gram counts — no gram arrays cross the boundary,
+            # no explode/join; the overlap division stays a Spark
+            # expression so float semantics match the join form exactly
+            st = _contam_counts_udf(self.n, bc)(F.col(self.input_key))
+            cols = [self.id_key] + [c for c in df.columns
+                                    if c != self.id_key]
+            return (
+                df.withColumn("_cs", st)
+                .withColumn("total_ngrams",
+                            F.col("_cs.t").cast("int"))
+                .withColumn("matched_ngrams", F.col("_cs.m"))
+                .withColumn(
+                    "overlap_frac",
+                    F.when(F.col("total_ngrams") > 0,
+                           F.col("matched_ngrams") / F.col("total_ngrams"))
+                    .otherwise(F.lit(0.0)))
+                .select(*cols, "total_ngrams", "matched_ngrams",
+                        "overlap_frac")
+            )
         bg = self._bench_grams(benchmark)
         docs = df.withColumn(
             "_grams", _grams_udf(self.n)(F.col(self.input_key)))
@@ -180,6 +300,12 @@ class BenchmarkDecontaminationFilter(Operator):
             raise ValueError("BenchmarkDecontaminationFilter needs benchmark=")
         s = self.scorer
         if self.max_matches == 0 and self.max_frac is None and not self.keep_scores:
+            bc = s._bench_set_bc(benchmark)
+            if bc is not None:
+                # broadcast-set path (r9): one early-exit boolean UDF —
+                # the whole stage is a narrow filter, zero shuffles
+                return df.filter(
+                    ~_contaminated_udf(s.n, bc)(F.col(s.input_key)))
             # strict any-overlap: no counting needed — semi-join the
             # exploded grams, collapse to contaminated ids, anti-join
             bg = s._bench_grams(benchmark)
