@@ -24,7 +24,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import re as _re
-from typing import Any
+from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
@@ -36,6 +36,12 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 
 
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+# duplicated-tail collect budget for the broadcast-rebuild path (r9):
+# entries and approximate key bytes; past either bound the original
+# join + reassembly-shuffle plan runs unchanged
+_DUP_COLLECT_CAP = 1 << 21
+_DUP_BYTES_BUDGET = 64 << 20
 
 
 def word_segments(text: str | None, k: int) -> list[str]:
@@ -49,6 +55,43 @@ def word_segments(text: str | None, k: int) -> list[str]:
     w = [x for x in _WS_RE.split(text) if x]
     return [" ".join(w[i * k:(i + 1) * k])
             for i in range((len(w) + k - 1) // k)]
+
+
+def _rebuild_udf(keep_first: bool, joiner: str, bc):
+    """String pandas UDF: reassemble a document from its segments,
+    dropping duplicated occurrences per the broadcast decision map.
+
+    ``bc.value`` is ``{key: (order, pos)}`` for keep='first' (the
+    corpus-wide minimum occurrence wins — identical to the join form's
+    ``min(struct(order, pos))`` keeper) or a ``frozenset`` of keys for
+    keep='none'. Segments arrive in document order, so the rebuild is
+    the same pos-ascending ``array_join`` the reassembly shuffle
+    produced — but as one narrow pass, no explode / join / groupBy."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def rebuild(batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+                ) -> Iterator[pd.Series]:
+        dmap = bc.value
+
+        if keep_first:
+            def one(order, keys, segs):
+                out = []
+                for p, (k, s) in enumerate(zip(keys, segs)):
+                    kp = dmap.get(k)
+                    if kp is None or kp == (order, p):
+                        out.append(s)
+                return joiner.join(out)
+        else:
+            def one(order, keys, segs):
+                return joiner.join(
+                    s for k, s in zip(keys, segs) if k not in dmap)
+
+        for order_s, keys_s, segs_s in batches:
+            yield pd.Series([one(o, k, s) for o, k, s
+                             in zip(order_s, keys_s, segs_s)])
+
+    return rebuild
 
 
 def word_windows_udf(k: int):
@@ -125,6 +168,37 @@ class CorpusSegmentDedup(Operator):
             .filter(F.col("_n") >= self.min_dup)
             .select("_h", "_keeper")
         )
+
+        # broadcast-rebuild path (r9, guide §8 "decide with small rows"):
+        # the duplicated tail is typically tiny next to the corpus, so
+        # collect it under a budget and reassemble every doc in ONE
+        # narrow pandas-UDF pass — the occurrence-count shuffle is the
+        # only Exchange left; the per-segment join, keep-filter, and
+        # reassembly groupBy(doc) shuffle disappear. Results are
+        # identical: same keys, same min-occurrence keeper, same
+        # pos-ascending join order.
+        dpd = (dups.select("_h", F.col("_keeper.o").alias("_o"),
+                           F.col("_keeper.p").alias("_p"))
+               .limit(_DUP_COLLECT_CAP + 1).toPandas())
+        if len(dpd) <= _DUP_COLLECT_CAP and (
+                self.hash_impl == "fast"
+                or int(dpd["_h"].map(len).sum()) <= _DUP_BYTES_BUDGET):
+            if self.keep == "first":
+                dec = dict(zip(dpd["_h"].tolist(),
+                               zip(dpd["_o"].tolist(), dpd["_p"].tolist())))
+            else:
+                dec = frozenset(dpd["_h"].tolist())
+            bc = df.sparkSession.sparkContext.broadcast(dec)
+            keys = (F.transform(F.col("_segs"), lambda s: F.xxhash64(s))
+                    if self.hash_impl == "fast" else F.col("_segs"))
+            new_text = _rebuild_udf(self.keep == "first", joiner, bc)(
+                F.col(order_c), keys, F.col("_segs"))
+            cols = [id_c] + [c for c in df.columns if c != id_c]
+            return (base.withColumn(
+                self.input_key,
+                F.when(F.col(id_c).isNull(), F.lit(""))
+                .otherwise(new_text)).select(*cols))
+
         joined = segs.join(dups, "_h", "left")
         keep_cond = F.col("_keeper").isNull()
         if self.keep == "first":
