@@ -174,12 +174,14 @@ class BM25RetrievalOperator(Operator):
     standard for short queries). N is the total doc count and avgdl the
     mean token count over ALL docs (empty docs count with length 0).
 
-    Shuffle plan (the 100 TB story): one explode -> (doc, term) count
-    (map-side combined); the probe side is the tiny query-term table,
-    broadcast BEFORE the df/idf lookup so document-frequency stats are
-    only computed for terms some query mentions — the corpus vocabulary
-    is never materialized. Then one shuffle on doc id to attach doc
-    length, one aggregation on (query, doc), and a per-query top-k
+    Shuffle plan (the 100 TB story): tokens are filtered to the tiny
+    query-term literal INSIDE the row (r9) — the exploded stream holds
+    only query-term hits, never the corpus token stream, so the
+    vocabulary is never materialized and no pruning join is needed;
+    doc length rides the (doc, term) count key (functionally dependent
+    on the doc id), so no corpus-wide doc-length join either. What
+    remains is the tiny map-side-combined tf count, the df aggregate
+    over it, one aggregation on (query, doc), and a per-query top-k
     window. Ranking is on the ROUNDED score + doc id so the order (and
     the oracle contract) is engine-deterministic.
     """
@@ -212,22 +214,29 @@ class BM25RetrievalOperator(Operator):
                         for t in self.tokenize(q)})
         qdf = spark.createDataFrame(pairs, ["query", "_term"])
 
+        # prune to query terms BEFORE the explode (r9, guide §2.3): the
+        # query-term set is a tiny literal, so an array-filter IN test
+        # drops non-query tokens inside the row — the exploded stream
+        # holds only query-term hits instead of the whole corpus token
+        # stream, and no broadcast join is needed to prune it. Doc
+        # length rides the tf group key (it is functionally dependent
+        # on _id), which removes the corpus-wide dl join entirely.
+        terms = sorted({t for _, t in pairs})
         w = F.transform(T.words(F.col(self.input_key)),
                         lambda x: F.lower(x))
-        toks = df.select(F.col(self.id_key).alias("_id"),
-                         F.explode(w).alias("_term"))
-        # prune to query terms FIRST: everything downstream is tiny
-        toks = toks.join(F.broadcast(qdf.select("_term").distinct()), "_term")
-        tf = toks.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+        base = df.select(F.col(self.id_key).alias("_id"),
+                         w.alias("_toks"))
+        sel = base.select(
+            "_id", F.size("_toks").cast("double").alias("_dl"),
+            F.filter("_toks", lambda x: x.isin(*terms)).alias("_m"))
+        tf = (sel.select("_id", "_dl", F.explode("_m").alias("_term"))
+              .groupBy("_id", "_term", "_dl")
+              .agg(F.count(F.lit(1)).alias("_tf")))
         dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
 
-        dl = df.select(F.col(self.id_key).alias("_id"),
-                       F.size(T.words(F.col(self.input_key)))
-                       .cast("double").alias("_dl"))
-        stats = df.agg(
+        stats = base.agg(
             F.count(F.lit(1)).cast("double").alias("_n"),
-            (F.sum(F.size(T.words(F.col(self.input_key))))
-             / F.count(F.lit(1))).alias("_avgdl"))
+            (F.sum(F.size("_toks")) / F.count(F.lit(1))).alias("_avgdl"))
 
         k1, b = F.lit(self.k1), F.lit(self.b)
         idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
@@ -238,7 +247,6 @@ class BM25RetrievalOperator(Operator):
         scored = (
             tf.join(F.broadcast(qdf), "_term")
             .join(F.broadcast(dfreq), "_term")
-            .join(dl, "_id")
             .crossJoin(F.broadcast(stats))
             .groupBy("query", "_id")
             .agg(F.round(F.sum(idf * sat), self.round_digits).alias("score"))
