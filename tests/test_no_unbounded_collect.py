@@ -46,6 +46,17 @@ ALLOWED = {
     # IVF trains on a train_sample-row sample
     ("operators/similarity.py", "limit(self.train_sample)"):
         "train_sample cap",
+    # benchmark gram-set pull: a sum(length) pre-check caps total text
+    # bytes at _BENCH_SET_BUDGET / n before the toPandas (r9
+    # broadcast-set decontamination path)
+    ("operators/filters/decontaminate.py",
+     'benchmark.select(F.col(self.bench_key).alias("_t")).toPandas()'):
+        "byte-budget pre-check upstream",
+    # duplicated-segment tail: hard-capped at _DUP_COLLECT_CAP + 1 rows
+    # by the limit on the same statement (r9 broadcast-rebuild path)
+    ("operators/refiners/segment_dedup.py",
+     "limit(_DUP_COLLECT_CAP + 1).toPandas()"):
+        "explicit limit",
     # documented row-limited driver-side writer (xlsx/pickle)
     ("sources/writers.py", "df.limit(limit).collect()"):
         "explicit limit",
