@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .udf_cache import session_udf
+
 # 31-bit Mersenne prime: with a,b,h < p the affine map a*h+b stays under
 # 2^62, inside signed-64 range (ANSI mode rejects overflow).
 MERSENNE_P = (1 << 31) - 1
@@ -80,6 +82,15 @@ def minhash_signature(hashes: Column, num_perm: int = 64, seed: int = 42) -> Col
 
 
 def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
+    """Session-memoized :func:`_minhash64_udf_build` — the UDF object
+    (and its JVM registration) is reused across plan builds; the udf's
+    behavior is a pure function of the key params (r9, guide §1.2
+    driver latency; see functions/udf_cache.py for the rules)."""
+    return session_udf(("hashing.minhash64_udf", num_perm, n, seed),
+                       lambda: _minhash64_udf_build(num_perm, n, seed))
+
+
+def _minhash64_udf_build(num_perm: int = 64, n: int = 5, seed: int = 42):
     """Vectorized MinHash pandas_udf: text -> array<long> signature.
 
     Production path (the pure-expression ``minhash_signature`` keeps a
@@ -124,6 +135,13 @@ def minhash64_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
 
 
 def minhash_from_hashes_udf(num_perm: int = 64, seed: int = 42):
+    """Session-memoized :func:`_minhash_from_hashes_udf_build` (pure
+    function of the key params; see functions/udf_cache.py)."""
+    return session_udf(("hashing.minhash_from_hashes_udf", num_perm, seed),
+                       lambda: _minhash_from_hashes_udf_build(num_perm, seed))
+
+
+def _minhash_from_hashes_udf_build(num_perm: int = 64, seed: int = 42):
     """Vectorized MinHash pandas_udf over PRE-HASHED shingle arrays:
     array<long> -> array<long> signature.
 
@@ -181,6 +199,14 @@ def minhash_md5_one(text: str, num_perm: int = 64, n: int = 5,
 
 
 def minhash_md5_udf(num_perm: int = 64, n: int = 5, seed: int = 42):
+    """Session-memoized :func:`_minhash_md5_udf_build` (pure function
+    of the key params; per-TASK memo dicts live worker-side and are
+    untouched by driver-side object reuse — see functions/udf_cache.py)."""
+    return session_udf(("hashing.minhash_md5_udf", num_perm, n, seed),
+                       lambda: _minhash_md5_udf_build(num_perm, n, seed))
+
+
+def _minhash_md5_udf_build(num_perm: int = 64, n: int = 5, seed: int = 42):
     """Oracle-replicable MinHash signature: md5-based shingle hashes.
 
     Same banding/verify semantics as ``minhash64_udf`` but the shingle
@@ -275,6 +301,13 @@ def simhash_md5_one(text: str, n: int = 4) -> int:
 
 
 def simhash_md5_udf(n: int = 4):
+    """Session-memoized :func:`_simhash_md5_udf_build` (pure function
+    of the key params; see functions/udf_cache.py)."""
+    return session_udf(("hashing.simhash_md5_udf", n),
+                       lambda: _simhash_md5_udf_build(n))
+
+
+def _simhash_md5_udf_build(n: int = 4):
     """Oracle-replicable SimHash: md5-based 60-bit shingle hashes.
 
     ``int(md5(gram)[:15], 16)`` gives 60 well-mixed bits; sign-sums run
@@ -442,6 +475,13 @@ def simhash64(col: Column, n: int = 4) -> Column:
 
 
 def simhash64_udf(n: int = 4):
+    """Session-memoized :func:`_simhash64_udf_build` (pure function of
+    the key params; see functions/udf_cache.py)."""
+    return session_udf(("hashing.simhash64_udf", n),
+                       lambda: _simhash64_udf_build(n))
+
+
+def _simhash64_udf_build(n: int = 4):
     """Vectorized SimHash pandas_udf — the production path.
 
     The pure-expression ``simhash64`` is correct but builds a

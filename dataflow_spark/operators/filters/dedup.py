@@ -33,6 +33,11 @@ from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import vector as V
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for trusted engine-built SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
     """Keep the min-``order_col`` row per ``key`` via min_by aggregation.
 
@@ -426,30 +431,30 @@ class _NearDupBase(_BaseDedup):
         #     adversarial near-identical corpora stay linear.
         buckets = (
             banded.groupBy("band", "h")
-            .agg(F.sort_array(F.collect_list("_nd_id")).alias("_ids"))
-            .filter(F.size("_ids") > 1)
+            .agg(F.expr("sort_array(collect_list(_nd_id)) AS _ids"))
+            .filter("size(_ids) > 1")
         )
         # single-parse SQL strings (r9): the Column-lambda forms of these
-        # expansions cost ~100+ py4j round trips per plan build; F.expr
-        # parses the identical tree in one JVM call. Results unchanged.
+        # expansions cost ~100+ py4j round trips per plan build; one
+        # string parses the identical tree in one JVM call. Results
+        # unchanged. inline() = explode + struct-splat in one generator
+        # select (same trick as banding): the old explode -> project
+        # pair cost ~75 more round trips and left a dead struct
+        # projection in the plan.
         if self.pair_expansion == "star":
-            pair_structs = F.expr(
+            pair_sql = (
                 "transform(slice(_ids, 2, size(_ids) - 1), "
                 "y -> named_struct('src', element_at(_ids, 1), 'dst', y))")
         else:
             mbs = int(self.max_bucket_size)
-            pair_structs = F.expr(
+            pair_sql = (
                 f"CASE WHEN size(_ids) > {mbs} THEN "
                 "transform(slice(_ids, 1, size(_ids) - 1), (x, i) -> "
                 "named_struct('src', x, 'dst', element_at(_ids, i + 2))) "
                 "ELSE flatten(transform(_ids, (x, i) -> "
                 "transform(slice(_ids, i + 2, size(_ids)), "
                 "y -> named_struct('src', x, 'dst', y)))) END")
-        pairs = (
-            buckets.select(F.explode(pair_structs).alias("_e"))
-            .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
-            .distinct()
-        )
+        pairs = buckets.selectExpr(f"inline({pair_sql})").distinct()
         if verify is not None:
             pairs = verify(pairs)
         if extra_edges is not None:
@@ -460,17 +465,18 @@ class _NearDupBase(_BaseDedup):
         # propagation), so "first occurrence" == rows whose own id equals
         # their component label; unclustered rows (left-join miss) stay.
         out = df.join(comp.toDF("_nd_id", "component"), "_nd_id", "left")
-        cluster = F.coalesce(F.col("component"), F.col("_nd_id"))
+        # same coalesce tree as the old Column form, one parse (r9)
         if getattr(self, "assign_key", None):
             # assignment mode: keep every row, expose its cluster label
             # (= min order-id of its near-dup component; singletons get
             # their own id) instead of filtering
             return self._finish(
-                out.withColumn(self.assign_key, cluster)
+                out.withColumn(self.assign_key,
+                               F.expr("coalesce(component, _nd_id)"))
                 .drop("component", "_nd_id"),
                 order_col)
         return self._finish(
-            out.filter(cluster == F.col("_nd_id"))
+            out.filter("coalesce(component, _nd_id) = _nd_id")
             .drop("component", "_nd_id"),
             order_col)
 
@@ -517,7 +523,7 @@ class MinHashDeduplicateFilter(_NearDupBase):
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
-        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        df = df.withColumn("_nd_id", F.expr(f"cast({_bq(order_col)} as long)"))
         if self.hash_impl == "md5":
             sig_udf = H.minhash_md5_udf(self.num_perm, self.shingle_n)
             bands_sql = H.band_keys_plain_sql(
@@ -589,7 +595,7 @@ class SimHashDeduplicateFilter(_NearDupBase):
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
-        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        df = df.withColumn("_nd_id", F.expr(f"cast({_bq(order_col)} as long)"))
         sim_udf = (H.simhash_md5_udf(self.shingle_n) if self.hash_impl == "md5"
                    else H.simhash64_udf(self.shingle_n))
         # project-then-dedup: only (id, simhash) feeds banding + Hamming
@@ -648,7 +654,7 @@ class SemDeduplicateFilter(_NearDupBase):
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
         df, order_col = self._ordered(df)
-        df = df.withColumn("_nd_id", F.col(order_col).cast("long"))
+        df = df.withColumn("_nd_id", F.expr(f"cast({_bq(order_col)} as long)"))
         # vectorized sign-bit band keys (functions/vector.py) — the
         # per-plane expression tree is CodegenFallback, ~1000x slower
         bands_udf = V.hyperplane_bands_udf(self.num_planes, self.num_bands, self.seed)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dataflow_spark.core.operator import RefineOperator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions.udf_cache import session_udf
 from dataflow_spark.operators.filters.rule_based import EN_STOPWORDS
 
 
@@ -189,25 +190,30 @@ class UnicodeNormalizationRefiner(RefineOperator):
         self.form = form
 
     def refine_expr(self, col: Column) -> Column:
-        from pyspark.sql.functions import pandas_udf
-
-        form = self.form
-
-        @pandas_udf("string")
-        def norm(s: pd.Series) -> pd.Series:
-            # unicodedata is C-implemented; is_normalized() is a
-            # quick-check scan that returns without rebuilding the
-            # string, so already-normalized docs (the common case on
-            # real corpora) cost one pass and zero allocations.
-            # (pyarrow's utf8_normalize is NOT usable here: as of
-            # pyarrow 16 it decomposes regardless of the form option.)
-            import unicodedata
-
-            def one(t):
-                if t is None or unicodedata.is_normalized(form, t):
-                    return t
-                return unicodedata.normalize(form, t)
-
-            return s.map(one)
-
+        # session-memoized UDF object (r9): pure function of the form
+        norm = session_udf(("refiners.unicode_norm", self.form),
+                           lambda: _unicode_norm_udf_build(self.form))
         return norm(col)
+
+
+def _unicode_norm_udf_build(form: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        # unicodedata is C-implemented; is_normalized() is a
+        # quick-check scan that returns without rebuilding the
+        # string, so already-normalized docs (the common case on
+        # real corpora) cost one pass and zero allocations.
+        # (pyarrow's utf8_normalize is NOT usable here: as of
+        # pyarrow 16 it decomposes regardless of the form option.)
+        import unicodedata
+
+        def one(t):
+            if t is None or unicodedata.is_normalized(form, t):
+                return t
+            return unicodedata.normalize(form, t)
+
+        return s.map(one)
+
+    return norm

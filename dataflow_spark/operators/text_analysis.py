@@ -18,6 +18,7 @@ from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import text as T
+from dataflow_spark.functions.udf_cache import session_udf
 from dataflow_spark.operators.filters.rule_based import EN_STOPWORDS
 
 # Marker (stopword-like) vocabularies for the n-gram/marker-word language
@@ -55,7 +56,15 @@ def langid_expr(col: Column) -> Column:
     (4 langs x words/filter/array_contains HOF trees) is CodegenFallback
     with no CSE, re-tokenizing every row 4x (~3x slower at sf0.1). The
     SQL-mirrorable definition is pinned by the t_langid oracle.
+
+    Session-memoized UDF object (r9): the closure depends only on the
+    module-constant marker vocabularies, so one JVM registration serves
+    every plan build (functions/udf_cache.py).
     """
+    return session_udf(("text_analysis.langid",), _langid_udf_build)(col)
+
+
+def _langid_udf_build():
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -83,7 +92,7 @@ def langid_expr(col: Column) -> Column:
     def langid(s: pd.Series) -> pd.Series:
         return s.map(one)
 
-    return langid(col)
+    return langid
 
 
 @OPERATOR_REGISTRY.register()
@@ -124,32 +133,45 @@ class QualityScoreEvaluator(Operator):
             return df.withColumn(
                 self.output_key,
                 T.quality_score(F.col(self.input_key), self.stopwords))
-        import re
-
-        from pyspark.sql.functions import pandas_udf
-
-        sw = frozenset(self.stopwords)
-        ws_re = re.compile(r"\s+", re.ASCII)   # Java default \s == ASCII
-        alpha_re = re.compile(r"[A-Za-z]")
-        punct_re = re.compile(r"[.!?]$")
-
-        def one(t):
-            if t is None:
-                return None
-            w = [x for x in ws_re.split(t) if x]
-            n = len(w)
-            len_score = min(n / 100.0, 1.0)
-            sw_ratio = (sum(1 for x in w if x.lower() in sw) / n) if n else 0.0
-            sw_score = min(sw_ratio / 0.3, 1.0)
-            punct = 1.0 if punct_re.search(t.strip(" ")) else 0.0
-            alpha = (sum(1 for x in w if alpha_re.search(x)) / n) if n else 0.0
-            return 0.25 * len_score + 0.25 * sw_score + 0.25 * punct + 0.25 * alpha
-
-        @pandas_udf("double")
-        def score(s: pd.Series) -> pd.Series:
-            return s.map(one)
-
+        # session-memoized UDF object (r9): behavior is a pure function
+        # of the stopword list (functions/udf_cache.py)
+        sw = tuple(self.stopwords)
+        score = session_udf(("text_analysis.quality_score", sw),
+                            lambda: _quality_udf_build(sw))
         return df.withColumn(self.output_key, score(F.col(self.input_key)))
+
+
+def _quality_udf_build(stopwords: tuple):
+    """Arrow-batched quality-score UDF; token-for-token mirror of
+    functions/text.py:quality_score (same score bit-for-bit: identical
+    operation order, Java-\\s-equivalent ASCII tokenization,
+    space-only trim)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    sw = frozenset(stopwords)
+    ws_re = re.compile(r"\s+", re.ASCII)   # Java default \s == ASCII
+    alpha_re = re.compile(r"[A-Za-z]")
+    punct_re = re.compile(r"[.!?]$")
+
+    def one(t):
+        if t is None:
+            return None
+        w = [x for x in ws_re.split(t) if x]
+        n = len(w)
+        len_score = min(n / 100.0, 1.0)
+        sw_ratio = (sum(1 for x in w if x.lower() in sw) / n) if n else 0.0
+        sw_score = min(sw_ratio / 0.3, 1.0)
+        punct = 1.0 if punct_re.search(t.strip(" ")) else 0.0
+        alpha = (sum(1 for x in w if alpha_re.search(x)) / n) if n else 0.0
+        return 0.25 * len_score + 0.25 * sw_score + 0.25 * punct + 0.25 * alpha
+
+    @pandas_udf("double")
+    def score(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return score
 
 
 @OPERATOR_REGISTRY.register()
@@ -211,29 +233,38 @@ class NgramRepetitionEvaluator(Operator):
         # pandas_udf rather than the word_shingles Column expression: the
         # higher-order-function lambda tree is CodegenFallback in Spark
         # (no codegen CSE), so the gram array would be evaluated three
-        # times per row (~6x slower measured at sf0.1)
-        import re
-
-        from pyspark.sql.functions import pandas_udf
-
-        n = self.n
-        ws_re = re.compile(r"\s+", re.ASCII)  # mirror Java/RE2 ASCII \s
-
-        def one(text: str):
-            if text is None:
-                return None
-            w = [x for x in ws_re.split(text.lower()) if x]
-            if len(w) >= n:
-                grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
-            else:
-                grams = [" ".join(w)]
-            return len(set(grams)) / len(grams) if grams else None
-
-        @pandas_udf("double")
-        def ratio(s: pd.Series) -> pd.Series:
-            return s.map(one)
-
+        # times per row (~6x slower measured at sf0.1). Session-memoized
+        # UDF object (r9): pure function of n (functions/udf_cache.py).
+        ratio = session_udf(("text_analysis.ngram_ratio", self.n),
+                            lambda: _ngram_ratio_udf_build(self.n))
         return df.withColumn(self.output_key, ratio(F.col(self.input_key)))
+
+
+def _ngram_ratio_udf_build(n: int):
+    """Arrow-batched distinct-ngram-ratio UDF (lowercased whitespace
+    words, n-grams joined by single spaces; whole sequence as one gram
+    for docs shorter than n words)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = re.compile(r"\s+", re.ASCII)  # mirror Java/RE2 ASCII \s
+
+    def one(text: str):
+        if text is None:
+            return None
+        w = [x for x in ws_re.split(text.lower()) if x]
+        if len(w) >= n:
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        else:
+            grams = [" ".join(w)]
+        return len(set(grams)) / len(grams) if grams else None
+
+    @pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return ratio
 
 
 @OPERATOR_REGISTRY.register()
@@ -269,48 +300,58 @@ class GopherRepetitionEvaluator(Operator):
                             "dup_ngram_char_frac")
 
     def run(self, df: DataFrame, **kwargs: Any) -> DataFrame:
-        import re
-        from collections import Counter
-
-        from pyspark.sql.functions import pandas_udf
-
-        n, k = self.n, self.segment_words
-        ws_re = re.compile(r"\s+", re.ASCII)
-
-        def one(text):
-            if text is None:
-                return (None, None, None)
-            w = [x for x in ws_re.split(text.lower()) if x]
-            if not w:
-                return (0.0, 0.0, 0.0)
-            segs = [" ".join(w[i * k:(i + 1) * k])
-                    for i in range((len(w) + k - 1) // k)]
-            dup_seg = 1.0 - len(set(segs)) / len(segs)
-            if len(w) >= n:
-                grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
-            else:
-                grams = [" ".join(w)]
-            cnt = Counter(grams)
-            cover = {g: c * len(g) for g, c in cnt.items()}
-            total = sum(cover.values())
-            if total == 0:
-                return (dup_seg, 0.0, 0.0)
-            top = max(cover.values()) / total
-            dup = sum(v for g, v in cover.items() if cnt[g] > 1) / total
-            return (dup_seg, top, dup)
-
-        @pandas_udf("dup_segment_frac double, top_ngram_char_frac double, "
-                    "dup_ngram_char_frac double")
-        def rep(s: pd.Series) -> pd.DataFrame:
-            return pd.DataFrame(
-                s.map(one).tolist(),
-                columns=["dup_segment_frac", "top_ngram_char_frac",
-                         "dup_ngram_char_frac"], index=s.index)
-
+        # session-memoized UDF object (r9): pure function of (n, k)
+        rep = session_udf(
+            ("text_analysis.gopher_rep", self.n, self.segment_words),
+            lambda: _gopher_rep_udf_build(self.n, self.segment_words))
         out = df.withColumn("_rep", rep(F.col(self.input_key)))
         for c in self.output_keys:
             out = out.withColumn(c, F.col("_rep").getField(c))
         return out.drop("_rep")
+
+
+def _gopher_rep_udf_build(n: int, k: int):
+    """Arrow-batched Gopher-repetition UDF: one pass computes
+    (dup_segment_frac, top_ngram_char_frac, dup_ngram_char_frac) per
+    the class docstring's exact definitions."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def one(text):
+        if text is None:
+            return (None, None, None)
+        w = [x for x in ws_re.split(text.lower()) if x]
+        if not w:
+            return (0.0, 0.0, 0.0)
+        segs = [" ".join(w[i * k:(i + 1) * k])
+                for i in range((len(w) + k - 1) // k)]
+        dup_seg = 1.0 - len(set(segs)) / len(segs)
+        if len(w) >= n:
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        else:
+            grams = [" ".join(w)]
+        cnt = Counter(grams)
+        cover = {g: c * len(g) for g, c in cnt.items()}
+        total = sum(cover.values())
+        if total == 0:
+            return (dup_seg, 0.0, 0.0)
+        top = max(cover.values()) / total
+        dup = sum(v for g, v in cover.items() if cnt[g] > 1) / total
+        return (dup_seg, top, dup)
+
+    @pandas_udf("dup_segment_frac double, top_ngram_char_frac double, "
+                "dup_ngram_char_frac double")
+    def rep(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            s.map(one).tolist(),
+            columns=["dup_segment_frac", "top_ngram_char_frac",
+                     "dup_ngram_char_frac"], index=s.index)
+
+    return rep
 
 
 @OPERATOR_REGISTRY.register()
