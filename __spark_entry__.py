@@ -1222,7 +1222,7 @@ def q_heavy_ngrams(spark, sf_dir):
 @q("q_heavy_weighted", f"""
 WITH w AS (SELECT unnest({LW('text')}) AS word FROM documents),
 nn AS (SELECT word, length(word) AS wt FROM w WHERE word != '')
-SELECT word, sum(wt) AS cnt FROM nn GROUP BY word
+SELECT word, sum(wt)::BIGINT AS cnt FROM nn GROUP BY word
 HAVING sum(wt) > 0.005 * (SELECT sum(wt) FROM nn)
 ORDER BY cnt DESC, word
 """)

@@ -30,6 +30,7 @@ Rules for call sites (enforced by review + tests/test_udf_cache.py):
 
 from __future__ import annotations
 
+import threading
 import weakref
 from typing import Any, Callable, Hashable
 
@@ -37,6 +38,11 @@ from pyspark.sql import SparkSession
 
 _UDFS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary())
+# Concurrent plan builds on one SparkSession (multi-threaded driver,
+# guide §2.6) must not race the lookup/insert: without the lock two
+# threads can build the factory twice and hand out different objects,
+# breaking the identity contract pinned by tests/test_udf_cache.py.
+_LOCK = threading.Lock()
 
 
 def session_udf(key: Hashable, factory: Callable[[], Any]) -> Any:
@@ -48,11 +54,13 @@ def session_udf(key: Hashable, factory: Callable[[], Any]) -> Any:
     spark = SparkSession.getActiveSession()
     if spark is None:
         return factory()
-    per = _UDFS.setdefault(spark, {})
     try:
-        hit = per.get(key)
+        hash(key)
     except TypeError:  # unhashable key — never cache
         return factory()
-    if hit is None:
-        hit = per[key] = factory()
+    with _LOCK:
+        per = _UDFS.setdefault(spark, {})
+        hit = per.get(key)
+        if hit is None:
+            hit = per[key] = factory()
     return hit

@@ -93,14 +93,18 @@ class KMeansClusteringOperator(Operator):
                 F.zip_with(vcol, s["v"], lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x)
 
+        # r10: evaluate each centroid's distance exactly once (the r9 fold
+        # re-evaluated d2(s) in both the when() condition and the taken
+        # struct — 2x distance compute at large k). Same fold condition on
+        # the precomputed struct, so assignments are bit-identical.
+        dists = F.transform(
+            carr, lambda s: F.struct(d2(s).alias("d"), s["c"].alias("c")))
         best = F.aggregate(
-            carr,
+            dists,
             F.struct(F.lit(None).cast("double").alias("d"),
                      F.lit(None).cast("long").alias("c")),
             lambda acc, s: F.when(
-                acc["c"].isNull() | (d2(s) < acc["d"]),
-                F.struct(d2(s).alias("d"), s["c"].alias("c"))
-            ).otherwise(acc))
+                acc["c"].isNull() | (s["d"] < acc["d"]), s).otherwise(acc))
         return best["c"]
 
     def _assign(self, pts: DataFrame, cents) -> DataFrame:

@@ -206,9 +206,10 @@ class ContaminationScoreEvaluator(Operator):
         if not self.broadcast_benchmark:
             return None
         tot = benchmark.agg(
-            F.sum(F.length(F.col(self.bench_key)))).first()[0] or 0
+            F.sum(F.octet_length(F.col(self.bench_key)))).first()[0] or 0
         # each word lands in <= n grams, so gram bytes <= ~n * text
-        # bytes; stay under the budget with that bound before pulling
+        # bytes (octet_length so multi-byte UTF-8 counts true bytes);
+        # stay under the budget with that bound before pulling
         if tot * max(self.n, 1) > _BENCH_SET_BUDGET:
             return None
         tp = benchmark.select(F.col(self.bench_key).alias("_t")).toPandas()

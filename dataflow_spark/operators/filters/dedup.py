@@ -108,6 +108,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     linear. Each round localCheckpoints to truncate lineage.
     The edge list itself is always computed distributedly.
     """
+    # normalize column names positionally: callers may pass any
+    # 2-column (src, dst) frame, and the pandas probe below reads by
+    # name (the pre-r9 collect() path read positionally)
+    edges = edges.toDF("src", "dst")
     # one-job probe: fetch up to the bound + 1; small graphs (the common
     # case) never pay a separate count action. Arrow toPandas, not
     # collect: per-Row pickling of a bound-sized edge list (2M rows)

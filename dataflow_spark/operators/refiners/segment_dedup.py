@@ -80,7 +80,11 @@ def _rebuild_udf(keep_first: bool, joiner: str, bc):
                 out = []
                 for p, (k, s) in enumerate(zip(keys, segs)):
                     kp = dmap.get(k)
-                    if kp is None or kp == (order, p):
+                    # order is None mirrors the join form's SQL struct
+                    # equality: (NULL, p) == keeper is NULL -> dropped
+                    # (Python (None, p) == (None, p) would keep it).
+                    if kp is None or (order is not None
+                                      and kp == (order, p)):
                         out.append(s)
                 return joiner.join(out)
         else:
@@ -126,6 +130,13 @@ class CorpusSegmentDedup(Operator):
     position) — CCNet semantics; ``keep='none'`` drops every occurrence
     — C4 semantics. A segment is duplicated when it occurs at least
     ``min_dup`` times corpus-wide.
+
+    Contract: ``id_key`` values must be unique per row (document ids).
+    With duplicate ids the reassembly join is ill-defined (the fallback
+    merges segments across rows sharing an id; the broadcast path
+    rebuilds rows independently). Null ``order_key`` occurrences are
+    never the keeper (SQL struct-equality-with-null semantics on both
+    paths).
     """
 
     def __init__(self, input_key: str = "text", id_key: str = "doc_id",

@@ -5,6 +5,13 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values (floats to 1e-9). Queries without an
 oracle get a rows-only check (runs, returns >= 0 rows, stable schema).
 
+Both sides are materialized through pandas (Spark ``toPandas()``, DuckDB
+``.df()``) and every cell carries a *type-class tag* (int / float / bool /
+str / ...) so that value-equal but dtype-different results FAIL, exactly
+like the driver's hash canonicalizer: DuckDB ``sum(BIGINT)`` returns
+HUGEINT which pandas materializes as float64, and ``130.0`` must not
+match Spark's int64 ``130`` (round-9 q_heavy_weighted regression).
+
 Usage:
     python tools/verify_oracle.py [--sf /root/testdata/sf0.001] [--only name1,name2]
 """
@@ -24,22 +31,43 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    return v
+    """Normalize one pandas cell to a (type-tag, value) pair.
+
+    The tag makes the comparison dtype-strict the way the driver's hash
+    canonicalizer is: int64 130 != float64 130.0. numpy scalars are
+    reduced to their Python equivalents first so np.int64 == int tags
+    identically across the Spark/DuckDB pandas paths.
+    """
+    import numpy as np
+
+    import pandas as pd
+
+    if v is None or v is pd.NA or v is pd.NaT \
+            or (isinstance(v, float) and math.isnan(v)) \
+            or (isinstance(v, np.floating) and math.isnan(float(v))):
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        return ("f", round(float(v), 9))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(norm_cell(x) for x in v))
+    if isinstance(v, str):
+        return ("s", v)
+    # Decimal, date, datetime, bytes... keep the concrete class in the tag
+    # so Decimal('1.5') never matches float 1.5 or str '1.5'.
+    return (type(v).__name__, str(v))
 
 
-def to_rows(cols, records):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in records]
+def to_rows(pdf):
+    """Canonicalize a pandas frame: sort columns by name, tag+sort rows."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    out = [tuple(norm_cell(v) for v in rec) for rec in pdf.itertuples(index=False, name=None)]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+    return cols, out
 
 
 def main():
@@ -94,27 +122,25 @@ def main():
                 n_fail += 1
                 failures.append(name)
                 continue
-            srec = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             n_fail += 1
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srec)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            print(f"rows  {name}: {len(spdf)} rows, cols={scols} ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drec = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             failures.append(name)
             continue
-        sc, srows = to_rows(scols, srec)
-        dc, drows = to_rows(dcols, drec)
+        sc, srows = to_rows(spdf)
+        dc, drows = to_rows(dpdf)
         ok = True
         msgs = []
         if sc != dc:
