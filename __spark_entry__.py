@@ -1471,7 +1471,7 @@ def q_pipeline_corpus_curation(spark, sf_dir):
                        {"input_key": "text", "min_words": 5}).run(out)
     out = get_operator("DomainMixtureSampler", {
         "weights": {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
-        "hash_impl": "md5"}).run(out)
+        "hash_impl": "md5", "cache_input": True}).run(out)
     out = get_operator("SplitAssignOperator", {"hash_impl": "md5"}).run(out)
     return out.select("doc_id", "source", "split")
 

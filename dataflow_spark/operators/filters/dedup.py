@@ -31,11 +31,33 @@ from dataflow_spark.core.operator import Operator, ROW_ID, with_row_id
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import vector as V
+from dataflow_spark.functions.pulls import bounded_pull
 
 
 def _bq(name: str) -> str:
     """Backtick-quote an identifier for trusted engine-built SQL text."""
     return "`" + name.replace("`", "``") + "`"
+
+
+def _spread_for_udf(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster when it has fewer
+    partitions than cores, so a per-row signature kernel downstream uses
+    every core instead of the scan's split count.
+
+    Scale-adaptive, not a local tuning: any real-scale input already has
+    >= defaultParallelism splits and this is a no-op (no Exchange in the
+    plan). It only fires on under-split inputs — e.g. a single-row-group
+    parquet file, whose scan is ONE task no matter how small
+    maxPartitionBytes is — where the narrow projection it receives
+    (id + signature source column) costs a tiny shuffle and buys a
+    cores-wide signature stage. Results are row-wise and key-grouped
+    downstream, so placement never changes them.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
@@ -116,8 +138,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     # case) never pay a separate count action. Arrow toPandas, not
     # collect: per-Row pickling of a bound-sized edge list (2M rows)
     # costs seconds on the driver; one Arrow frame + python-int lists
-    # is ~10x cheaper (guide §6 "Arrow for driver transfers", r9)
-    probe = edges.limit(driver_max_edges + 1).toPandas()
+    # is ~10x cheaper (guide §6 "Arrow for driver transfers", r9).
+    # bounded_pull (r10) collapses the incremental-take scale-up into a
+    # single collect job (was 3 jobs per invocation at sf0.1).
+    probe = bounded_pull(edges, driver_max_edges + 1)
     if len(probe) <= driver_max_edges:
         parent: dict[int, int] = {}
 
@@ -377,8 +401,8 @@ class _NearDupBase(_BaseDedup):
     #: survivors are exactly the rows where assign column == order id
     assign_key: str | None = None
 
-    @staticmethod
-    def _collapse_exact(sigs: DataFrame, key: str) -> tuple[DataFrame, DataFrame]:
+    def _collapse_exact(self, sigs: DataFrame,
+                        key: str) -> tuple[DataFrame, DataFrame]:
         """Collapse rows with IDENTICAL signatures to one representative.
 
         Degenerate-corpus armor: a billion byte-identical docs share one
@@ -395,15 +419,39 @@ class _NearDupBase(_BaseDedup):
         full frame: identical signatures have identical band keys and
         identical verify outcomes, so a dup's connectivity through its
         rep equals its direct connectivity.
+
+        The window output is PERSISTED (r10): both returned frames (and
+        the caller's signature lookups — every candidate-pair id is a
+        rep) read one cached pass. Unpersisted, Catalyst column-prunes
+        the two branches differently (the reps branch carries the
+        signature, the edges branch only ids), so the corpus-wide
+        signature UDF + window exchange + sort ran TWICE — verified in
+        the r9 executed plan as two separate ShuffleQueryStages. One
+        exchange now carries strictly fewer total bytes than the two it
+        replaces, at any scale; the cache adds 8 bytes/row over the
+        signature persist it supersedes.
+
+        The cache is scoped to ONE run() invocation: every consumer is
+        executed eagerly inside ``_dedup_by_bands`` (the connected-
+        components step materializes the whole pair pipeline), which
+        unpersists it before returning. Without that, Spark's
+        CacheManager ``sameResult``-matches the (deterministic) window
+        plan of the NEXT invocation over the same input and silently
+        serves it the previous invocation's rows — re-executions must
+        recompute from source, and the cache must not outlive the run.
         """
         # SQL-string window (r9): one parse instead of the Window-API
-        # py4j chain; same default frame (RANGE UNBOUNDED PRECEDING ..
-        # CURRENT ROW), same first-by-min-id semantics. ``key`` is a
-        # trusted engine-internal SQL fragment.
+        # py4j chain. min-over-partition (r10) replaces the r9
+        # first-ordered form: identical value (the group's min id), but
+        # ``first`` is a non-deterministic expression, which breaks
+        # ``sameResult`` so the persist above it could never be matched
+        # (every consumer recomputed the window), and its ORDER BY
+        # forced a (key, id) sort where min needs only the key grouping.
+        # ``key`` is a trusted engine-internal SQL fragment.
         with_rep = sigs.selectExpr(
             "*",
-            f"first(_nd_id) OVER (PARTITION BY {key} "
-            "ORDER BY _nd_id ASC) AS _rep")
+            f"min(_nd_id) OVER (PARTITION BY {key}) AS _rep").persist()
+        self._collapse_cached = with_rep
         reps = with_rep.filter("_nd_id = _rep").drop("_rep")
         exact_edges = (
             with_rep.filter("_nd_id != _rep")
@@ -464,6 +512,14 @@ class _NearDupBase(_BaseDedup):
         if extra_edges is not None:
             pairs = pairs.union(extra_edges.select("src", "dst"))
         comp = connected_components(pairs)
+        # the components step above is eager (driver union-find or
+        # per-round localCheckpoint contraction), so the collapse cache
+        # has no consumers left: release it so it cannot leak across
+        # invocations (or be sameResult-served to a later run — every
+        # execution must compute from source; see _collapse_exact)
+        cached = self.__dict__.pop("_collapse_cached", None)
+        if cached is not None:
+            cached.unpersist()
         # keep-first without a window: the component label IS the min
         # order-id of the cluster (union-find min-root / min-label
         # propagation), so "first occurrence" == rows whose own id equals
@@ -539,13 +595,15 @@ class MinHashDeduplicateFilter(_NearDupBase):
         # project-then-dedup: only (id, signature) flows through banding,
         # verify, and components — the scan on this branch reads just
         # [order_col, input_key]; full rows join back on survivors only.
-        # persist because the signature feeds both the band explode and
-        # the candidate-verify join.
-        sigs = (
-            df.select(F.col("_nd_id"),
-                      sig_udf(F.col(self.input_key)).alias("_sig"))
-            .persist()
-        )
+        # The signature pass is persisted INSIDE _collapse_exact (window
+        # output) — one cached materialization feeds banding, the exact
+        # edges, and the verify lookups (every pair id is a rep).
+        # _spread_for_udf: under-split inputs (single-row-group files)
+        # would run the md5 kernel on one core; spreading the narrow
+        # projection is a no-op whenever the scan already parallelizes.
+        sigs = _spread_for_udf(
+            df.select("_nd_id", self.input_key)).select(
+            F.col("_nd_id"), sig_udf(F.col(self.input_key)).alias("_sig"))
         # exact-signature collapse: bounds bucket sizes on degenerate
         # (mass-duplicate) corpora; survivors provably unchanged
         # (single-parse expr strings here and below: same trees as the
@@ -564,8 +622,8 @@ class MinHashDeduplicateFilter(_NearDupBase):
 
             def verify(pairs: DataFrame) -> DataFrame:
                 return (
-                    pairs.join(sigs.toDF("src", "_sig_a"), "src")
-                    .join(sigs.toDF("dst", "_sig_b"), "dst")
+                    pairs.join(reps.toDF("src", "_sig_a"), "src")
+                    .join(reps.toDF("dst", "_sig_b"), "dst")
                     .filter(F.expr(est_sql))
                     .select("src", "dst")
                 )
@@ -603,12 +661,13 @@ class SimHashDeduplicateFilter(_NearDupBase):
         sim_udf = (H.simhash_md5_udf(self.shingle_n) if self.hash_impl == "md5"
                    else H.simhash64_udf(self.shingle_n))
         # project-then-dedup: only (id, simhash) feeds banding + Hamming
-        # verify; persist to avoid recomputing the signature per consumer
-        sims = (
-            df.select(F.col("_nd_id"),
-                      sim_udf(F.col(self.input_key)).alias("_simhash"))
-            .persist()
-        )
+        # verify; the collapse window output is persisted inside
+        # _collapse_exact — one cached pass feeds every consumer.
+        # _spread_for_udf: see MinHashDeduplicateFilter — cores-wide
+        # signature stage on under-split inputs, no-op otherwise.
+        sims = _spread_for_udf(
+            df.select("_nd_id", self.input_key)).select(
+            F.col("_nd_id"), sim_udf(F.col(self.input_key)).alias("_simhash"))
         # exact-signature collapse (see _collapse_exact): degenerate-
         # corpus bucket armor, survivors unchanged
         reps, exact_edges = self._collapse_exact(sims, "_simhash")
@@ -622,8 +681,8 @@ class SimHashDeduplicateFilter(_NearDupBase):
 
         def verify(pairs: DataFrame) -> DataFrame:
             return (
-                pairs.join(sims.toDF("src", "_ha"), "src")
-                .join(sims.toDF("dst", "_hb"), "dst")
+                pairs.join(reps.toDF("src", "_ha"), "src")
+                .join(reps.toDF("dst", "_hb"), "dst")
                 .filter(F.expr(ham_sql))
                 .select("src", "dst")
             )
@@ -674,13 +733,14 @@ class SemDeduplicateFilter(_NearDupBase):
             F.posexplode(bands_udf(F.col(self.input_key))).alias("band", "h"),
         )
 
-        vecs = df.select("_nd_id", F.col(self.input_key).alias("_v"))
         thr = 1.0 - self.eps
 
         def verify(pairs: DataFrame) -> DataFrame:
+            # every pair id is a rep; reps (cached by _collapse_exact)
+            # carries (_nd_id, embedding) — no second scan of df
             return (
-                pairs.join(vecs.withColumnRenamed("_nd_id", "src").withColumnRenamed("_v", "_va"), "src")
-                .join(vecs.withColumnRenamed("_nd_id", "dst").withColumnRenamed("_v", "_vb"), "dst")
+                pairs.join(reps.toDF("src", "_va"), "src")
+                .join(reps.toDF("dst", "_vb"), "dst")
                 .filter(V.cosine(F.col("_va"), F.col("_vb")) >= thr)
                 .select("src", "dst")
             )

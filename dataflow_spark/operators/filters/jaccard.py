@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dataflow_spark.core.operator import BudgetExceededError
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
+from dataflow_spark.functions.pulls import bounded_pull
 from dataflow_spark.operators.filters.dedup import _NearDupBase, _keep_first, connected_components
 
 
@@ -90,10 +91,9 @@ class NgramJaccardDeduplicateFilter(_NearDupBase):
                  .agg(F.countDistinct("_p")).first()[0])
         if probe > self.dense_vocab_max:
             return None
-        vocab_pdf = (with_sh.select(F.explode("_sh").alias("_p"))
-                     .distinct()
-                     .limit(self.dense_vocab_max + 1).toPandas()
-                     )  # bounded: limit(dense_vocab_max + 1)
+        vocab_pdf = bounded_pull(
+            with_sh.select(F.explode("_sh").alias("_p")).distinct(),
+            self.dense_vocab_max + 1)  # bounded: limit(dense_vocab_max + 1)
         if len(vocab_pdf) > self.dense_vocab_max:
             return None
 

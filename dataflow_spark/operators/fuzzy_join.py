@@ -62,6 +62,7 @@ from dataflow_spark.core.operator import BudgetExceededError, Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import text as T
+from dataflow_spark.functions.pulls import bounded_pull
 
 
 @OPERATOR_REGISTRY.register()
@@ -173,9 +174,9 @@ class FuzzyJoinOperator(Operator):
                  .agg(F.countDistinct("_p")).first()[0])
         if probe > self.dense_vocab_max:
             return None
-        vocab_pdf = (lraw.select(F.explode("_sh").alias("_p")).distinct()
-                     .limit(self.dense_vocab_max + 1).toPandas()
-                     )  # bounded: limit(dense_vocab_max + 1)
+        vocab_pdf = bounded_pull(
+            lraw.select(F.explode("_sh").alias("_p")).distinct(),
+            self.dense_vocab_max + 1)  # bounded: limit(dense_vocab_max + 1)
         if len(vocab_pdf) > self.dense_vocab_max:
             return None
 

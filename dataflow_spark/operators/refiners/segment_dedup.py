@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
+from dataflow_spark.functions.pulls import bounded_pull
 from dataflow_spark.functions.udf_cache import session_udf
 
 
@@ -196,9 +197,10 @@ class CorpusSegmentDedup(Operator):
         # reassembly groupBy(doc) shuffle disappear. Results are
         # identical: same keys, same min-occurrence keeper, same
         # pos-ascending join order.
-        dpd = (dups.select("_h", F.col("_keeper.o").alias("_o"),
-                           F.col("_keeper.p").alias("_p"))
-               .limit(_DUP_COLLECT_CAP + 1).toPandas())
+        dpd = bounded_pull(
+            dups.select("_h", F.col("_keeper.o").alias("_o"),
+                        F.col("_keeper.p").alias("_p")),
+            _DUP_COLLECT_CAP + 1)
         if len(dpd) <= _DUP_COLLECT_CAP and (
                 self.hash_impl == "fast"
                 or int(dpd["_h"].map(len).sum()) <= _DUP_BYTES_BUDGET):

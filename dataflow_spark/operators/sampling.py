@@ -24,6 +24,7 @@ dedup family).
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
@@ -184,52 +185,77 @@ class DomainMixtureSampler(Operator):
     :class:`HashSampleFilter`. Groups absent from ``weights`` are
     dropped — the mixture defines the corpus.
 
-    Scale: one groupBy-count over the corpus (tiny result: one row per
-    group), a scalar min via a 1-row cross join, and a broadcast join of
-    the per-group rate back onto the corpus — the filter itself is a
-    pure Column predicate; no driver collect, no second shuffle of the
-    corpus.
+    Scale: one groupBy-count over the corpus pulled to the driver (tiny:
+    at most one row per LISTED group — groups outside ``weights`` are
+    filtered before the aggregate), per-group keep thresholds computed
+    in plain Python, and the filter applied as a pure Column predicate
+    over a literal group->threshold map — no join, no second shuffle of
+    the corpus. (r10: this replaces the r9 crossJoin + broadcast-join
+    rate attachment — same doubles, same rows, two fewer exchanges and
+    no broadcast build in the returned plan.)
+
+    ``cache_input=True`` materializes the operator's input once (an
+    eager ``localCheckpoint``) before the count pass so the returned
+    plan re-reads the materialization instead of recomputing the input
+    lineage a second time. Default False (for a plain scan input the
+    materialization is pure overhead); set it when the input is an
+    expensive computed pipeline (e.g. the corpus-curation chain, whose
+    decontamination + segment-dedup pandas stages would otherwise run
+    once for the counts and again for the output).
     """
 
     def __init__(self, group_key: str = "source",
                  weights: dict[str, float] | None = None,
                  key: str = "doc_id", buckets: int = 10_000,
-                 salt: str = "mix", hash_impl: str = "fast"):
+                 salt: str = "mix", hash_impl: str = "fast",
+                 cache_input: bool = False):
         if not weights:
             raise ValueError("weights must be a non-empty {group: weight} dict")
         if any(w <= 0 for w in weights.values()):
             raise ValueError("weights must be positive")
         self.group_key, self.weights, self.key = group_key, dict(weights), key
         self.buckets, self.salt, self.hash_impl = buckets, salt, hash_impl
+        self.cache_input = cache_input
         self.input_keys = (group_key, key)
         self.output_keys = ()
 
     def run(self, df: DataFrame, **kw: Any) -> DataFrame:
+        if self.cache_input:
+            # eager localCheckpoint, NOT persist(): the returned plan
+            # reads the materialized blocks, so a persist could never be
+            # released inside run() — and an unreleased deterministic
+            # cache would be sameResult-served to the NEXT invocation
+            # over the same input, i.e. re-executions would stop
+            # computing from source. localCheckpoint materializes once
+            # per invocation (exactly the single input evaluation this
+            # flag exists to guarantee), is never shared through the
+            # CacheManager, and its blocks are freed by the context
+            # cleaner when the frame goes out of scope.
+            df = df.localCheckpoint()
         wsum = sum(self.weights.values())
-        share = F.create_map(
-            *[F.lit(x) for kv in self.weights.items()
-              for x in (kv[0], kv[1] / wsum)])
-        counts = (
-            df.groupBy(self.group_key)
-            .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
-            .withColumn("_share", share[F.col(self.group_key)])
-            .filter(F.col("_share").isNotNull())
-        )
-        t = counts.select(F.min(F.col("_cnt") / F.col("_share")).alias("_T"))
-        rates = (
-            counts.crossJoin(F.broadcast(t))
-            .select(
-                self.group_key,
-                F.least(F.lit(1.0),
-                        F.col("_share") * F.col("_T") / F.col("_cnt"))
-                .alias("_rate"))
-        )
+        groups = sorted(self.weights)
+        # counts: one row per listed group (bounded by len(weights));
+        # the same doubles the r9 join form produced — count cast to
+        # double, share = w / wsum, T = min(cnt / share), rate =
+        # least(1, share * T / cnt) — evaluated in the same order on
+        # the same float64 values, so every rate is bit-identical.
+        cpd = (df.filter(F.col(self.group_key).isin(groups))
+               .groupBy(self.group_key)
+               .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+               .toPandas())
+        cnt = dict(zip(cpd[self.group_key].tolist(), cpd["_cnt"].tolist()))
+        share = {g: self.weights[g] / wsum for g in groups if g in cnt}
+        if not share:
+            return df.filter(F.lit(False))
+        t_total = min(cnt[g] / share[g] for g in share)
+        thr = {g: math.floor(min(1.0, share[g] * t_total / cnt[g])
+                             * self.buckets) for g in share}
+        thr_map = F.create_map(
+            *[F.lit(x) for g in sorted(share) for x in (g, thr[g])])
         b = _bucket(F.col(self.key), self.buckets, self.salt, self.hash_impl)
-        return (
-            df.join(F.broadcast(rates), self.group_key)
-            .filter(b < F.floor(F.col("_rate") * self.buckets))
-            .drop("_rate")
-        )
+        # null / unlisted group -> null threshold -> predicate null ->
+        # dropped, exactly the r9 inner join's semantics
+        return df.filter(b < thr_map[F.col(self.group_key)])
 
 
 @OPERATOR_REGISTRY.register()

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from dataflow_spark.core.operator import Operator
 from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import vector as V
+from dataflow_spark.functions.pulls import bounded_pull
 
 
 #: per-block float64 entry budget for the dense GEMM worker (one sims
@@ -375,7 +376,8 @@ class BruteForceKNN(Operator):
     def run(self, df: DataFrame, queries: DataFrame | None = None, **kwargs: Any) -> DataFrame:
         qsrc = queries if queries is not None else df
         # limit-probe instead of count(): one cheap job, stops early
-        n_probe = len(qsrc.select(self.id_key).limit(self.max_broadcast_queries + 1).collect())
+        n_probe = len(bounded_pull(qsrc.select(self.id_key),
+                                   self.max_broadcast_queries + 1))
         if n_probe > self.max_broadcast_queries:
             raise ValueError(
                 f"BruteForceKNN would broadcast > {self.max_broadcast_queries} "
@@ -617,8 +619,8 @@ class LSHKNN(Operator):
         # one bounded job: probe and collect fused (limit is the guard);
         # Arrow toPandas, not collect — per-Row pickling costs seconds
         # at the 1M-row bound (guide §6, r9)
-        qpdf = (qsrc.select(self.id_key, self.embedding_key)
-                .limit(self.max_broadcast_queries + 1).toPandas())
+        qpdf = bounded_pull(qsrc.select(self.id_key, self.embedding_key),
+                            self.max_broadcast_queries + 1)
         if len(qpdf) > self.max_broadcast_queries:
             return None
         # null/empty queries produce null cosine on the join path (no

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # apply AQE inside persisted plans too (default false): without
+        # it a cached shuffle keeps the static partition count, so every
+        # cache read schedules spark.sql.shuffle.partitions tasks no
+        # matter how small the data — at any scale the cache should hold
+        # advisory-sized partitions, not the static count
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -21,8 +21,13 @@ SRC = Path(__file__).resolve().parent.parent / "dataflow_spark"
 ALLOWED = {
     # probe pulls exactly driver_max_edges+1 rows to decide
     # driver-union-find vs distributed large-star/small-star CC
-    ("operators/filters/dedup.py", "limit(driver_max_edges + 1)"):
+    ("operators/filters/dedup.py", "bounded_pull(edges, driver_max_edges + 1)"):
         "bounded probe",
+    # the shared pull helper applies df.limit(n) on the same statement;
+    # its signature REQUIRES a finite n, so every caller is bounded by
+    # construction (callers are still listed here one by one)
+    ("functions/pulls.py", "df.limit(int(n)).toPandas()"):
+        "explicit limit in helper; n required",
     # pool is sampled down to <= max_collect before the pull
     ("operators/filters/coreset.py", "pdf = pool.toPandas()"):
         "sample(max_collect/n) upstream; documented driver selection",
@@ -36,8 +41,11 @@ ALLOWED = {
     ("operators/eval/diversity.py", "limit(max_rows).collect()"):
         "max_rows cap",
     # probe collects max_broadcast_queries+1 ids to guard the broadcast
-    ("operators/similarity.py", "limit(self.max_broadcast_queries + 1)"):
-        "bounded probe",
+    ("operators/similarity.py", "qpdf = bounded_pull("):
+        "bounded probe (max_broadcast_queries + 1 on next line)",
+    # brute-KNN guard: counts up to max_broadcast_queries+1 id rows
+    ("operators/similarity.py", "n_probe = len(bounded_pull("):
+        "bounded probe (max_broadcast_queries + 1 on next line)",
     # matmul fast path pulls the (probe-bounded) query side; the
     # dense_broadcast_mb byte budget re-checks with the actual dim
     ("operators/similarity.py",
@@ -54,9 +62,13 @@ ALLOWED = {
         "byte-budget pre-check upstream",
     # duplicated-segment tail: hard-capped at _DUP_COLLECT_CAP + 1 rows
     # by the limit on the same statement (r9 broadcast-rebuild path)
-    ("operators/refiners/segment_dedup.py",
-     "limit(_DUP_COLLECT_CAP + 1).toPandas()"):
-        "explicit limit",
+    ("operators/refiners/segment_dedup.py", "dpd = bounded_pull("):
+        "explicit _DUP_COLLECT_CAP + 1 cap on the same statement",
+    # mixture counts: input filtered to the LISTED groups before the
+    # aggregate, so the pull is at most len(weights) rows
+    ("operators/sampling.py",
+     'agg(F.count(F.lit(1)).cast("double").alias("_cnt"))'):
+        "one row per listed group (<= len(weights))",
     # documented row-limited driver-side writer (xlsx/pickle)
     ("sources/writers.py", "df.limit(limit).collect()"):
         "explicit limit",
@@ -68,11 +80,11 @@ ALLOWED = {
         "partitions x capacity bound",
     # dense fuzzy-join path: left vocab collected only after a sampled
     # probe, hard-capped at dense_vocab_max + 1 rows
-    ("operators/fuzzy_join.py", "limit(self.dense_vocab_max + 1)"):
-        "bounded probe",
+    ("operators/fuzzy_join.py", "vocab_pdf = bounded_pull("):
+        "bounded probe (dense_vocab_max + 1 on next line)",
     # dense ngram-jaccard path: same bounded vocab probe
-    ("operators/filters/jaccard.py", "limit(self.dense_vocab_max + 1)"):
-        "bounded probe",
+    ("operators/filters/jaccard.py", "vocab_pdf = bounded_pull("):
+        "bounded probe (dense_vocab_max + 1 on next line)",
     # dense ngram-jaccard path: corpus sets pulled only when the
     # packed bitset matrix fits dense_broadcast_mb (checked above call)
     ("operators/filters/jaccard.py",
@@ -93,7 +105,8 @@ def _collect_sites():
     for py in SRC.rglob("*.py"):
         lines = py.read_text().splitlines()
         for i, line in enumerate(lines, 1):
-            if re.search(r"\.(collect|toPandas)\(\)", line):
+            if re.search(r"\.(collect|toPandas)\(\)|(?<!def )bounded_pull\(",
+                         line):
                 window = " ".join(
                     x.strip() for x in lines[max(0, i - 8):i])
                 out.append((py, i, window))
