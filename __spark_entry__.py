@@ -1469,6 +1469,10 @@ def q_pipeline_corpus_curation(spark, sf_dir):
         "hash_impl": "md5"}).run(out)
     out = get_operator("WordNumberFilter",
                        {"input_key": "text", "min_words": 5}).run(out)
+    # project text away before the sampler: nothing downstream reads it,
+    # and cache_input materializes the chain — (doc_id, source) rows are
+    # ~30 B where the rebuilt text is KBs (r10; same rows, same result)
+    out = out.select("doc_id", "source")
     out = get_operator("DomainMixtureSampler", {
         "weights": {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         "hash_impl": "md5", "cache_input": True}).run(out)

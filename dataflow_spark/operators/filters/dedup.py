@@ -32,6 +32,7 @@ from dataflow_spark.core.registry import OPERATOR_REGISTRY
 from dataflow_spark.functions import hashing as H
 from dataflow_spark.functions import vector as V
 from dataflow_spark.functions.pulls import bounded_pull
+from dataflow_spark.functions.spread import spread_for_udf
 
 
 def _bq(name: str) -> str:
@@ -39,25 +40,9 @@ def _bq(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-def _spread_for_udf(df: DataFrame) -> DataFrame:
-    """Round-robin the frame across the cluster when it has fewer
-    partitions than cores, so a per-row signature kernel downstream uses
-    every core instead of the scan's split count.
-
-    Scale-adaptive, not a local tuning: any real-scale input already has
-    >= defaultParallelism splits and this is a no-op (no Exchange in the
-    plan). It only fires on under-split inputs — e.g. a single-row-group
-    parquet file, whose scan is ONE task no matter how small
-    maxPartitionBytes is — where the narrow projection it receives
-    (id + signature source column) costs a tiny shuffle and buys a
-    cores-wide signature stage. Results are row-wise and key-grouped
-    downstream, so placement never changes them.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# moved to functions/spread.py (shared with similarity/text kernels);
+# re-exported here for the existing call sites below
+_spread_for_udf = spread_for_udf
 
 
 def _keep_first(df: DataFrame, key: Column, order_col: str) -> DataFrame:
