@@ -446,13 +446,26 @@ class _NearDupBase(_BaseDedup):
 
     def _dedup_by_bands(self, df: DataFrame, banded: DataFrame,
                         order_col: str, verify=None,
-                        extra_edges: DataFrame | None = None) -> DataFrame:
+                        extra_edges: DataFrame | None = None,
+                        verify_expr: str | None = None) -> DataFrame:
         """``banded``: DataFrame[_nd_id, band struct col 'bands' exploded].
 
         verify: optional callable (cand_df with a_id/b_id) -> filtered
         cand_df, applied to candidate pairs before components.
         extra_edges: pre-verified (src, dst) pairs unioned in after
         verification (exact-signature collapse edges).
+        verify_expr: alternative to ``verify`` for FIXED-WIDTH signatures
+        small enough to carry through the bucket shuffle: ``banded``
+        additionally holds the signature as ``_v``, pairs come out with
+        ``_va``/``_vb`` attached, and this SQL predicate over them
+        replaces the two signature-lookup joins entirely (guide §2.4:
+        remove shuffles outright). At scale the joins re-shuffle or
+        re-broadcast the corpus-sized rep table twice per run; carrying
+        an 8-byte value per banded row costs num_bands*8 bytes per doc
+        in one shuffle instead. Only used where the signature is a
+        single long (SimHash); array signatures (MinHash 64 longs,
+        embeddings) would multiply the bucket collect_list buffers and
+        keep the join path.
         """
         # one shuffle (groupBy bucket) + in-bucket edge expansion instead
         # of a two-sided self-join on (band, h): same components, half
@@ -466,9 +479,15 @@ class _NearDupBase(_BaseDedup):
         #   all: k(k-1)/2 edges, for maximum verify precision; buckets
         #     above max_bucket_size emit a consecutive chain instead so
         #     adversarial near-identical corpora stay linear.
+        carry = verify_expr is not None
+        # sort_array over struct(_nd_id, _v) orders by _nd_id first —
+        # _nd_id is unique within a bucket (reps), so the element order
+        # (hence star anchor / chain shape) is identical to the id-only
+        # form and the same buckets emit the same (src, dst) pairs.
+        elem = "struct(_nd_id, _v)" if carry else "_nd_id"
         buckets = (
             banded.groupBy("band", "h")
-            .agg(F.expr("sort_array(collect_list(_nd_id)) AS _ids"))
+            .agg(F.expr(f"sort_array(collect_list({elem})) AS _ids"))
             .filter("size(_ids) > 1")
         )
         # single-parse SQL strings (r9): the Column-lambda forms of these
@@ -478,22 +497,39 @@ class _NearDupBase(_BaseDedup):
         # select (same trick as banding): the old explode -> project
         # pair cost ~75 more round trips and left a dead struct
         # projection in the plan.
+        if carry:
+            def emit(x: str, y: str) -> str:
+                return (f"named_struct('src', {x}._nd_id, 'dst', {y}._nd_id,"
+                        f" '_va', {x}._v, '_vb', {y}._v)")
+        else:
+            def emit(x: str, y: str) -> str:
+                return f"named_struct('src', {x}, 'dst', {y})"
         if self.pair_expansion == "star":
             pair_sql = (
                 "transform(slice(_ids, 2, size(_ids) - 1), "
-                "y -> named_struct('src', element_at(_ids, 1), 'dst', y))")
+                f"y -> {emit('element_at(_ids, 1)', 'y')})")
         else:
             mbs = int(self.max_bucket_size)
             pair_sql = (
                 f"CASE WHEN size(_ids) > {mbs} THEN "
                 "transform(slice(_ids, 1, size(_ids) - 1), (x, i) -> "
-                "named_struct('src', x, 'dst', element_at(_ids, i + 2))) "
+                f"{emit('x', 'element_at(_ids, i + 2)')}) "
                 "ELSE flatten(transform(_ids, (x, i) -> "
                 "transform(slice(_ids, i + 2, size(_ids)), "
-                "y -> named_struct('src', x, 'dst', y)))) END")
-        pairs = buckets.selectExpr(f"inline({pair_sql})").distinct()
-        if verify is not None:
-            pairs = verify(pairs)
+                f"y -> {emit('x', 'y')}))) END")
+        if carry:
+            # verify as a codegen'd filter fused into the expansion
+            # stage — verify_expr is a pure function of (src, dst)
+            # through their signatures, so filter-then-distinct keeps
+            # exactly the rows the old distinct-then-join-verify kept,
+            # while the distinct exchange sees only surviving pairs.
+            pairs = (buckets.selectExpr(f"inline({pair_sql})")
+                     .filter(verify_expr)
+                     .select("src", "dst").distinct())
+        else:
+            pairs = buckets.selectExpr(f"inline({pair_sql})").distinct()
+            if verify is not None:
+                pairs = verify(pairs)
         if extra_edges is not None:
             pairs = pairs.union(extra_edges.select("src", "dst"))
         comp = connected_components(pairs)
@@ -658,22 +694,22 @@ class SimHashDeduplicateFilter(_NearDupBase):
         reps, exact_edges = self._collapse_exact(sims, "_simhash")
         # single-parse expr strings: same trees as the Column forms,
         # ~10x fewer py4j round trips per plan build (r9); inline() =
-        # explode + struct-splat in one generator select
+        # explode + struct-splat in one generator select. The 8-byte
+        # simhash rides along as _v (r10): Hamming verify becomes a
+        # filter fused into the pair-expansion stage instead of two
+        # signature-lookup joins against the rep table (guide §2.4/§3
+        # — at scale those joins re-shuffle the corpus-sized rep frame
+        # twice; the carry costs num_bands*8 bytes per doc in the one
+        # bucket shuffle).
         banded = reps.selectExpr(
-            "_nd_id", f"inline({H.simhash_bands_sql('_simhash')})")
+            "_nd_id", "_simhash AS _v",
+            f"inline({H.simhash_bands_sql('_simhash')})")
 
-        ham_sql = f"bit_count(_ha ^ _hb) <= {int(self.max_hamming)}"
+        ham_sql = f"bit_count(_va ^ _vb) <= {int(self.max_hamming)}"
 
-        def verify(pairs: DataFrame) -> DataFrame:
-            return (
-                pairs.join(reps.toDF("src", "_ha"), "src")
-                .join(reps.toDF("dst", "_hb"), "dst")
-                .filter(F.expr(ham_sql))
-                .select("src", "dst")
-            )
-
-        return self._dedup_by_bands(df, banded, order_col, verify,
-                                    extra_edges=exact_edges)
+        return self._dedup_by_bands(df, banded, order_col,
+                                    extra_edges=exact_edges,
+                                    verify_expr=ham_sql)
 
 
 @OPERATOR_REGISTRY.register()

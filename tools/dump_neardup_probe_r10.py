@@ -6,9 +6,10 @@ the edges frame the connected-components probe executes. This wraps
 ``connected_components`` to capture that frame's formatted plan at call
 time, so the dump is the real executed shape, not a reconstruction.
 
-Usage: python tools/dump_neardup_probe_r10.py <tag> [repo_root]
+Usage: python tools/dump_neardup_probe_r10.py <tag> [repo_root] [query]
 Writes plans/r10/neardup_probe_<tag>.txt (always into THIS repo's
-plans/r10, even when dumping from another checkout).
+plans/r10, even when dumping from another checkout). ``query`` defaults
+to d_minhash_lsh; e.g. pass d_simhash with a tag like simhash_after.
 """
 
 from __future__ import annotations
@@ -43,10 +44,11 @@ def main() -> None:
         captured.append(formatted_plan(edges))
         return orig(edges, *a, **kw)
 
+    query = sys.argv[3] if len(sys.argv) > 3 else "d_minhash_lsh"
     D.connected_components = capture
     try:
         qs = entrymod.queries()
-        qs["d_minhash_lsh"](spark, sf_dir)
+        qs[query](spark, sf_dir)
     finally:
         D.connected_components = orig
 
