@@ -831,8 +831,19 @@ class IncrementalMinHashDedupFilter(MinHashDeduplicateFilter):
                    "cast(size(filter(zip_with(_sig, _esig, "
                    "(x, y) -> x = y), eq -> eq)) as double) / "
                    f"{int(self.num_perm)}")))
+        # eager localCheckpoint scopes the two signature caches to THIS
+        # invocation (r10, see _collapse_exact): matched is the last
+        # consumer of new_sigs/ex_sigs, and both are deterministic plans
+        # a later run() over the same input would otherwise be silently
+        # served by the CacheManager (sameResult match). The checkpoint
+        # holds one long per matched row — strictly smaller than the
+        # signature caches it releases; the returned survivors plan
+        # references the checkpoint, never the caches.
         matched = (est.filter(F.col("_est") >= self.threshold)
-                   .select("_nid").distinct())
+                   .select("_nid").distinct()
+                   .localCheckpoint(eager=True))
+        new_sigs.unpersist()
+        ex_sigs.unpersist()
         fresh = (df.withColumn("_nid", F.col(order_col).cast("long"))
                  .join(matched, "_nid", "left_anti").drop("_nid"))
         return super().run(fresh)

@@ -62,6 +62,23 @@ def test_simhash_run_leaves_no_cache(spark, docs):
     assert _n_cached_rdds(spark) <= base
 
 
+def test_incremental_minhash_run_leaves_no_cache(spark, docs):
+    spark.catalog.clearCache()  # isolate from other tests' cache state
+    op = get_operator("IncrementalMinHashDedupFilter",
+                      {"input_key": "text", "order_key": "doc_id"})
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out1 = op.run(new, existing=existing)
+    # the signature persists are released inside run() (the eager
+    # matched checkpoint is their last consumer); only checkpoint
+    # blocks may remain, and those are never CacheManager-matched
+    assert _cache_manager_empty(spark)
+    n1 = out1.count()
+    out2 = op.run(new, existing=existing)
+    assert _cache_manager_empty(spark)
+    assert out2.count() == n1
+
+
 def test_mixture_sampler_cache_input_no_cache_manager_entry(spark):
     spark.catalog.clearCache()  # isolate from other tests' cache state
     rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]

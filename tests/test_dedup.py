@@ -122,6 +122,39 @@ def test_pair_expansion_modes_agree(spark):
     assert kept_star == kept_all
 
 
+def test_simhash_pair_expansion_modes_agree(spark):
+    """Star and all-pairs expansion agree for SimHash under the r10
+    carried-signature verify (the Hamming filter is fused into both
+    expansion forms, including the oversized-bucket chain fallback)."""
+    from dataflow_spark.operators.filters.dedup import SimHashDeduplicateFilter
+
+    rows = []
+    for g in range(12):
+        base = " ".join(
+            f"tok{g}_{i} word{(g * 31 + i) % 97}" for i in range(150))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base.replace(f"tok{g}_7", "tokXX")))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(2)
+    kept_star = {r.doc_id for r in SimHashDeduplicateFilter(
+        order_key="doc_id").run(df).collect()}
+    op_all = SimHashDeduplicateFilter(order_key="doc_id",
+                                      pair_expansion="all")
+    kept_all = {r.doc_id for r in op_all.run(df).collect()}
+    assert kept_star == kept_all
+    # oversized-bucket chain fallback: chain edges verify pairwise, so
+    # it is a recall-bounded fallback (documented) — but identical docs
+    # still collapse through the exact-signature edges regardless of
+    # the expansion form
+    dup_rows = [(i, "the very same document body for every row")
+                for i in range(6)]
+    ddf = spark.createDataFrame(dup_rows, ["doc_id", "text"])
+    op_chain = SimHashDeduplicateFilter(order_key="doc_id",
+                                        pair_expansion="all")
+    op_chain.max_bucket_size = 1
+    assert [r.doc_id for r in
+            op_chain.run(ddf).select("doc_id").collect()] == [0]
+
+
 def test_star_contraction_matches_union_find(spark):
     """Distributed large-star/small-star path (forced via
     driver_max_edges=0) agrees with the driver union-find on chains
